@@ -1,0 +1,46 @@
+"""Testdata table loaders (TESTDATA.md layout: one parquet per table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's semantics depend on, applied even
+    when the caller (e.g. the verify driver) built its own session: UTC
+    timestamps for deterministic rendering/hashing, non-ANSI eval so failed
+    parses yield NULL (the reference's permissive coercion semantics)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    # rejects; read as long and truncate to micros (matching DuckDB, which
+    # truncates ns→µs when reading the same file)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (reference S1: pq.read_table / pd.read_parquet,
+    assets/processing/assets.py:409). Catalyst handles predicate pushdown
+    and column pruning on top of this scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_defaults(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

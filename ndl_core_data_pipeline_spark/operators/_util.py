@@ -1,0 +1,40 @@
+"""Shared helpers for oracle-parity-safe expressions.
+
+Floating-point aggregation order differs between Spark's shuffled partial
+aggregation and DuckDB's scan order, so double sums are not bit-reproducible
+in general. For oracle-hashed aggregates we cast each value to a decimal
+(deterministic per-value rounding) so the sum is exact and order-independent,
+then cast the final result back to double. Both engines produce identical
+bits. Sequential per-row math on doubles (products, list dot products) IS
+deterministic and needs no special handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# scale 6 covers every true decimal scale in the testdata (money = 2,
+# money products = 4-6, events.value = 6), so the double→decimal cast is
+# EXACT — no tie-rounding to diverge between Spark (Java shortest-repr
+# HALF_UP) and DuckDB (scaled-double rounding)
+DEC = "decimal(25,6)"
+# wider scale for unit-magnitude values (cosines, ratios, vector components)
+DEC_HI = "decimal(27,10)"
+
+
+def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
+    """Order-independent SUM over a double column."""
+    return F.sum(col.cast(dec)).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str, dec: str = DEC) -> Column:
+    """Order-independent AVG: exact decimal sum / count, divided as doubles."""
+    return (F.sum(col.cast(dec)).cast("double") / F.count(col)).alias(alias)
+
+
+def sql_dsum(expr: str, dec: str = "DECIMAL(25,6)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE)"
+
+
+def sql_davg(expr: str, dec: str = "DECIMAL(25,6)") -> str:
+    return f"(CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE) / COUNT({expr}))"

@@ -1,0 +1,197 @@
+"""Aggregation operators (SURVEY §2.5 A1–A8 + engine-surface agg family).
+
+All money/double sums go through the decimal-cast idiom in _util (exact,
+order-independent — see that module's docstring). Catalyst plans every
+groupBy as partial (map-side) + final aggregation automatically; nothing
+to hand-build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ._util import davg, dsum, sql_davg, sql_dsum
+
+
+def count_by_key(spark, sf_dir):
+    """A1: count-by-format stats (ref: assets/processing/assets.py:79-81)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+def count_by_source(spark, sf_dir):
+    """A2: count-by-extension analog (ref: resources/count_extensions.py:47-73)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+
+
+def multi_field_rollup(spark, sf_dir):
+    """A3: multi-field sum rollup (ref: assets/processing/assets.py:435-465)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+        dsum(F.col("l_discount"), "sum_disc"),
+        dsum(F.col("l_tax"), "sum_tax"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def min_max_per_group(spark, sf_dir):
+    """A4: min-reduce over repeated group — oldest timestamp per key
+    (ref: assets/gov_uk/assets.py:167-187)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("oldest"),
+        F.max("o_orderdate").alias("newest"),
+    )
+
+
+def ceil_batch_count(spark, sf_dir):
+    """A5: total count → ceil-division batch count, BATCH_SIZE=100
+    (ref: assets/gov_uk/assets.py:41-48)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.ceil(F.count("*") / F.lit(100)).alias("num_batches")
+    )
+
+
+def agg_stats_family(spark, sf_dir):
+    """Engine surface: sum/avg/min/max/count/countDistinct in one pass."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        dsum(F.col("l_extendedprice"), "sum_price"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+def cube_agg(spark, sf_dir):
+    """Engine surface: CUBE over two keys (superaggregate rows with NULLs)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("cnt")
+    )
+
+
+def rollup_agg(spark, sf_dir):
+    """Engine surface: ROLLUP hierarchy totals."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        dsum(F.col("o_totalprice"), "sum_price"), F.count("*").alias("cnt")
+    )
+
+
+def conditional_counters(spark, sf_dir):
+    """A8: saved/skipped/failed per-batch counters as conditional aggregation
+    (ref: assets/gov_uk/assets.py:136-141)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.when(F.col("n_chars") >= 200, 1)).alias("saved"),
+        F.count(F.when(F.col("n_chars") < 200, 1)).alias("skipped"),
+        F.count(F.when(F.col("lang") == "zh", 1)).alias("flagged"),
+    )
+
+
+def approx_distinct(spark, sf_dir):
+    """Engine surface: approx_count_distinct (HLL). Algorithm differs from
+    DuckDB's approx_distinct → no oracle; driver records rows-only."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+def pivot_agg(spark, sf_dir):
+    """Engine surface: pivot l_linestatus into columns (oracle = CASE sums)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def register(reg):
+    reg.add(
+        "agg_count_by_key",
+        count_by_key,
+        "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    )
+    reg.add(
+        "agg_count_by_source",
+        count_by_source,
+        "SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang",
+    )
+    reg.add(
+        "agg_multi_field_rollup",
+        multi_field_rollup,
+        "SELECT l_returnflag, "
+        f"{sql_dsum('l_quantity')} AS sum_qty, "
+        f"{sql_dsum('l_extendedprice')} AS sum_price, "
+        f"{sql_dsum('l_discount')} AS sum_disc, "
+        f"{sql_dsum('l_tax')} AS sum_tax, "
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    )
+    reg.add(
+        "agg_min_max_per_group",
+        min_max_per_group,
+        "SELECT o_custkey, MIN(o_orderdate) AS oldest, MAX(o_orderdate) AS newest "
+        "FROM orders GROUP BY o_custkey",
+    )
+    reg.add(
+        "agg_ceil_batches",
+        ceil_batch_count,
+        "SELECT o_orderpriority, CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS num_batches "
+        "FROM orders GROUP BY o_orderpriority",
+    )
+    reg.add(
+        "agg_stats_family",
+        agg_stats_family,
+        "SELECT l_linestatus, "
+        f"{sql_dsum('l_extendedprice')} AS sum_price, "
+        f"{sql_davg('l_quantity')} AS avg_qty, "
+        "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
+        "COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS distinct_parts "
+        "FROM lineitem GROUP BY l_linestatus",
+    )
+    reg.add(
+        "agg_cube",
+        cube_agg,
+        "SELECT l_returnflag, l_linestatus, "
+        f"{sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    )
+    reg.add(
+        "agg_rollup",
+        rollup_agg,
+        "SELECT o_orderstatus, o_orderpriority, "
+        f"{sql_dsum('o_totalprice')} AS sum_price, COUNT(*) AS cnt "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+    )
+    reg.add(
+        "agg_conditional_counters",
+        conditional_counters,
+        "SELECT source, "
+        "COUNT(*) FILTER (WHERE n_chars >= 200) AS saved, "
+        "COUNT(*) FILTER (WHERE n_chars < 200) AS skipped, "
+        "COUNT(*) FILTER (WHERE lang = 'zh') AS flagged "
+        "FROM documents GROUP BY source",
+    )
+    reg.add("agg_approx_distinct", approx_distinct)  # rows-only: HLL != DuckDB's
+    open_case = sql_dsum("CASE WHEN l_linestatus='O' THEN l_quantity END")
+    filled_case = sql_dsum("CASE WHEN l_linestatus='F' THEN l_quantity END")
+    reg.add(
+        "agg_pivot",
+        pivot_agg,
+        "SELECT l_returnflag, "
+        f"{open_case} AS qty_open, "
+        f"{filled_case} AS qty_filled "
+        "FROM lineitem GROUP BY l_returnflag",
+    )

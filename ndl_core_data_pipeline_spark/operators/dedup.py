@@ -1,0 +1,303 @@
+"""Deduplication operators — exact + near-duplicate
+(SURVEY §2.5 A6/A7, §2.11 U3; training-data-pipeline dedup family:
+exact hash, MinHash, SimHash, n-gram Jaccard).
+
+Scale posture: every variant is a shuffle-on-key aggregation or an
+equi-join on a signature — never an n² comparison. MinHash/SimHash use
+md5-derived hash values so the DuckDB oracle reproduces them bit-for-bit
+(Spark's xxhash64 seeds differ from DuckDB's hash — md5 is the portable
+choice; at production scale you'd swap in xxhash64 for speed, the plan
+shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+
+N_MINHASH = 8  # signature length
+SHINGLE_N = 3  # word n-gram size
+
+
+def exact_keep_first(spark, sf_dir):
+    """A6: exact dedup, first-wins — group by content, keep the smallest id
+    (ref: resources/refine/dedupe.py:97-103 — BLAKE2b hash of bytes, first
+    path wins; here content equality is keyed directly, hash below)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    ).select("keeper_id", "n_copies")
+
+
+def duplicate_stats(spark, sf_dir):
+    """A6 counters: duplicates found = count - countDistinct per source
+    (ref: dedupe.py:69-107 duplicate counting)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("n_duplicates"),
+    )
+
+
+def exact_hash_dedup(spark, sf_dir):
+    """A7: content-hash dedup of the record table — md5 content address,
+    keep first id per hash (ref: dedupe.py:31-43 streaming BLAKE2b; md5 here
+    for oracle portability — same plan with any hash)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.select("doc_id", norm.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+
+
+def _shingles_spark(text_col):
+    """Distinct word 3-gram shingles as an array column (JVM-side)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - SHINGLE_N, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        )
+    )
+
+
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures: sig[j] = min over shingles of md5(j || ':' || s).
+    The min of a uniform hash per band is the classic MinHash estimator;
+    md5 hex strings compare lexicographically = numerically (fixed width).
+    Plan: ONE explode + ONE groupBy(doc_id) computing all N_MINHASH mins as
+    separate codegen'd aggregates — partial aggregation means only ~8 values
+    per doc cross the shuffle (not the shingle stream), then a map-side
+    inline to the (doc_id, j, minhash) contract shape. No crossJoin, no
+    per-band shuffle — the 100 TB cost is one keyed exchange of signatures."""
+    docs = load(spark, sf_dir, "documents")
+    # the scan may be a single partition (small file locally; first stage of
+    # a pipeline generally) while the shingle+md5 stage is CPU-dense —
+    # rebalance on the agg key so the hash work parallelizes and the
+    # partial aggregation stays co-located with its key
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    shingled = docs.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+    wide = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    return wide.select(
+        "doc_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("j"),
+                        F.col(f"h{j}").alias("minhash"),
+                    )
+                    for j in range(N_MINHASH)
+                ]
+            )
+        ),
+    )
+
+
+def minhash_near_dup_pairs(spark, sf_dir):
+    """Near-duplicate candidate pairs via MinHash: pairs sharing ≥1 signature
+    position (LSH with band size 1), scored by the fraction of matching
+    positions (unbiased Jaccard estimate). Join is on (j, minhash) — the
+    LSH bucket — so cost follows collision count, not n²."""
+    sigs = minhash_signatures(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg((F.count("*") / F.lit(float(N_MINHASH))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.25)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle within the same
+    source (blocking key): |A∩B| from a self-join on shingle, |A∪B| from
+    per-doc set sizes. Blocking bounds the join; at 100 TB the block key
+    would be an LSH band instead of `source`."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_shingles_spark(F.col("text"))).alias("shingle"),
+    ).filter(F.length("shingle") > 0).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def simhash_fingerprints(spark, sf_dir):
+    """SimHash (16-bit): per distinct word, md5-derived bit votes ±1; the
+    sign of each bit-position sum is the fingerprint bit. Near-dups then
+    compare by Hamming distance on the fingerprint — here we emit the
+    fingerprint itself (the groupBy plan is the operator)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    # nibble b//4 of md5 hex, bit b%4 → vote +1/-1 per (doc, word, bit)
+    h = F.md5(F.col("word"))
+    bit_votes = []
+    for bpos in range(16):
+        nibble = F.conv(F.substring(h, bpos // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.floor(nibble / (2 ** (bpos % 4))) % 2
+        bit_votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{bpos}")
+        )
+    sums = words.groupBy("doc_id").agg(*bit_votes)
+    fp = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(1, 16)),
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def register(reg):
+    reg.add(
+        "dedup_exact_keep_first",
+        exact_keep_first,
+        "SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text",
+    )
+    reg.add(
+        "dedup_duplicate_stats",
+        duplicate_stats,
+        "SELECT source, COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts, "
+        "COUNT(*) - COUNT(DISTINCT text) AS n_duplicates FROM documents GROUP BY source",
+    )
+    reg.add(
+        "dedup_exact_hash",
+        exact_hash_dedup,
+        r"SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash, "
+        "MIN(doc_id) AS keeper_id FROM documents GROUP BY 1",
+    )
+    shingle_sql = """
+shingles AS (
+  SELECT DISTINCT doc_id, source,
+         words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
+  FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents) w,
+       UNNEST(range(0, GREATEST(len(words) - {n} + 1, 1))) AS t(i)
+  WHERE words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] <> ''
+)""".format(n=SHINGLE_N)
+    reg.add(
+        "dedup_minhash_signatures",
+        minhash_signatures,
+        "WITH "
+        + shingle_sql
+        + f""",
+hashed AS (
+  SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+  FROM shingles, UNNEST(range(0, {N_MINHASH})) AS hj(j)
+)
+SELECT doc_id, j, MIN(h) AS minhash FROM hashed GROUP BY doc_id, j""",
+    )
+    reg.add(
+        "dedup_minhash_pairs",
+        minhash_near_dup_pairs,
+        "WITH "
+        + shingle_sql
+        + f""",
+hashed AS (
+  SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+  FROM shingles, UNNEST(range(0, {N_MINHASH})) AS hj(j)
+),
+sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hashed GROUP BY doc_id, j)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) / {float(N_MINHASH)} AS est_jaccard
+FROM sigs a JOIN sigs b
+  ON a.j = b.j AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) / {float(N_MINHASH)} >= 0.25""",
+    )
+    reg.add(
+        "dedup_ngram_jaccard",
+        ngram_jaccard_pairs,
+        "WITH "
+        + shingle_sql
+        + """,
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2""",
+    )
+    bit_exprs = []
+    for b in range(16):
+        nib = f"(strpos('0123456789abcdef', substring(md5(word), {b // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(FLOOR({nib} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+        vote = f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        bit_exprs.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
+    reg.add(
+        "dedup_simhash",
+        simhash_fingerprints,
+        r"""WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents) t
+  WHERE LENGTH(word) > 0
+)
+SELECT doc_id, CAST("""
+        + " + ".join(bit_exprs)
+        + " AS BIGINT) AS simhash FROM words GROUP BY doc_id",
+    )

@@ -1,0 +1,129 @@
+"""Filter / projection operators (SURVEY §2.3 F1–F9).
+
+Every predicate is a Catalyst expression so it pushes down to the parquet
+scan (visible as PushedFilters in .explain("formatted")) — at 100 TB this is
+the difference between reading a column chunk and reading the lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+
+
+def format_lang_filter(spark, sf_dir):
+    """F1: keep rows of one 'format' with non-null payload
+    (ref: assets/rag/process_text_chunks.py:31; resources/refine/anonymizer.py:54)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & F.col("text").isNotNull())
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def min_length_filter(spark, sf_dir):
+    """F2: drop text records shorter than MIN_TEXT_LENGTH=200
+    (ref: assets/processing/assets.py:38,199-203)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) >= 200)
+        .select("doc_id", F.length(F.trim(F.col("text"))).alias("trimmed_len"))
+    )
+
+
+def whitelist_reject_stats(spark, sf_dir):
+    """F3: supported-format whitelist; count rejects per format
+    (ref: assets/processing/assets.py:39,167-171)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(~F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("rejected"))
+    )
+
+
+def size_cap_filter(spark, sf_dir):
+    """F6: size-cap predicate (ref: 25 MB cap, assets/data_gov_uk/assets.py:37)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("n_chars") <= 300).select("doc_id", "n_chars")
+
+
+def like_filter(spark, sf_dir):
+    """LIKE pattern predicate (engine-surface completion of the F family)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").like("%vector%")).select("doc_id", "source")
+
+
+def regexp_filter(spark, sf_dir):
+    """Regexp predicate (engine surface; ref uses regex matching in
+    resources/convertors/csv_to_parquet.py:162-169)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("join\\s+stream")).select("doc_id")
+
+
+def project_drop_column(spark, sf_dir):
+    """F7: select all columns except the vector
+    (ref: assets/rag/test_lancedb_search.py:42-47)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.drop("embedding")
+
+
+def null_domain_filter(spark, sf_dir):
+    """Null-token domain predicate (ref: csv_to_parquet.py:30 null token set)
+    demonstrated as an isin + null-normalize over a string column."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.when(
+        F.trim(F.col("lang")).isin("NA", "N/A", "NULL", "null", "na", "n/a", "None", "NONE", "-", ""),
+        F.lit(None),
+    ).otherwise(F.trim(F.col("lang")))
+    return docs.select("doc_id", cleaned.alias("lang_clean")).filter(
+        F.col("lang_clean").isNotNull()
+    )
+
+
+def register(reg):
+    reg.add(
+        "filter_format_lang",
+        format_lang_filter,
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE lang = 'en' AND text IS NOT NULL",
+    )
+    reg.add(
+        "filter_min_length",
+        min_length_filter,
+        "SELECT doc_id, LENGTH(TRIM(text)) AS trimmed_len FROM documents "
+        "WHERE LENGTH(TRIM(text)) >= 200",
+    )
+    reg.add(
+        "filter_whitelist_rejects",
+        whitelist_reject_stats,
+        "SELECT event_type, COUNT(*) AS rejected FROM events "
+        "WHERE event_type NOT IN ('view','click','purchase') GROUP BY event_type",
+    )
+    reg.add(
+        "filter_size_cap",
+        size_cap_filter,
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars <= 300",
+    )
+    reg.add(
+        "filter_like",
+        like_filter,
+        "SELECT doc_id, source FROM documents WHERE text LIKE '%vector%'",
+    )
+    reg.add(
+        "filter_regexp",
+        regexp_filter,
+        "SELECT doc_id FROM documents WHERE regexp_matches(text, 'join\\s+stream')",
+    )
+    reg.add(
+        "project_drop_vector",
+        project_drop_column,
+        "SELECT vec_id, label FROM embeddings",
+    )
+    reg.add(
+        "filter_null_domain",
+        null_domain_filter,
+        "SELECT doc_id, TRIM(lang) AS lang_clean FROM documents "
+        "WHERE TRIM(lang) NOT IN ('NA','N/A','NULL','null','na','n/a','None','NONE','-','')",
+    )

@@ -1,0 +1,105 @@
+"""PII anonymization operators — regex tier (SURVEY §2.10 P1/P2).
+
+The reference anonymizes EMAIL_ADDRESS and PHONE_NUMBER entities with
+presidio, replacing them with the literals 'xxx@xxx.xx' and 'xx-xxxx-xxxx'
+(resources/refine/anonymizer.py:13-44), applied only where
+format=='text' AND text IS NOT NULL in batches of 100
+(anonymizer.py:47-71). The presidio tier lives in functions/udfs.py
+(import-gated pandas UDF); this module is the deterministic, oracle-
+checkable regex tier — pure JVM regexp_replace, whole-stage codegen,
+no Python in the loop. At 100 TB this is a map-only stage: no shuffle.
+
+The documents testdata carries no real PII, so the queries first weave a
+deterministic email/phone into each row (from doc_id) and then strip it —
+both engines see byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# UK mobile shapes the reference's tests pin: "07123 456 789", "+44 7123 456789"
+UK_PHONE_RE = r"(\+44[ -]?7[0-9]{3}|07[0-9]{3})[ -]?[0-9]{3}[ -]?[0-9]{3}"
+EMAIL_MASK = "xxx@xxx.xx"
+PHONE_MASK = "xx-xxxx-xxxx"
+
+
+def _with_pii(docs):
+    """Deterministic PII-bearing text: append a contact line derived from
+    doc_id so the corpus exercises both entity shapes."""
+    contact = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.co.uk or 07123 456 7"),
+        F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0"),
+        F.lit(" today."),
+    )
+    return docs.select("doc_id", "lang", contact.alias("pii_text"))
+
+
+def anonymize_regex(spark, sf_dir):
+    """P1 regex tier: mask emails then UK phone numbers with the reference's
+    literal replacements (ref: resources/refine/anonymizer.py:20-27 operators
+    config)."""
+    d = _with_pii(load(spark, sf_dir, "documents"))
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("pii_text"), EMAIL_RE, EMAIL_MASK),
+        UK_PHONE_RE,
+        PHONE_MASK,
+    )
+    return d.select("doc_id", "pii_text", masked.alias("anon_text"))
+
+
+def masked_update(spark, sf_dir):
+    """P2: conditional in-place update — anonymize only rows matching the
+    mask predicate, pass others through untouched (ref: anonymizer.py:47-71,
+    format=='text' & notna gate; here the gate is lang=='en')."""
+    d = _with_pii(load(spark, sf_dir, "documents"))
+    anon = F.regexp_replace(
+        F.regexp_replace(F.col("pii_text"), EMAIL_RE, EMAIL_MASK),
+        UK_PHONE_RE,
+        PHONE_MASK,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", anon).otherwise(F.col("pii_text")).alias("text"),
+        (F.col("lang") == "en").cast("int").alias("was_masked"),
+    )
+
+
+def _sql_with_pii() -> str:
+    return (
+        "SELECT doc_id, lang, "
+        "substring(text, 1, 80) || ' Contact: user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.co.uk or 07123 456 7' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+        "|| ' today.' AS pii_text FROM documents"
+    )
+
+
+def _sql_mask(col: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({col}, '{EMAIL_RE}', '{EMAIL_MASK}', 'g'), "
+        f"'{UK_PHONE_RE}', '{PHONE_MASK}', 'g')"
+    )
+
+
+def register(reg):
+    reg.add(
+        "pii_anonymize_regex",
+        anonymize_regex,
+        f"SELECT doc_id, pii_text, {_sql_mask('pii_text')} AS anon_text "
+        f"FROM ({_sql_with_pii()}) t",
+    )
+    reg.add(
+        "pii_masked_update",
+        masked_update,
+        "SELECT doc_id, lang, "
+        f"CASE WHEN lang = 'en' THEN {_sql_mask('pii_text')} ELSE pii_text END AS text, "
+        "CAST(lang = 'en' AS INT) AS was_masked "
+        f"FROM ({_sql_with_pii()}) t",
+    )

@@ -1,0 +1,182 @@
+"""Sort / limit / top-k operators (SURVEY §2.7 O1–O5).
+
+Top-k goes through Spark's TakeOrderedAndProject (per-partition heap + driver
+merge — no global sort), which is exactly the plan you want at 100 TB. Every
+ORDER BY carries a unique tie-breaker key so the result SET is deterministic
+(the oracle hash is order-insensitive but the row set must be stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load
+from ._util import sql_dsum
+
+
+def topk_by_value(spark, sf_dir):
+    """O3: top-k by score (ref: FAISS search n=15, rag_search.py:35;
+    argsort-desc top 3, eu_theme_classifier.py:37-43)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+def sort_limit_offset(spark, sf_dir):
+    """O2: paging — limit+offset (ref: rows=100&start=offset,
+    data_gov_uk/assets.py:104-109; limit=1000&offset=3000, ons assets.py:75-82)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def recency_sort(spark, sf_dir):
+    """O1: sort by recency desc (ref: sort=metadata_created desc,
+    data_gov_uk/assets.py:106). Full deterministic order, top slice."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), "event_id")
+        .select("event_id", "ts", "event_type")
+        .limit(100)
+    )
+
+
+def topk_per_group(spark, sf_dir):
+    """Engine surface: top-3 per group (window rank + filter) — the
+    distributed form of per-key top-k."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def elbow_cut(spark, sf_dir):
+    """O4: adaptive elbow cut over a ranked distance list
+    (ref: resources/embedding/rag_search.py:77-119 — after sorting distances
+    ascending, cut at the first consecutive diff > max(2.5*median_diff, 0.05);
+    keep everything before the cut).
+
+    Here applied to the 15 nearest embeddings to the vec_id=0 query vector by
+    (exact) squared L2 distance, mirroring the FAISS IndexFlatL2 stage."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_embedding"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    topk = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(dist, 6).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(15)
+    )
+    w = W.orderBy("dist", "vec_id")
+    diffs = topk.select(
+        "vec_id",
+        "dist",
+        F.row_number().over(w).alias("rnk"),
+        (F.col("dist") - F.lag("dist", 1).over(w)).alias("diff"),
+    )
+    med = diffs.select(
+        F.expr("percentile(diff, 0.5)").alias("median_diff")
+    )
+    cut = (
+        diffs.join(F.broadcast(med))
+        .withColumn(
+            "is_cut",
+            F.when(
+                F.col("diff")
+                > F.greatest(F.lit(2.5) * F.col("median_diff"), F.lit(0.05)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "cut_seen",
+            F.sum("is_cut").over(
+                W.orderBy("rnk").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cut_seen") == 0)
+        .select("vec_id", "dist", "rnk")
+    )
+    return cut
+
+
+def register(reg):
+    reg.add(
+        "topk_by_value",
+        topk_by_value,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    )
+    reg.add(
+        "sort_limit_offset",
+        sort_limit_offset,
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100",
+    )
+    reg.add(
+        "sort_recency",
+        recency_sort,
+        "SELECT event_id, ts, event_type FROM events "
+        "ORDER BY ts DESC, event_id LIMIT 100",
+    )
+    reg.add(
+        "topk_per_group",
+        topk_per_group,
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn <= 3",
+    )
+    reg.add(
+        "elbow_cut",
+        elbow_cut,
+        """
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id,
+         ROUND(list_sum(list_transform(list_zip(e.embedding, q.q_embedding),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS dist
+  FROM embeddings e, q WHERE vec_id <> 0
+  ORDER BY dist, vec_id LIMIT 15
+),
+diffs AS (
+  SELECT vec_id, dist,
+         ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk,
+         dist - LAG(dist, 1) OVER (ORDER BY dist, vec_id) AS diff
+  FROM topk
+),
+med AS (SELECT quantile_cont(diff, 0.5) AS median_diff FROM diffs),
+flagged AS (
+  SELECT d.vec_id, d.dist, d.rnk,
+         CASE WHEN d.diff > GREATEST(2.5 * m.median_diff, 0.05) THEN 1 ELSE 0 END AS is_cut
+  FROM diffs d, med m
+)
+SELECT vec_id, dist, rnk FROM (
+  SELECT vec_id, dist, rnk,
+         SUM(is_cut) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut_seen
+  FROM flagged
+) t WHERE cut_seen = 0
+""",
+    )

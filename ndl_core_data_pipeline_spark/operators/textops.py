@@ -1,0 +1,377 @@
+"""Text-analysis operators & scalar function library
+(SURVEY §2.9 X1–X16; training-data-pipeline text analysis: language-ID,
+quality scoring, token counting, fingerprinting).
+
+Everything here is JVM-side expression work (regexp_*, md5, concat) — no
+Python UDFs in the hot path, so the whole stage stays in codegen. The
+model-backed tiers (tiktoken X5, langdetect X6) live in functions/udfs.py
+as Arrow-batched pandas UDFs with these as their oracle-checkable tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+
+# reference license map (assets/processing/assets.py:299-315): lowercase
+# lookup with default "OGL-UK-3.0"
+LICENSE_MAP = {
+    "ogl-uk-3.0": "OGL-UK-3.0",
+    "uk-ogl": "OGL-UK-3.0",
+    "cc-by": "CC-BY-4.0",
+    "cc by": "CC-BY-4.0",
+    "cc-by-sa": "CC-BY-SA-4.0",
+    "cc-zero": "CC0-1.0",
+    "cc0": "CC0-1.0",
+    "odc-pddl": "PDDL-1.0",
+    "odc-by": "ODC-By-1.0",
+    "odc-odbl": "ODbL-1.0",
+    "mit": "MIT",
+    "public domain": "CC0-1.0",
+}
+LICENSE_DEFAULT = "OGL-UK-3.0"
+
+EN_STOP = "the|and|of|to|a|in|is|it"
+DE_STOP = "der|die|und|das|ein|ist"
+ES_STOP = "el|la|de|los|que|es"
+FR_STOP = "le|la|les|et|un|est"
+
+
+def word_count(spark, sf_dir):
+    """X4: word_count = len(text.split()) (ref: assets/processing/assets.py:291).
+    regexp_count of non-space runs gives split() semantics incl. empty-string→0."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("word_count")
+    )
+
+
+def token_count_regex(spark, sf_dir):
+    """X5 deterministic tier: BPE-ish token count — alpha runs, digit runs,
+    and single punctuation marks each count as one token (the tiktoken tier
+    is a pandas UDF; ref: resources/token_counter.py:12-37)."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id", F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("token_count")
+    )
+
+
+def langid_heuristic(spark, sf_dir):
+    """X6 deterministic tier: stopword-profile language ID (langdetect tier is
+    a pandas UDF; ref: assets/processing/assets.py:318-327). Ties resolve by
+    fixed priority en>de>es>fr, mirroring the reference's 'en' fallback."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def hits(pat):
+        return F.regexp_count(low, F.lit(rf"\b({pat})\b")).cast("bigint")
+
+    n_en, n_de, n_es, n_fr = hits(EN_STOP), hits(DE_STOP), hits(ES_STOP), hits(FR_STOP)
+    guess = (
+        F.when(n_en >= F.greatest(n_de, n_es, n_fr), "en")
+        .when(n_de >= F.greatest(n_es, n_fr), "de")
+        .when(n_es >= n_fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        n_en.alias("n_en"),
+        n_de.alias("n_de"),
+        n_es.alias("n_es"),
+        n_fr.alias("n_fr"),
+        guess.alias("lang_guess"),
+    )
+
+
+def quality_score(spark, sf_dir):
+    """Quality scoring for training-data curation: length, punctuation
+    density, digit density, stopword ratio, mean word length + keep flag."""
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b({EN_STOP})\b")).cast("bigint")
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    digit_ratio = F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    mean_wlen = F.round(
+        (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
+    )
+    keep = (
+        (n_chars >= 200)
+        & (punct_ratio < 0.2)
+        & (stop_ratio > 0.0)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        keep.alias("keep_flag"),
+    )
+
+
+def fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (deterministic content address; the dedup family keys on this)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def search_text_compose(spark, sf_dir):
+    """V6: search text = title + ' ' + description + ' ' + text[:500]
+    (ref: create_lancedb_index.py:18-44)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("source"), F.col("lang"), F.substring(F.col("text"), 1, 500)
+        ).alias("search_text"),
+    )
+
+
+def slugify(spark, sf_dir):
+    """X8: safe filename slug — '/'→'_', whitespace→'_', drop <>:"|?* and
+    control chars, collapse '_', strip leading/trailing '_'
+    (ref: resources/api_client.py:85-103)."""
+    docs = load(spark, sf_dir, "documents")
+    s = F.substring(F.col("text"), 1, 40)
+    s = F.regexp_replace(s, "/", "_")
+    s = F.regexp_replace(s, r"\s+", "_")
+    s = F.regexp_replace(s, r"[<>:\"\\|?*]", "")
+    s = F.regexp_replace(s, "_+", "_")
+    s = F.regexp_replace(s, "^_+|_+$", "")
+    return docs.select("doc_id", s.alias("slug"))
+
+
+def license_normalize(spark, sf_dir):
+    """X7: license normalization via 12-entry lowercase map with default
+    (ref: assets/processing/assets.py:299-315). Demonstrated over a key
+    derived from the lang column."""
+    docs = load(spark, sf_dir, "documents")
+    raw_key = (
+        F.when(F.col("lang") == "en", "CC-BY")
+        .when(F.col("lang") == "fr", "cc by")
+        .when(F.col("lang") == "de", "ODC-ODbL")
+        .when(F.col("lang") == "es", "unknown-license")
+        .otherwise(F.lit(None))
+    )
+    norm = F.lower(raw_key)
+    expr = F.lit(LICENSE_DEFAULT)
+    for k in reversed(list(LICENSE_MAP)):
+        expr = F.when(norm == k, LICENSE_MAP[k]).otherwise(expr)
+    return docs.select("doc_id", raw_key.alias("raw_license"), expr.alias("license"))
+
+
+def date_format_iso(spark, sf_dir):
+    """X1 (render): ISO-8601 UTC strings with +00:00 offset
+    (ref: resources/time_utils.py:30-79 output format)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'+00:00'").alias(
+            "iso_date"
+        ),
+    )
+
+
+def date_parse_multi(spark, sf_dir):
+    """X1 (parse): multi-format datetime parse via coalesce of to_timestamp
+    candidates ('%d %b %Y' / '%d/%m/%Y' / '%Y-%m-%d' — ref formats at
+    time_utils.py:30-79). Round-trips through rendered strings."""
+    o = load(spark, sf_dir, "orders")
+    rendered = F.date_format(F.col("o_orderdate"), "dd MMM yyyy")
+    parsed = F.coalesce(
+        F.try_to_timestamp(rendered, F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp(rendered, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(rendered, F.lit("dd MMM yyyy")),
+    )
+    return o.select("o_orderkey", rendered.alias("rendered"), parsed.alias("parsed"))
+
+
+def regexp_extract_date(spark, sf_dir):
+    """X11: filename-date extraction — regex \\d{4}-\\d{2}-\\d{2} from a path
+    (ref: hansard parser.py:347-357)."""
+    ev = load(spark, sf_dir, "events")
+    fname = F.concat(
+        F.lit("dump_"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd"),
+        F.lit("_"),
+        F.col("event_id").cast("string"),
+        F.lit(".xml"),
+    )
+    return ev.select(
+        "event_id",
+        fname.alias("filename"),
+        F.regexp_extract(fname, r"(\d{4}-\d{2}-\d{2})", 1).alias("file_date"),
+    )
+
+
+def json_extract(spark, sf_dir):
+    """X12: extra-metadata JSON unpack — get_json_object on a JSON string
+    column (ref: assets/processing/assets.py:205-210,294)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+def numeric_clean(spark, sf_dir):
+    """X3/X16: numeric cleaning — strip currency/thousands/percent tokens
+    then cast (ref: csv_to_parquet.py:33-49,128-131; golden '166,012,276' →
+    166012276). Dirty strings are composed from integer columns so both
+    engines clean byte-identical inputs."""
+    p = load(spark, sf_dir, "part")
+    dirty_money = F.concat(
+        F.lit("£"),
+        F.col("p_size").cast("string"),
+        F.lit(","),
+        F.col("p_partkey").cast("string"),
+        F.lit(".75"),
+    )
+    dirty_pct = F.concat(F.col("p_size").cast("string"), F.lit(".25 %"))
+    clean = lambda c: F.regexp_replace(c, r"[£$€,%\s]", "").cast("double")
+    return p.select(
+        "p_partkey",
+        dirty_money.alias("dirty_money"),
+        clean(dirty_money).alias("clean_money"),
+        dirty_pct.alias("dirty_pct"),
+        clean(dirty_pct).alias("clean_pct"),
+    )
+
+
+def register(reg):
+    reg.add(
+        "text_word_count",
+        word_count,
+        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS word_count FROM documents",
+    )
+    reg.add(
+        "text_token_count",
+        token_count_regex,
+        r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+        " AS token_count FROM documents",
+    )
+    reg.add(
+        "text_langid",
+        langid_heuristic,
+        rf"""
+SELECT doc_id, n_en, n_de, n_es, n_fr,
+  CASE WHEN n_en >= GREATEST(n_de, n_es, n_fr) THEN 'en'
+       WHEN n_de >= GREATEST(n_es, n_fr) THEN 'de'
+       WHEN n_es >= n_fr THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '\b({EN_STOP})\b')) AS INT) AS n_en,
+    CAST(len(regexp_extract_all(lower(text), '\b({DE_STOP})\b')) AS INT) AS n_de,
+    CAST(len(regexp_extract_all(lower(text), '\b({ES_STOP})\b')) AS INT) AS n_es,
+    CAST(len(regexp_extract_all(lower(text), '\b({FR_STOP})\b')) AS INT) AS n_fr
+  FROM documents) t
+""",
+    )
+    reg.add(
+        "text_quality_score",
+        quality_score,
+        rf"""
+SELECT doc_id, n_chars_m, n_words,
+  ROUND(n_punct / GREATEST(n_chars_m, 1), 6) AS punct_ratio,
+  ROUND(n_digit / GREATEST(n_chars_m, 1), 6) AS digit_ratio,
+  ROUND(n_stop / GREATEST(n_words, 1), 6) AS stop_ratio,
+  ROUND((n_chars_m - n_words + 1) / GREATEST(n_words, 1), 6) AS mean_word_len,
+  CASE WHEN n_chars_m >= 200
+        AND ROUND(n_punct / GREATEST(n_chars_m, 1), 6) < 0.2
+        AND ROUND(n_stop / GREATEST(n_words, 1), 6) > 0.0
+       THEN 1 ELSE 0 END AS keep_flag
+FROM (
+  SELECT doc_id,
+    LENGTH(text) AS n_chars_m,
+    len(regexp_extract_all(text, '\S+')) AS n_words,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    CAST(len(regexp_extract_all(lower(text), '\b({EN_STOP})\b')) AS INT) AS n_stop
+  FROM documents) t
+""",
+    )
+    reg.add(
+        "text_fingerprint",
+        fingerprint,
+        r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents",
+    )
+    reg.add(
+        "text_search_compose",
+        search_text_compose,
+        "SELECT doc_id, concat_ws(' ', source, lang, substring(text, 1, 500)) AS search_text FROM documents",
+    )
+    reg.add(
+        "text_slugify",
+        slugify,
+        r"""SELECT doc_id,
+ regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+   substring(text, 1, 40), '/', '_', 'g'), '\s+', '_', 'g'),
+   '[<>:"\\|?*]', '', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS slug
+FROM documents""",
+    )
+    license_cases = " ".join(
+        f"WHEN lower(raw_license) = '{k}' THEN '{v}'" for k, v in LICENSE_MAP.items()
+    )
+    reg.add(
+        "func_license_normalize",
+        license_normalize,
+        f"""
+SELECT doc_id, raw_license,
+  CASE {license_cases} ELSE '{LICENSE_DEFAULT}' END AS license
+FROM (
+  SELECT doc_id,
+    CASE WHEN lang='en' THEN 'CC-BY' WHEN lang='fr' THEN 'cc by'
+         WHEN lang='de' THEN 'ODC-ODbL' WHEN lang='es' THEN 'unknown-license'
+         ELSE NULL END AS raw_license
+  FROM documents) t
+""",
+    )
+    reg.add(
+        "func_date_format_iso",
+        date_format_iso,
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S+00:00') AS iso_date FROM orders",
+    )
+    reg.add(
+        "func_date_parse_multi",
+        date_parse_multi,
+        "SELECT o_orderkey, strftime(o_orderdate, '%d %b %Y') AS rendered, "
+        "COALESCE(TRY_CAST(try_strptime(strftime(o_orderdate, '%d %b %Y'), '%d/%m/%Y') AS TIMESTAMP), "
+        "TRY_CAST(try_strptime(strftime(o_orderdate, '%d %b %Y'), '%Y-%m-%d') AS TIMESTAMP), "
+        "TRY_CAST(try_strptime(strftime(o_orderdate, '%d %b %Y'), '%d %b %Y') AS TIMESTAMP)) AS parsed "
+        "FROM orders",
+    )
+    reg.add(
+        "func_regexp_extract_date",
+        regexp_extract_date,
+        r"""SELECT event_id,
+ 'dump_' || strftime(ts, '%Y-%m-%d') || '_' || CAST(event_id AS VARCHAR) || '.xml' AS filename,
+ regexp_extract('dump_' || strftime(ts, '%Y-%m-%d') || '_' || CAST(event_id AS VARCHAR) || '.xml',
+                '(\d{4}-\d{2}-\d{2})', 1) AS file_date
+FROM events""",
+    )
+    reg.add(
+        "func_json_extract",
+        json_extract,
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events",
+    )
+    reg.add(
+        "func_numeric_clean",
+        numeric_clean,
+        r"""SELECT p_partkey,
+ '£' || CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) || '.75' AS dirty_money,
+ CAST(regexp_replace('£' || CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) || '.75', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_money,
+ CAST(p_size AS VARCHAR) || '.25 %' AS dirty_pct,
+ CAST(regexp_replace(CAST(p_size AS VARCHAR) || '.25 %', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_pct
+FROM part""",
+    )

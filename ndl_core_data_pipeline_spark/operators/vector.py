@@ -1,0 +1,250 @@
+"""Vector / similarity operators (SURVEY §2.8 V1–V6 + ANN for scale).
+
+The reference's signature workload: brute-force cosine top-k (FAISS flat /
+sentence-transformers util.cos_sim) plus an IVF-PQ approximate index. Here:
+
+- exact cosine = sequential JVM-side double math over array<float> columns
+  (zip_with + aggregate — deterministic, no UDF, no Python);
+- the scale path is LSH: deterministic random-hyperplane signatures bucket
+  vectors so candidate generation is an equi-join on (band, bucket), not an
+  O(n²) cross join. At 100 TB the cross join is impossible; the LSH join
+  shuffles on bucket keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(spark, sf_dir):
+    """V3/O3: brute-force cosine top-k against the vec_id=0 query vector
+    (ref: eu_theme_classifier.py:28-43 cos_sim + argsort; FAISS flat search
+    process_text_chunks.py:100-109). Broadcast the single query row; Spark
+    plans TakeOrderedAndProject for the limit."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(20)
+    )
+
+
+def threshold_labels(spark, sf_dir):
+    """V4: threshold multi-label assignment — labels with cos > 0.3, top 3
+    (ref: eu_theme_classifier.py:10-12,23-47). Run for 5 query vectors at
+    once: one broadcast join, per-query window rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.3)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "rnk", "vec_id", "label", "cos_sim")
+    )
+
+
+def vector_norms(spark, sf_dir):
+    """Norm + dimension audit of the embedding column (the schema-level
+    plumbing every vector op relies on)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+def label_centroids(spark, sf_dir):
+    """Per-label centroid via posexplode → groupBy (label, pos) → avg.
+    This is the distributed form of classifier prototype vectors: no
+    collect(), shuffle keyed on (label, dim) — scales to any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val")
+    )
+
+
+def lsh_bucket_assignment(spark, sf_dir):
+    """V5 scale path: random-hyperplane LSH — 16-bit signatures from
+    deterministic pseudo-hyperplanes h[j][d] = ((j*31+d)*2654435761 % 2001)
+    /1000 - 1, so the oracle reproduces the exact buckets. Near-duplicate
+    candidates then join on equal signature instead of crossing n²
+    (ref ANN: LanceDB IVF-PQ, create_lancedb_index.py:143-148 — different
+    algorithm, same role: prune the candidate space)."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    # NB: the hyperplane lambda must take exactly ONE argument — pyspark
+    # passes the array index as a second positional arg to binary lambdas,
+    # so a `lambda d, jj=j:` capture would silently clobber jj.
+    def hyperplane(jj):
+        return lambda d: ((F.lit(jj * 31) + d) * 2654435761 % 2001) / 1000.0 - 1.0
+
+    bits = []
+    for j in range(16):
+        h_dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("embedding") - 1),
+                    hyperplane(j),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
+    sig = sum(bits[1:], bits[0]).cast("bigint")
+    return emb.select("vec_id", "label", sig.alias("lsh_bucket"))
+
+
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: within a blocking key (label —
+    at 100 TB this would be the LSH bucket from lsh_bucket_assignment, same
+    plan shape), join a<b and keep pairs with cosine ≥ 0.9. The block join
+    bounds candidates; the cross join never materializes n²."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
+def register(reg):
+    dot_sql = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    norm_sql = (
+        "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    cos_expr = (
+        dot_sql.format(a="e.embedding", b="q.q_emb")
+        + " / ("
+        + norm_sql.format(a="e.embedding")
+        + " * "
+        + norm_sql.format(a="q.q_emb")
+        + ")"
+    )
+    reg.add(
+        "vector_cosine_topk",
+        cosine_topk,
+        "WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) "
+        f"SELECT vec_id, label, ROUND({cos_expr}, 6) AS cos_sim "
+        "FROM embeddings e, q WHERE vec_id <> 0 "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 20",
+    )
+    reg.add(
+        "vector_threshold_labels",
+        threshold_labels,
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), "
+        "scored AS ("
+        f"  SELECT q.query_id, e.vec_id, e.label, ROUND({cos_expr}, 6) AS cos_sim "
+        "  FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+        "ranked AS ("
+        "  SELECT query_id, vec_id, label, cos_sim, "
+        "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk "
+        "  FROM scored WHERE cos_sim > 0.3) "
+        "SELECT query_id, rnk, vec_id, label, cos_sim FROM ranked WHERE rnk <= 3",
+    )
+    reg.add(
+        "vector_norms",
+        vector_norms,
+        "SELECT vec_id, len(embedding) AS dim, "
+        + "ROUND("
+        + norm_sql.format(a="embedding")
+        + ", 6) AS l2_norm FROM embeddings",
+    )
+    reg.add(
+        "vector_label_centroids",
+        label_centroids,
+        "SELECT label, CAST(i - 1 AS INT) AS pos, "
+        "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val "
+        "FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i) "
+        "GROUP BY label, CAST(i - 1 AS INT)",
+    )
+    pair_cos = (
+        dot_sql.format(a="a.embedding", b="b.embedding")
+        + " / ("
+        + norm_sql.format(a="a.embedding")
+        + " * "
+        + norm_sql.format(a="b.embedding")
+        + ")"
+    )
+    reg.add(
+        "dedup_embedding_cosine",
+        embedding_cosine_near_dup,
+        "SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"ROUND({pair_cos}, 6) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id < b.vec_id "
+        f"WHERE ROUND({pair_cos}, 6) >= 0.9",
+    )
+    hp = "(( ({j}*31 + d) * 2654435761 ) % 2001) / 1000.0 - 1.0"
+    bit_terms = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(0, dim), "
+        f"d -> CAST(embedding[d + 1] AS DOUBLE) * ({hp.format(j=j)}))) > 0 "
+        f"THEN 1 ELSE 0 END) * {2**j}"
+        for j in range(16)
+    )
+    reg.add(
+        "vector_lsh_buckets",
+        lsh_bucket_assignment,
+        "SELECT vec_id, label, CAST(" + bit_terms + " AS BIGINT) AS lsh_bucket "
+        "FROM (SELECT vec_id, label, embedding, len(embedding) AS dim FROM embeddings) t",
+    )

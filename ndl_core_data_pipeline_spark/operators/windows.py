@@ -1,0 +1,175 @@
+"""Window-function operators (SURVEY §2.6 W1–W4 + ranking/frames).
+
+One shuffle per distinct partitioning key; consecutive windows over the same
+key reuse the exchange. At 100 TB the partition key (document id / user id)
+must be high-cardinality — all of these are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load
+from ._util import sql_dsum
+
+
+def lag_lead_neighbors(spark, sf_dir):
+    """W1/J3: prev/next record within group, ordered — the neighbor-chunk
+    merge (ref: resources/embedding/rag_search.py:50-65) done as lag/lead
+    instead of the reference's positional row lookup."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.lag("text", 1).over(w), 1, 30).alias("prev_snippet"),
+        F.substring(F.lead("text", 1).over(w), 1, 30).alias("next_snippet"),
+    )
+
+
+def first_in_group(spark, sf_dir):
+    """W2: dedup winner — first row per group by deterministic order
+    (ref: resources/refine/dedupe.py:97-103, first path wins)."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+def chunk_index_assignment(spark, sf_dir):
+    """W3/V1 deterministic tier: fixed-width chunking with explicit
+    chunk_index via posexplode (ref: assets/rag/process_text_chunks.py:51-59
+    relies on implicit row order; a distributed engine must make the index
+    explicit). The recursive-splitter tier is a pandas UDF (text module)."""
+    docs = load(spark, sf_dir, "documents")
+    width = 400
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(length(text)/{width}.0) as int) - 1),"
+                    f" i -> substring(text, i*{width}+1, {width}))"
+                )
+            ).alias("chunk_index", "chunk"),
+        )
+    )
+
+
+def sessionize_conversations(spark, sf_dir):
+    """W4: stateful-scan sessionization — running sum over boundary flags
+    (ref: hansard conversation segmentation, parser.py:203-252: new
+    conversation at each 'Start Question'). Here: new session per user when
+    idle gap > 30 min; emits per-session aggregates."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros, 1).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("session_value"),
+    )
+
+
+def ranking_family(spark, sf_dir):
+    """Engine surface: rank / dense_rank / ntile over acctbal per nation."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def running_sum_frame(spark, sf_dir):
+    """Engine surface: cumulative frame (rowsBetween unboundedPreceding..0).
+    Decimal accumulation keeps the running sum order-independent for the
+    oracle hash."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def register(reg):
+    reg.add(
+        "window_lag_lead_neighbors",
+        lag_lead_neighbors,
+        "SELECT doc_id, source, "
+        "SUBSTRING(LAG(text, 1) OVER w, 1, 30) AS prev_snippet, "
+        "SUBSTRING(LEAD(text, 1) OVER w, 1, 30) AS next_snippet "
+        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)",
+    )
+    reg.add(
+        "window_first_in_group",
+        first_in_group,
+        "SELECT source, doc_id, n_chars FROM ("
+        "SELECT source, doc_id, n_chars, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents"
+        ") t WHERE rn = 1",
+    )
+    reg.add(
+        "window_chunk_index",
+        chunk_index_assignment,
+        "SELECT doc_id, CAST(i AS INT) AS chunk_index, "
+        "SUBSTRING(text, CAST(i AS INT)*400 + 1, 400) AS chunk "
+        "FROM documents, UNNEST(range(0, CAST(CEIL(LENGTH(text)/400.0) AS BIGINT))) AS t(i) "
+        "WHERE LENGTH(text) > 0",
+    )
+    reg.add(
+        "window_sessionize",
+        sessionize_conversations,
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, event_id, value,"
+        "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000 THEN 0 ELSE 1 END AS is_start"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), numbered AS ("
+        "  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged"
+        ") SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "COUNT(*) AS n_events, "
+        + sql_dsum("value")
+        + " AS session_value FROM numbered GROUP BY user_id, session_id",
+    )
+    reg.add(
+        "window_ranking_family",
+        ranking_family,
+        "SELECT c_custkey, c_nationkey, "
+        "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile "
+        "FROM customer WINDOW w AS "
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)",
+    )
+    reg.add(
+        "window_running_sum",
+        running_sum_frame,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total "
+        "FROM orders",
+    )

