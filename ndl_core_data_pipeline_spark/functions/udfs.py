@@ -1,0 +1,288 @@
+"""Model-backed scalar functions as Arrow-batched pandas UDFs, each with a
+deterministic fallback tier so the pipeline runs (and the oracle can check
+the fallback) in environments without the optional model libraries.
+
+Reference operators covered:
+- X5 token count (resources/token_counter.py:12-37: tiktoken
+  encoding_for_model falling back to cl100k_base; None/empty → 0)
+- X6 language detection (assets/processing/assets.py:318-327: langdetect
+  with DetectorFactory.seed=0, only for len>200, metadata fallback, 'en')
+- P1 anonymization (resources/refine/anonymizer.py:13-44: presidio
+  EMAIL_ADDRESS/PHONE_NUMBER → 'xxx@xxx.xx'/'xx-xxxx-xxxx', skip ≥1 MB)
+- V1 chunking (assets/rag/process_text_chunks.py:12-13,39-60:
+  RecursiveCharacterTextSplitter, size 800, overlap 100, separators
+  ["\\n\\n", "\\n", " ", ""]) — pure-Python implementation of the
+  recursive-split semantics, no langchain dependency
+- S6 HTML text extraction (resources/convertors/html_extractor.py:55-162:
+  bs4 tier; regex strip fallback)
+
+Every UDF initializes its model once per executor process (module-level
+lazy singleton) and processes Arrow batches — the distributed analog of
+the reference's own batching (anonymizer.py:47-59, classifier batch 64).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+# ---------------------------------------------------------------- helpers
+
+ANONYMIZER_MAX_CHARS = 1_000_000  # anonymizer.py:29-31
+LANGDETECT_MIN_CHARS = 200  # assets/processing/assets.py:139
+CHUNK_SIZE = 800  # process_text_chunks.py:12
+CHUNK_OVERLAP = 100  # process_text_chunks.py:13
+SEPARATORS = ("\n\n", "\n", " ", "")
+
+_TOKEN_FALLBACK_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+UK_PHONE_RE = re.compile(r"(\+44[ -]?7\d{3}|07\d{3})[ -]?\d{3}[ -]?\d{3}")
+
+_ENCODER = None
+_ENCODER_TRIED = False
+
+
+def _tiktoken_encoder():
+    global _ENCODER, _ENCODER_TRIED
+    if not _ENCODER_TRIED:
+        _ENCODER_TRIED = True
+        try:
+            import tiktoken
+
+            try:
+                _ENCODER = tiktoken.encoding_for_model("gpt-4o")
+            except Exception:
+                _ENCODER = tiktoken.get_encoding("cl100k_base")
+        except ImportError:
+            _ENCODER = None
+    return _ENCODER
+
+
+def count_tokens(text: str | None) -> int:
+    """X5: tiktoken when available, BPE-ish regex fallback; None/'' → 0."""
+    if not text:
+        return 0
+    enc = _tiktoken_encoder()
+    if enc is not None:
+        return len(enc.encode(text))
+    return len(_TOKEN_FALLBACK_RE.findall(text))
+
+
+@pandas_udf(IntegerType())
+def token_count_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(count_tokens).astype("int32")
+
+
+_LANGDETECT_READY = False
+
+
+def detect_language(text: str | None, fallback: str | None = None) -> str:
+    """X6: langdetect (seeded) for len>200, else metadata fallback, else
+    'en'; stopword heuristic when langdetect is unavailable."""
+    global _LANGDETECT_READY
+    if text and len(text) > LANGDETECT_MIN_CHARS:
+        try:
+            from langdetect import DetectorFactory, detect
+
+            if not _LANGDETECT_READY:
+                DetectorFactory.seed = 0  # reference pins the seed
+                _LANGDETECT_READY = True
+            try:
+                return detect(text)
+            except Exception:
+                pass
+        except ImportError:
+            low = text.lower()
+            scores = {
+                "en": sum(low.count(f" {w} ") for w in ("the", "and", "of", "to")),
+                "de": sum(low.count(f" {w} ") for w in ("der", "die", "und", "das")),
+                "es": sum(low.count(f" {w} ") for w in ("el", "la", "los", "que")),
+                "fr": sum(low.count(f" {w} ") for w in ("le", "les", "et", "un")),
+            }
+            best = max(scores, key=lambda k: (scores[k], k != "en"))
+            if scores[best] > 0:
+                return best
+    return fallback or "en"
+
+
+@pandas_udf(StringType())
+def detect_language_udf(texts: pd.Series, fallbacks: pd.Series) -> pd.Series:
+    return pd.Series(
+        [detect_language(t, f) for t, f in zip(texts, fallbacks)], dtype="object"
+    )
+
+
+def anonymize_text(text: str | None) -> str | None:
+    """P1: presidio tier when importable, else the regex tier; texts over
+    1 MB pass through untouched (anonymizer.py:29-31)."""
+    if not text:
+        return text
+    if len(text) >= ANONYMIZER_MAX_CHARS:
+        return text
+    try:
+        from presidio_analyzer import AnalyzerEngine
+        from presidio_anonymizer import AnonymizerEngine
+        from presidio_anonymizer.entities import OperatorConfig
+
+        analyzer = AnalyzerEngine()
+        results = analyzer.analyze(
+            text=text, entities=["EMAIL_ADDRESS", "PHONE_NUMBER"], language="en"
+        )
+        return AnonymizerEngine().anonymize(
+            text=text,
+            analyzer_results=results,
+            operators={
+                "EMAIL_ADDRESS": OperatorConfig("replace", {"new_value": "xxx@xxx.xx"}),
+                "PHONE_NUMBER": OperatorConfig(
+                    "replace", {"new_value": "xx-xxxx-xxxx"}
+                ),
+            },
+        ).text
+    except ImportError:
+        return UK_PHONE_RE.sub("xx-xxxx-xxxx", EMAIL_RE.sub("xxx@xxx.xx", text))
+
+
+@pandas_udf(StringType())
+def anonymize_text_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(anonymize_text)
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def _split_on(text: str, separators: tuple[str, ...]) -> list[str]:
+    """Recursive character splitting: split on the first separator that
+    appears, recurse on fragments still longer than CHUNK_SIZE."""
+    sep = separators[0]
+    rest = separators[1:]
+    if sep == "":
+        return [text[i : i + CHUNK_SIZE] for i in range(0, len(text), CHUNK_SIZE)]
+    parts = [p for p in text.split(sep) if p != ""]
+    out: list[str] = []
+    for p in parts:
+        if len(p) > CHUNK_SIZE and rest:
+            out.extend(_split_on(p, rest))
+        else:
+            out.append(p)
+    return out
+
+
+def chunk_text(text: str | None) -> list[str]:
+    """V1: recursive character chunking, size 800 overlap 100, separator
+    hierarchy paragraph → line → word → char. Fragments merge greedily up
+    to CHUNK_SIZE; consecutive chunks share ~CHUNK_OVERLAP trailing chars."""
+    if not text:
+        return []
+    frags = _split_on(text, SEPARATORS)
+    chunks: list[str] = []
+    cur = ""
+    for frag in frags:
+        candidate = (cur + " " + frag).strip() if cur else frag
+        if len(candidate) <= CHUNK_SIZE:
+            cur = candidate
+            continue
+        if cur:
+            chunks.append(cur)
+            tail = cur[-CHUNK_OVERLAP:]
+            cur = (tail + " " + frag).strip()
+            if len(cur) > CHUNK_SIZE:
+                chunks.append(cur[:CHUNK_SIZE])
+                cur = cur[CHUNK_SIZE - CHUNK_OVERLAP : CHUNK_SIZE] + cur[CHUNK_SIZE:]
+        else:
+            cur = frag[:CHUNK_SIZE]
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+@pandas_udf(ArrayType(StringType()))
+def chunk_text_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(chunk_text)
+
+
+# ----------------------------------------------------------- html extract
+
+_TAG_RE = re.compile(r"<(script|style|noscript)\b.*?</\1>", re.S | re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_ANCHOR_RE = re.compile(r'<a\b[^>]*href="([^"]+)"[^>]*>(.*?)</a>', re.S | re.I)
+_LI_RE = re.compile(r"<li\b[^>]*>", re.I)
+_BLOCK_RE = re.compile(r"</?(p|div|br|h[1-6]|tr|table|ul|ol)\b[^>]*>", re.I)
+_ANYTAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_html_text(html: str | None) -> str | None:
+    """S6: bs4 tier when importable; regex tier otherwise. Both preserve
+    the reference's contract (html_extractor.py:55-162): drop script/style/
+    noscript/comments, '- ' list markers, anchors keep ' (href)', block
+    boundaries become newlines, whitespace normalized."""
+    if html is None:
+        return None
+    try:
+        from bs4 import BeautifulSoup, Comment
+
+        soup = BeautifulSoup(html, "html.parser")
+        for t in soup(["script", "style", "noscript"]):
+            t.decompose()
+        for c in soup.find_all(string=lambda s: isinstance(s, Comment)):
+            c.extract()
+        for a in soup.find_all("a", href=True):
+            a.append(f" ({a['href']})")
+        for li in soup.find_all("li"):
+            li.insert(0, "- ")
+        text = soup.get_text(separator="\n")
+    except ImportError:
+        import html as html_mod
+
+        s = _TAG_RE.sub(" ", html)
+        s = _COMMENT_RE.sub(" ", s)
+        s = _ANCHOR_RE.sub(lambda m: f"{m.group(2)} ({m.group(1)})", s)
+        s = _LI_RE.sub("\n- ", s)
+        s = _BLOCK_RE.sub("\n", s)
+        s = _ANYTAG_RE.sub(" ", s)
+        text = html_mod.unescape(s)
+    lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in text.splitlines()]
+    out: list[str] = []
+    blank = False
+    for ln in lines:
+        if ln:
+            out.append(ln)
+            blank = False
+        elif not blank and out:
+            out.append("")
+            blank = True
+    return "\n".join(out).strip()
+
+
+@pandas_udf(StringType())
+def extract_html_text_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_html_text)
+
+
+def extract_pdf_text(payload: bytes) -> str:
+    """S5: PDF text extraction with OCR fallback (pdf_extractor.py:56-101).
+    PyMuPDF/tesseract are not in this container — the Spark plumbing
+    (binaryFile scan → this function inside mapInPandas) is real; the
+    codec call is stubbed."""
+    try:
+        import fitz  # PyMuPDF
+
+        doc = fitz.open(stream=payload, filetype="pdf")
+        text = "".join(page.get_text() for page in doc)
+        return text  # OCR-append branch (len<200) requires pytesseract
+    except ImportError as exc:
+        raise NotImplementedError("PDF codec not available in this build") from exc
+
+
+# ---------------------------------------------------------------- renders
+
+
+def iso8601(col: Column) -> Column:
+    """Render a timestamp as the reference's ISO-8601 UTC string shape
+    (time_utils.py output: offset form, no fractional seconds)."""
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'+00:00'")
