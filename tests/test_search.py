@@ -1,0 +1,77 @@
+"""kNN search pipeline tests vs a numpy reference implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ndl_core_data_pipeline_spark import search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    return (
+        spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(corpus):
+    df, vecs = corpus
+    q = vecs[0]
+    got = search.cosine_topk(df, [float(x) for x in q], k=10).collect()
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = np.argsort(-sims, kind="stable")[:10]
+    assert [r["vec_id"] for r in got] == list(want)
+    for r in got:
+        assert abs(r["cos_sim"] - sims[r["vec_id"]]) < 1e-6
+
+
+def test_elbow_cut_drops_tail(spark):
+    # distances: tight cluster then a jump — elbow cuts at the jump
+    rows = [(i, 1.0 - d, d) for i, d in enumerate([0.01, 0.02, 0.03, 0.5, 0.52])]
+    hits = spark.createDataFrame(rows, "vec_id BIGINT, cos_sim DOUBLE, distance DOUBLE")
+    kept = search.elbow_cut(hits).collect()
+    assert sorted(r["vec_id"] for r in kept) == [0, 1, 2]
+
+
+def test_elbow_cut_keeps_uniform(spark):
+    rows = [(i, 1.0 - d, d) for i, d in enumerate([0.10, 0.11, 0.12, 0.13])]
+    hits = spark.createDataFrame(rows, "vec_id BIGINT, cos_sim DOUBLE, distance DOUBLE")
+    assert search.elbow_cut(hits).count() == 4
+
+
+def test_neighbor_merge(spark):
+    chunks = spark.createDataFrame(
+        [
+            (0, "doc1", 0, "A" * 150),
+            (1, "doc1", 1, "B" * 150),
+            (2, "doc1", 2, "C" * 150),
+            (3, "doc2", 0, "D" * 150),
+        ],
+        "chunk_id BIGINT, origin_identifier STRING, chunk_index INT, chunk STRING",
+    )
+    hits = spark.createDataFrame([(1, 0.9)], "chunk_id BIGINT, cos_sim DOUBLE")
+    merged = search.neighbor_merge(hits, chunks).collect()[0]["merged_text"]
+    # prev trimmed of last 100 chars (keeps 50 As), self, next minus first 100 (keeps 50 Cs)
+    assert merged == "A" * 50 + "B" * 150 + "C" * 50
+    # boundary chunk: no prev
+    hits0 = spark.createDataFrame([(0, 0.8)], "chunk_id BIGINT, cos_sim DOUBLE")
+    merged0 = search.neighbor_merge(hits0, chunks).collect()[0]["merged_text"]
+    assert merged0 == "A" * 150 + "B" * 50
+
+
+def test_search_end_to_end(spark, corpus):
+    df, vecs = corpus
+    chunks = spark.createDataFrame(
+        [(i, f"doc{i // 5}", i % 5, f"chunk-{i:02d} " * 30) for i in range(50)],
+        "chunk_id BIGINT, origin_identifier STRING, chunk_index INT, chunk STRING",
+    )
+    out = search.search(df, chunks, [float(x) for x in vecs[3]], k=10)
+    rows = out.collect()
+    assert rows, "elbow cut must keep at least the best hit"
+    assert rows[0]["chunk_id"] == 3  # self-match is the top hit
+    assert "chunk-03" in rows[0]["merged_text"]
