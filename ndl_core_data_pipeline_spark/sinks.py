@@ -1,0 +1,66 @@
+"""Sinks (SURVEY §2.2): parquet writes with the reference's layout
+conventions and status accounting.
+
+- K1 single-table parquet write → df.write.parquet (task-commit protocol
+  supplies the reference's temp-file+rename atomicity, K3, for free).
+- K2 partitioned write + status sidecar (assets/processing/assets.py:
+  230-263: one file per partition key plus a .status.json with row
+  counts) → partitionBy + an observe()-collected metrics row written as
+  JSON next to the data. Metrics come from the SAME job as the write —
+  no second scan.
+- K4 UUID-sharded layout (assets.py:349-361: first-2-hex-chars subdir to
+  stay under 10k files/dir) → partitionBy on substring(identifier, 1, 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.observation import Observation
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1: plain parquet write."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_with_status(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    mode: str = "overwrite",
+) -> dict:
+    """K2: partitioned parquet + status sidecar. Returns the status dict
+    and writes it to <path>/.status.json (driver-side file, mirroring the
+    reference's sidecar)."""
+    obs = Observation("write_status")
+    text_col = "text" if "text" in df.columns else None
+    # observe() rejects DISTINCT aggregates — approx_count_distinct is
+    # allowed and exact at sidecar-relevant cardinalities
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(F.col(partition_col)).alias("n_partitions"),
+    ]
+    if text_col:
+        metrics.append(
+            F.count(F.when(F.length(F.col(text_col)) > 0, 1)).alias("n_with_text")
+        )
+    observed = df.observe(obs, *metrics)
+    observed.write.mode(mode).partitionBy(partition_col).parquet(path)
+    status = dict(obs.get)
+    with open(os.path.join(path, ".status.json"), "w") as f:
+        json.dump(status, f)
+    return status
+
+
+def uuid_shard_col(identifier_col: str = "identifier") -> F.Column:
+    """K4: first-2-hex-chars shard key (256-way layout)."""
+    return F.lower(F.substring(F.col(identifier_col), 1, 2)).alias("shard")
+
+
+def write_uuid_sharded(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+    """K4: shard by uuid prefix; returns the K2-style status."""
+    sharded = df.withColumn("shard", uuid_shard_col())
+    return write_partitioned_with_status(sharded, path, "shard", mode=mode)
