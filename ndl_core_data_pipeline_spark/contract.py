@@ -34,6 +34,7 @@ def build_registry() -> Registry:
         arrays,
         dedup,
         eventwindows,
+        files,
         filters,
         joins,
         multimodal,
@@ -58,6 +59,7 @@ def build_registry() -> Registry:
         textops,
         arrays,
         pii,
+        files,
         vector,
         dedup,
         multimodal,

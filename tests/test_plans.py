@@ -1,0 +1,82 @@
+"""Physical-plan audits — the 100 TB posture as executable assertions.
+
+Each check pins a property that keeps the query viable at scale: filters
+reaching the parquet scan (no full-table decode), column pruning (no
+wide reads for narrow projections), map-side partial aggregation (shuffle
+carries aggregates, not rows), broadcast joins for dimension tables (no
+fact-table shuffle for small sides), and TakeOrderedAndProject for top-k
+(no global sort). A refactor that silently regresses one of these fails
+here before it fails on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+
+QUERIES = contract.queries()
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_small):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_small)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    # pruned read: exactly the 4 needed columns, no l_orderkey/l_tax/...
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+    # map-side combine before the single-partition exchange
+    assert "partial_sum" in plan
+
+
+def test_q3_broadcasts_dimensions(spark, sf_small):
+    plan = plan_of(spark, "q3_shipping_priority", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # both join sides broadcast
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark, sf_small):
+    plan = plan_of(spark, "q5_region_revenue", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation/region must broadcast
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    plan = plan_of(spark, "q1_pricing_summary", sf_small)
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "LessThanOrEqual(l_shipdate,1998-09-02" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_small):
+    plan = plan_of(spark, "topk_by_value", sf_small)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_stays_join(spark, sf_small):
+    plan = plan_of(spark, "join_anti_skip_existing", sf_small)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_has_single_shuffle_to_signatures(spark, sf_small):
+    # signatures = scan → repartition → explode → partial agg → exchange →
+    # final agg → inline; no crossJoin, no extra exchange after the agg
+    plan = plan_of(spark, "dedup_minhash_signatures", sf_small)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side combine of the md5 mins
+
+
+def test_pii_is_map_only(spark, sf_small):
+    plan = plan_of(spark, "pii_anonymize_regex", sf_small)
+    assert "Exchange" not in plan  # pure scan→project, no shuffle
