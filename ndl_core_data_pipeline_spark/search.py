@@ -128,6 +128,70 @@ def neighbor_merge(
     return hits.join(enriched, id_col, "inner")
 
 
+N_PLANES = 12  # LSH signature bits for the approximate path
+
+
+def _lsh_bits(vec_col, n_planes: int = N_PLANES):
+    """Deterministic random-hyperplane signature (same construction as
+    operators/vector.lsh_bucket_assignment)."""
+    def hyperplane(jj):
+        return lambda d: ((F.lit(jj * 31) + d) * 2654435761 % 2001) / 1000.0 - 1.0
+
+    bits = []
+    for j in range(n_planes):
+        h_dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1), hyperplane(j)
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
+    return sum(bits[1:], bits[0]).cast("bigint")
+
+
+def lsh_index(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Materialize the ANN index: corpus + lsh_bucket column. Persist this
+    (e.g. parquet partitioned by bucket) and candidate lookup becomes a
+    partition-pruned scan — the IVF-list analog of the reference's
+    LanceDB index (create_lancedb_index.py:143-148)."""
+    return corpus.withColumn("lsh_bucket", _lsh_bits(F.col(vec_col)))
+
+
+def ann_topk(
+    indexed: DataFrame,
+    query_vec: list[float],
+    k: int = DEFAULT_K,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    `probe_hamming` bits of the query's bucket (multi-probe LSH), then
+    exact-rerank the candidates. The candidate filter prunes the scan —
+    at scale, bucket-partitioned storage turns it into partition pruning —
+    and the expensive cosine runs on a small fraction of the corpus."""
+    import hashlib  # deterministic driver-side signature of the query
+
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sig = 0
+    for j in range(N_PLANES):
+        h = ((((j * 31) + np.arange(len(q))) * 2654435761) % 2001) / 1000.0 - 1.0
+        if float(q @ h) > 0:
+            sig |= 1 << j
+    probes = [sig]
+    if probe_hamming >= 1:
+        probes += [sig ^ (1 << b) for b in range(N_PLANES)]
+    cands = indexed.filter(F.col("lsh_bucket").isin(probes))
+    return cosine_topk(cands, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
 def search(
     corpus: DataFrame,
     chunks: DataFrame,
