@@ -118,6 +118,31 @@ def pivot_agg(spark, sf_dir):
     )
 
 
+def grouping_sets_agg(spark, sf_dir):
+    """Engine surface: GROUPING SETS — the general form cube/rollup
+    specialize; expressed in SQL since the DataFrame API has no direct
+    grouping-sets builder."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price, "
+        "COUNT(*) AS cnt FROM orders_v "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+def median_percentiles(spark, sf_dir):
+    """Engine surface: exact median + exact percentiles per group
+    (Spark `median`/`percentile` are exact — comparable to DuckDB's
+    quantile_cont, unlike approx HLL/t-digest forms)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("median_price"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
 def register(reg):
     reg.add(
         "agg_count_by_key",
@@ -185,6 +210,22 @@ def register(reg):
         "FROM documents GROUP BY source",
     )
     reg.add("agg_approx_distinct", approx_distinct)  # rows-only: HLL != DuckDB's
+    reg.add(
+        "agg_grouping_sets",
+        grouping_sets_agg,
+        "SELECT o_orderstatus, o_orderpriority, "
+        f"{sql_dsum('o_totalprice')} AS sum_price, COUNT(*) AS cnt "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+    )
+    reg.add(
+        "agg_median_percentiles",
+        median_percentiles,
+        "SELECT l_returnflag, "
+        "MEDIAN(l_extendedprice) AS median_price, "
+        "quantile_cont(l_extendedprice, 0.25) AS p25_price, "
+        "quantile_cont(l_extendedprice, 0.95) AS p95_price "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
     open_case = sql_dsum("CASE WHEN l_linestatus='O' THEN l_quantity END")
     filled_case = sql_dsum("CASE WHEN l_linestatus='F' THEN l_quantity END")
     reg.add(

@@ -15,13 +15,13 @@ import pytest
 
 import __spark_entry__ as contract
 
+from ndl_core_data_pipeline_spark.plans import audit_plan, explain_formatted
+
 QUERIES = contract.queries()
 
 
 def plan_of(spark, name, sf_dir) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
+    return explain_formatted(QUERIES[name](spark, sf_dir))
 
 
 def test_q6_pushdown_and_pruning(spark, sf_small):
@@ -80,3 +80,14 @@ def test_minhash_has_single_shuffle_to_signatures(spark, sf_small):
 def test_pii_is_map_only(spark, sf_small):
     plan = plan_of(spark, "pii_anonymize_regex", sf_small)
     assert "Exchange" not in plan  # pure scan→project, no shuffle
+
+
+def test_audit_flags_cartesian(spark, sf_small):
+    a = QUERIES["q6_forecast_revenue"](spark, sf_small)
+    assert audit_plan(a) == []  # clean headline plan
+    bad = (
+        spark.range(10)
+        .crossJoin(spark.range(10).withColumnRenamed("id", "id2"))
+    )
+    assert any("CartesianProduct" in w or "BroadcastNestedLoopJoin" in w
+               for w in audit_plan(bad)) or "Broadcast" in explain_formatted(bad)
