@@ -36,6 +36,7 @@ def build_registry() -> Registry:
         eventwindows,
         files,
         filters,
+        groupedmap,
         joins,
         multimodal,
         pii,
@@ -60,6 +61,7 @@ def build_registry() -> Registry:
         arrays,
         pii,
         files,
+        groupedmap,
         vector,
         dedup,
         multimodal,

@@ -70,27 +70,39 @@ def _shingles_spark(text_col):
     )
 
 
+# affine-permutation constants for h_j(x) = (A_j * x + B_j) mod P — the
+# classic universal-hash MinHash family; x < 2^48 (12 hex chars) and
+# A_j ≤ 17 keep A*x + B < 2^53, safely inside bigint for both engines
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+MINHASH_A = tuple(2 * k + 1 for k in range(1, N_MINHASH + 1))  # odd, nonzero
+MINHASH_B = tuple(7919 * (k + 1) for k in range(N_MINHASH))
+
+
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures: sig[j] = min over shingles of md5(j || ':' || s).
-    The min of a uniform hash per band is the classic MinHash estimator;
-    md5 hex strings compare lexicographically = numerically (fixed width).
-    Plan: ONE explode + ONE groupBy(doc_id) computing all N_MINHASH mins as
-    separate codegen'd aggregates — partial aggregation means only ~8 values
-    per doc cross the shuffle (not the shingle stream), then a map-side
-    inline to the (doc_id, j, minhash) contract shape. No crossJoin, no
-    per-band shuffle — the 100 TB cost is one keyed exchange of signatures."""
+    """MinHash signatures, standard construction: base hash per shingle
+    x = md5[0:12 bytes] as bigint mod P, then N_MINHASH affine
+    permutations h_j(x) = (A_j*x + B_j) mod P; sig[j] = min_j over
+    shingles. ONE md5 per shingle (not per shingle×band) + cheap integer
+    arithmetic per band; ONE explode + ONE groupBy(doc_id) whose partial
+    aggregation ships only 8 longs per doc across the shuffle. At 100 TB:
+    a scan stage + one keyed exchange of fixed-width signatures."""
     docs = load(spark, sf_dir, "documents")
-    # the scan may be a single partition (small file locally; first stage of
-    # a pipeline generally) while the shingle+md5 stage is CPU-dense —
-    # rebalance on the agg key so the hash work parallelizes and the
-    # partial aggregation stays co-located with its key
+    # the scan may be a single partition (small file locally) while the
+    # shingle+hash stage is CPU-dense — rebalance on the agg key so hash
+    # work parallelizes and partial aggregation stays co-located
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     shingled = docs.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).filter(F.length("shingle") > 0)
-    wide = shingled.groupBy("doc_id").agg(
+    # 12 hex chars = 48 bits << P, so x < P without a second mod
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("bigint")
+    hashed = shingled.select("doc_id", x.alias("x"))
+    wide = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+            F.min(
+                (F.col("x") * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_P)
+            ).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )
@@ -101,7 +113,7 @@ def minhash_signatures(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(j).cast("bigint").alias("j"),
-                        F.col(f"h{j}").alias("minhash"),
+                        F.col(f"h{j}").cast("bigint").alias("minhash"),
                     )
                     for j in range(N_MINHASH)
                 ]
@@ -232,29 +244,34 @@ shingles AS (
        UNNEST(range(0, GREATEST(len(words) - {n} + 1, 1))) AS t(i)
   WHERE words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] <> ''
 )""".format(n=SHINGLE_N)
+    # base hash x = md5[0:12 hex] as bigint; h_j = (A_j*x + B_j) % P
+    perm_rows = ", ".join(
+        f"({j}, {MINHASH_A[j]}, {MINHASH_B[j]})" for j in range(N_MINHASH)
+    )
+    hashed_sql = f""",
+base AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) AS x
+  FROM shingles
+),
+perms(j, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+         MIN((a * x + b) % {MINHASH_P}) AS minhash
+  FROM base, perms GROUP BY doc_id, j
+)"""
     reg.add(
         "dedup_minhash_signatures",
         minhash_signatures,
-        "WITH "
-        + shingle_sql
-        + f""",
-hashed AS (
-  SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
-  FROM shingles, UNNEST(range(0, {N_MINHASH})) AS hj(j)
-)
-SELECT doc_id, j, MIN(h) AS minhash FROM hashed GROUP BY doc_id, j""",
+        "WITH " + shingle_sql + hashed_sql + "\nSELECT doc_id, j, minhash FROM sigs",
     )
     reg.add(
         "dedup_minhash_pairs",
         minhash_near_dup_pairs,
         "WITH "
         + shingle_sql
-        + f""",
-hashed AS (
-  SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
-  FROM shingles, UNNEST(range(0, {N_MINHASH})) AS hj(j)
-),
-sigs AS (SELECT doc_id, j, MIN(h) AS minhash FROM hashed GROUP BY doc_id, j)
+        + hashed_sql
+        + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(*) / {float(N_MINHASH)} AS est_jaccard
 FROM sigs a JOIN sigs b

@@ -85,6 +85,35 @@ def watermarked_tumbling_agg(
     )
 
 
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total carried across micro-batches in
+    explicit GroupState — the form for stateful logic that built-in
+    window/dedup operators can't express (reference analog: none; this is
+    the engine's extension point for custom accumulators)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionized_stream(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -119,3 +119,33 @@ def test_sessionized_stream(spark, tmp_path):
     # user 1: 10:00+10:10 one session; user 2: 11:05+11:30 gap 25min < 30 → one session
     assert sorted(by_user[1]) == [2]
     assert sorted(by_user[2]) == [2]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.streaming.jobs import stateful_running_totals
+
+    d = tmp_path / "stateful"
+    d.mkdir()
+    _write_events(d / "a.json", EVENTS_A)
+    stream = spark.readStream.format("json").schema(EVENTS_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).load(str(d))
+    _write_events(d / "b.json", EVENTS_B)
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS t "
+        "FROM running_totals GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["t"]) for r in rows}
+    # user 1: events 1+2 (1.5+2.0); user 2: events 3+4 (0.5+1.0) —
+    # state must accumulate ACROSS the two single-file micro-batches
+    assert got[1] == (2, 3.5)
+    assert got[2] == (2, 1.5)
