@@ -125,25 +125,40 @@ def minhash_signatures(spark, sf_dir):
 def minhash_near_dup_pairs(spark, sf_dir):
     """Near-duplicate candidate pairs via MinHash: pairs sharing ≥1 signature
     position (LSH with band size 1), scored by the fraction of matching
-    positions (unbiased Jaccard estimate). Join is on (j, minhash) — the
-    LSH bucket — so cost follows collision count, not n²."""
+    positions (unbiased Jaccard estimate). Formulated as ONE pass: group by
+    LSH bucket (j, minhash), collect the sorted member ids, explode the
+    within-bucket pairs — identical output to a self-join on the bucket key
+    but the expensive shingle→hash→signature subtree is computed ONCE
+    (a self-join would run it once per side: no ReusedExchange under a
+    broadcast join). Cost still follows collision count, not n²; at 100 TB
+    buckets stay small because a 61-bit minhash only collides on real
+    similarity (plus a bucket-size cap upstream if an adversarial key
+    appears)."""
     sigs = minhash_signatures(spark, sf_dir)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        sigs.groupBy("j", "minhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all ordered pairs (ids[i], ids[k]) with i < k — ids sorted, so
+    # doc_a < doc_b by construction; two-arg lambda gets the index as arg 2
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg((F.count("*") / F.lit(float(N_MINHASH))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.25)
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -158,15 +173,29 @@ def ngram_jaccard_pairs(spark, sf_dir):
         F.explode(_shingles_spark(F.col("text"))).alias("shingle"),
     ).filter(F.length("shingle") > 0).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # one pass over the shingle stream: group by the blocking key, collect
+    # sorted members, explode within-bucket ordered pairs (same output as a
+    # self-join on (source, shingle) but the explode subtree runs once,
+    # not once per join side)
+    buckets = (
+        sh.groupBy("source", "shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
