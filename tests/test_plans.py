@@ -77,6 +77,23 @@ def test_minhash_has_single_shuffle_to_signatures(spark, sf_small):
     assert "partial_min" in plan  # map-side combine of the md5 mins
 
 
+def test_minhash_pairs_single_pass(spark, sf_small):
+    # pair generation is groupBy(bucket)→collect→explode, NOT a self-join:
+    # the expensive shingle→md5→signature subtree must appear exactly once
+    # (a self-join ran it once per side — 2× the scan/hash work at 100 TB)
+    plan = plan_of(spark, "dedup_minhash_pairs", sf_small)
+    assert plan.count("md5(") == 1
+    assert "Join" not in plan  # no join operator of any kind
+    assert "partial_min" in plan  # signature agg still map-side combined
+
+
+def test_ngram_jaccard_explodes_shingles_twice_not_thrice(spark, sf_small):
+    # shingle stream feeds per-doc sizes + bucket pairs (2 subtrees); the
+    # old self-join form computed it 3×. Pin ≤2 generator instances.
+    plan = plan_of(spark, "dedup_ngram_jaccard", sf_small)
+    assert plan.count("Generate explode") <= 2
+
+
 def test_pii_is_map_only(spark, sf_small):
     plan = plan_of(spark, "pii_anonymize_regex", sf_small)
     assert "Exchange" not in plan  # pure scan→project, no shuffle
