@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q4_priority_exists",
+    "q18_large_volume_customers",
     "dedup_exact_hash",
     "dedup_minhash_signatures",
     "dedup_minhash_pairs",
