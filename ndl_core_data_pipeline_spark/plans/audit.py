@@ -15,6 +15,8 @@ API (e.g. to audit a user-supplied DataFrame before a big run).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 
 
@@ -45,7 +47,14 @@ def audit_plan(df: DataFrame) -> list[str]:
         warnings.append(
             "only sort-merge joins — if one side is a dimension, broadcast() it"
         )
-    if "HashAggregate" in plan and "partial_" not in plan and "Exchange" in plan:
+    # keys-only aggregates (distinct / intersect / except) have no agg
+    # functions to mark partial_, but the map-side dedupe phase is still
+    # there: a second HashAggregate node below the exchange. Flag only a
+    # lone aggregate node fed by an exchange with no partial_ markers —
+    # that shape ships raw rows through the shuffle.
+    n_agg_nodes = len(_re.findall(r"\(\d+\) HashAggregate", plan))
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    if n_agg_nodes == 1 and n_exchanges >= 1 and "partial_" not in plan:
         warnings.append(
             "aggregation without map-side combine — shuffle carries raw rows"
         )
