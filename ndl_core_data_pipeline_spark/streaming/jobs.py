@@ -114,6 +114,42 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension table.
+    The static side is re-read per micro-batch (so slowly-changing dims are
+    picked up) and broadcast when small — the streaming analog of the
+    reference's tag-merge J1. No watermark needed: the static side never
+    grows state."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def foreach_batch_writer(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dedup_key: str | None = None,
+):
+    """foreachBatch sink: per micro-batch custom write with exactly-once
+    semantics from (checkpointed batch_id + idempotent write). The batch
+    body runs full batch-DataFrame logic (joins, dedup, arbitrary sinks) —
+    the extension point the built-in sinks can't express (reference
+    analog: per-partition atomic write + status sidecar, K2/K3)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if dedup_key:
+            out = out.dropDuplicates([dedup_key])
+        # partition dir keyed by batch_id: re-running a failed batch
+        # overwrites its own output only — idempotent replay
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def sessionized_stream(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -149,3 +149,41 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # state must accumulate ACROSS the two single-file micro-batches
     assert got[1] == (2, 3.5)
     assert got[2] == (2, 1.5)
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.streaming.jobs import stream_static_enrich
+
+    stream = _streaming_events(spark, tmp_path, EVENTS_A, "enrich")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id BIGINT, tier STRING"
+    )
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {1: "gold", 2: "gold", 3: "silver"}
+
+
+def test_foreach_batch_writer_idempotent_layout(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.streaming.jobs import foreach_batch_writer
+
+    d = tmp_path / "fb_landing"
+    d.mkdir()
+    _write_events(d / "a.json", EVENTS_A + EVENTS_A)  # duplicate rows in-batch
+    stream = spark.readStream.format("json").schema(EVENTS_DDL).load(str(d))
+    out, ckpt = tmp_path / "fb_out", tmp_path / "fb_ckpt"
+    q = foreach_batch_writer(
+        stream, str(out), str(ckpt), dedup_key="event_id"
+    ).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    # in-batch duplicates collapsed; batch_id partition column present
+    assert got.count() == 3
+    assert "batch_id" in got.columns
