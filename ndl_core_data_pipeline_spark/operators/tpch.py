@@ -200,6 +200,158 @@ def q22_dormant_rich_customers(spark, sf_dir):
     )
 
 
+def q7_nation_volume(spark, sf_dir):
+    """Q7 shape: bidirectional nation-pair trade volume by ship year —
+    double dimension join with a symmetric pair predicate, year extraction
+    in the grouping key."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """Q10 shape: returned-item revenue per customer, top 20 — join +
+    groupBy + TakeOrderedAndProject with a deterministic tie-break."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """Q14 shape: conditional-share aggregate — promo revenue as a
+    percentage of total, one scan, two conditional sums."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(disc_price, "total_revenue"),
+        )
+        .select(
+            (100.0 * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Q15 shape: aggregate-of-aggregate — suppliers whose period revenue
+    equals the global maximum (max over a derived view, broadcast back).
+    Revenue doubles come from identical decimal sums on both engines, so
+    the equality join is exact."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q16_part_supplier_counts(spark, sf_dir):
+    """Q16 shape: NOT IN exclusion subquery (anti-join) + countDistinct
+    grouped by part attributes."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: disjunction of conjunctive range predicates across the
+    join — the optimizer must extract the common join key and push the
+    per-branch ranges."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def register(reg):
     reg.add(
         "q1_pricing_summary",
@@ -311,4 +463,88 @@ def register(reg):
         "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_orderdate >= TIMESTAMP '1998-06-01') "
         "GROUP BY c_nationkey",
+    )
+    reg.add(
+        "q7_nation_volume",
+        q7_nation_volume,
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)')} AS volume "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1999-01-01' "
+        "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+        "GROUP BY supp_nation, cust_nation, l_year",
+    )
+    reg.add(
+        "q10_returned_items",
+        q10_returned_items,
+        "SELECT c_custkey, c_name, n_name, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, "
+        "COUNT(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    )
+    reg.add(
+        "q14_promo_revenue_share",
+        q14_promo_revenue_share,
+        "SELECT 100.0 * promo_revenue / total_revenue AS promo_pct, "
+        "promo_revenue, total_revenue FROM ("
+        "SELECT "
+        + sql_dsum(
+            "CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        )
+        + " AS promo_revenue, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-01' "
+        "AND l_shipdate < TIMESTAMP '1997-09-01')",
+    )
+    reg.add(
+        "q15_top_supplier",
+        q15_top_supplier,
+        "WITH rev AS (SELECT l_suppkey, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_rev "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev)",
+    )
+    reg.add(
+        "q16_part_supplier_counts",
+        q16_part_supplier_counts,
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size",
+    )
+    reg.add(
+        "q19_disjunctive_revenue",
+        q19_disjunctive_revenue,
+        "SELECT "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, "
+        "COUNT(*) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 "
+        "AND p_size BETWEEN 1 AND 5) "
+        "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 "
+        "AND p_size BETWEEN 1 AND 10) "
+        "OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 "
+        "AND p_size BETWEEN 1 AND 15)",
     )
