@@ -138,6 +138,88 @@ def lsh_bucket_assignment(spark, sf_dir):
     return emb.select("vec_id", "label", sig.alias("lsh_bucket"))
 
 
+IVF_NPROBE = 2  # probed cells per query
+
+
+def _centroid_arrays(emb):
+    """Coarse-quantizer cells as (cell_id, centroid array<double>): per-label
+    mean vector, built distributively (posexplode → keyed avg → re-assemble
+    ordered by position). Rounding to 6 decimals makes the centroid an EXACT
+    shared input for all downstream distance math. At 100 TB the centroid
+    table is K×dim — always broadcastable."""
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("cval")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell_id"),
+            F.transform("pc", lambda s: s["cval"]).alias("centroid"),
+        )
+    )
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cell_assignments(spark, sf_dir):
+    """IVF build step: every vector assigned to its nearest coarse cell
+    (K-way broadcast expansion + per-vector argmin via window — no n²,
+    shuffle keyed on vec_id only). The assigned cell can differ from the
+    vector's own label; that disagreement is the quantizer doing its job."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroid_arrays(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        _sq_l2(F.col("embedding"), F.col("centroid")).alias("d2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cell_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", F.round(F.col("d2"), 6).alias("dist2"))
+    )
+
+
+def ivf_topk(spark, sf_dir):
+    """IVF search: probe the IVF_NPROBE cells nearest the query (vec_id=0),
+    exact cosine rerank over members of the probed cells only, top 10.
+    Scale shape: candidate set ≈ nprobe/K of the corpus; the rerank join is
+    an equi-join on vec_id (co-partitioned), never a cross join (reference
+    ANN analog: LanceDB IVF-PQ, create_lancedb_index.py:143-148)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroid_arrays(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell_id", _sq_l2(F.col("q_emb"), F.col("centroid")).alias("qd2"))
+        .orderBy("qd2", "cell_id")
+        .limit(IVF_NPROBE)
+        .select("cell_id")
+    )
+    members = ivf_cell_assignments(spark, sf_dir).join(
+        F.broadcast(probed), "cell_id", "left_semi"
+    )
+    cand = emb.join(members, "vec_id", "left_semi").filter(F.col("vec_id") != 0)
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 def embedding_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: within a blocking key (label —
     at 100 TB this would be the LSH bucket from lsh_bucket_assignment, same
@@ -234,6 +316,52 @@ def register(reg):
         "FROM embeddings a JOIN embeddings b "
         "ON a.label = b.label AND a.vec_id < b.vec_id "
         f"WHERE ROUND({pair_cos}, 6) >= 0.9",
+    )
+    # shared IVF CTEs: exact-rounded centroids → per-vector nearest cell
+    sq_l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
+    )
+    ivf_cte = (
+        "cent AS ("
+        "  SELECT label AS cell_id, CAST(i - 1 AS INT) AS pos, "
+        "  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cval "
+        "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i) "
+        "  GROUP BY cell_id, pos), "
+        "cent_arr AS ("
+        "  SELECT cell_id, list(cval ORDER BY pos) AS centroid "
+        "  FROM cent GROUP BY cell_id), "
+        "assign AS ("
+        "  SELECT vec_id, cell_id, "
+        + sq_l2.format(a="e.embedding", b="c.centroid")
+        + " AS d2 FROM embeddings e CROSS JOIN cent_arr c), "
+        "best AS ("
+        "  SELECT vec_id, cell_id, d2, "
+        "  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn "
+        "  FROM assign)"
+    )
+    reg.add(
+        "vector_ivf_assignments",
+        ivf_cell_assignments,
+        "WITH " + ivf_cte + " "
+        "SELECT vec_id, cell_id, ROUND(d2, 6) AS dist2 FROM best WHERE rn = 1",
+    )
+    reg.add(
+        "vector_ivf_topk",
+        ivf_topk,
+        "WITH " + ivf_cte + ", "
+        "q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), "
+        "probed AS ("
+        "  SELECT cell_id FROM cent_arr, q "
+        "  ORDER BY " + sq_l2.format(a="q.q_emb", b="centroid") + ", cell_id "
+        f"  LIMIT {IVF_NPROBE}), "
+        "members AS ("
+        "  SELECT vec_id FROM best WHERE rn = 1 "
+        "  AND cell_id IN (SELECT cell_id FROM probed)) "
+        f"SELECT e.vec_id, e.label, ROUND({cos_expr}, 6) AS cos_sim "
+        "FROM embeddings e JOIN members USING (vec_id), q "
+        "WHERE e.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10",
     )
     hp = "(( ({j}*31 + d) * 2654435761 ) % 2001) / 1000.0 - 1.0"
     bit_terms = " + ".join(
