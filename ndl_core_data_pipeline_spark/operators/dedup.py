@@ -216,10 +216,15 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+SIMHASH_BITS = 64  # production width — collisions require real similarity
+
+
 def simhash_fingerprints(spark, sf_dir):
-    """SimHash (16-bit): per distinct word, md5-derived bit votes ±1; the
-    sign of each bit-position sum is the fingerprint bit. Near-dups then
-    compare by Hamming distance on the fingerprint — here we emit the
+    """SimHash (64-bit): per distinct word, md5-derived bit votes ±1; the
+    sign of each bit-position sum is the fingerprint bit (bit b = bit b%4
+    of md5 hex nibble b//4). Bit 63 lands in the sign position — assembled
+    as a -2^63 term so the value stays inside bigint two's complement in
+    both engines. Near-dups compare by Hamming distance; here we emit the
     fingerprint itself (the groupBy plan is the operator)."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
@@ -228,21 +233,106 @@ def simhash_fingerprints(spark, sf_dir):
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         ).alias("word"),
     ).filter(F.length("word") > 0)
-    # nibble b//4 of md5 hex, bit b%4 → vote +1/-1 per (doc, word, bit)
+    # ONE md5 per word, projected to two 32-bit halves BEFORE the groupBy —
+    # the 64 vote aggregates then use integer shifts only (no reliance on
+    # common-subexpression elimination across aggregate inputs). Bit b =
+    # bit b%4 of hex-nibble b//4, where char c (1-based) of an 8-char half
+    # holds nibble (half >> 4*(8-c)) & 15.
     h = F.md5(F.col("word"))
+    halved = words.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
     bit_votes = []
-    for bpos in range(16):
-        nibble = F.conv(F.substring(h, bpos // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.floor(nibble / (2 ** (bpos % 4))) % 2
+    for bpos in range(SIMHASH_BITS):
+        char = bpos // 4  # 0-based hex char index
+        half = F.col("hi") if char < 8 else F.col("lo")
+        shift = 4 * (7 - char % 8) + bpos % 4
+        bit = F.shiftright(half, shift).bitwiseAND(F.lit(1))
         bit_votes.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{bpos}")
         )
-    sums = words.groupBy("doc_id").agg(*bit_votes)
-    fp = sum(
-        (F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(1, 16)),
-        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    sums = halved.groupBy("doc_id").agg(*bit_votes)
+    terms = [
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    ]
+    for b in range(1, SIMHASH_BITS):
+        weight = -(2**63) if b == 63 else 2**b
+        terms.append(
+            F.when(F.col(f"s{b}") > 0, F.lit(weight)).otherwise(F.lit(0)).cast("bigint")
+        )
+    fp = sum(terms[1:], terms[0])
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+SIMHASH_BANDS = 4  # 64-bit fingerprint split into 4 16-bit bands
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bands equal
+
+
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs: banded blocking (split the 64-bit
+    fingerprint into 4 16-bit bands; any pair within Hamming distance 3
+    shares at least one band — pigeonhole), then exact Hamming verify with
+    bit_count(xor) ≤ 3. Same single-pass shape as the MinHash pairs: ONE
+    fingerprint computation, groupBy band bucket → collect → explode
+    candidate pairs → distinct → verify. At 100 TB the band join touches
+    only colliding buckets — never n²; random 16-bit band collisions are
+    1/65536 per band, so bucket sizes track true similarity. The & 65535
+    mask after the arithmetic shift discards sign-fill bits, so the
+    negative-range fingerprints band correctly."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("nibble"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.nibble").alias("nibble"))
+    buckets = (
+        banded.groupBy("band", "nibble")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
     )
-    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("members"),
+                    i + 2,
+                    F.greatest(F.size("members") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
 
 
 def register(reg):
@@ -329,21 +419,54 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2""",
     )
     bit_exprs = []
-    for b in range(16):
-        nib = f"(strpos('0123456789abcdef', substring(md5(word), {b // 4 + 1}, 1)) - 1)"
-        bit = f"(CAST(FLOOR({nib} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+    for b in range(SIMHASH_BITS):
+        char = b // 4
+        half = "hi" if char < 8 else "lo"
+        shift = 4 * (7 - char % 8) + b % 4
+        bit = f"(({half} >> {shift}) & 1)"
         vote = f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
-        bit_exprs.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
-    reg.add(
-        "dedup_simhash",
-        simhash_fingerprints,
-        r"""WITH words AS (
+        weight = -(2**63) if b == 63 else 2**b
+        bit_exprs.append(
+            f"(CASE WHEN {vote} > 0 THEN CAST({weight} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    halved_sql = r"""words AS (
   SELECT DISTINCT doc_id, word
   FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word
         FROM documents) t
   WHERE LENGTH(word) > 0
-)
-SELECT doc_id, CAST("""
+),
+halved AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substring(md5(word), 9, 8) AS BIGINT) AS lo
+  FROM words
+)"""
+    reg.add(
+        "dedup_simhash",
+        simhash_fingerprints,
+        "WITH "
+        + halved_sql
+        + "\nSELECT doc_id, CAST("
         + " + ".join(bit_exprs)
-        + " AS BIGINT) AS simhash FROM words GROUP BY doc_id",
+        + " AS BIGINT) AS simhash FROM halved GROUP BY doc_id",
+    )
+    # pairs: the oracle may afford the exact n² form — banded blocking is
+    # lossless for hamming ≤ SIMHASH_MAX_HAMMING (pigeonhole over 4 bands),
+    # so both forms produce identical pairs
+    fp_sql = (
+        "WITH "
+        + halved_sql
+        + ",\nfp AS (SELECT doc_id, CAST("
+        + " + ".join(bit_exprs)
+        + " AS BIGINT) AS simhash FROM halved GROUP BY doc_id)"
+    )
+    reg.add(
+        "dedup_simhash_pairs",
+        simhash_near_dup_pairs,
+        fp_sql
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
     )
