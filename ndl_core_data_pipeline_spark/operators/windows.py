@@ -115,6 +115,28 @@ def running_sum_frame(spark, sf_dir):
     )
 
 
+def range_frame_trailing(spark, sf_dir):
+    """Engine surface: RANGE frame (rangeBetween on event-time seconds) —
+    trailing-30-day order total per customer. RANGE semantics make peers
+    (equal timestamps) a single frame unit, so the result is deterministic
+    under ties without an explicit tie-break."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_total"),
+        F.count("*").over(w).alias("trailing_30d_orders"),
+    )
+
+
 def register(reg):
     reg.add(
         "window_lag_lead_neighbors",
@@ -172,4 +194,15 @@ def register(reg):
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total "
         "FROM orders",
+    )
+    reg.add(
+        "window_range_frame",
+        range_frame_trailing,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) "
+        "AS trailing_30d_total, "
+        "COUNT(*) OVER w AS trailing_30d_orders "
+        "FROM orders WINDOW w AS "
+        "(PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
+        f"RANGE BETWEEN {30 * 86400} PRECEDING AND CURRENT ROW)",
     )
