@@ -162,3 +162,38 @@ def test_html_extraction_contract():
     assert "- item one" in text
     assert "link text (https://x.test/doc)" in text
     assert "First para" in text and "Second para" in text
+
+
+def test_quarantine_splits_and_reports(spark):
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.quality import (
+        error_stats,
+        quarantine,
+        validate,
+    )
+
+    rows = [
+        (1, "text", "x" * 250),
+        (2, "text", "short"),          # fails min_length
+        (3, "exe", "y" * 250),         # fails format
+        (4, "text", None),             # fails min_length (null-permissive) + non_null_text
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, format STRING, text STRING")
+    checks = {
+        "supported_format": F.col("format").isin("text", "parquet"),
+        "min_length": F.length(F.col("text")) >= 200,
+        "non_null_text": F.col("text").isNotNull(),
+    }
+    valid, errors = quarantine(df, checks)
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    err = {r["id"]: sorted(r["_errors"]) for r in errors.collect()}
+    assert err == {
+        2: ["min_length"],
+        3: ["supported_format"],
+        4: ["min_length", "non_null_text"],
+    }
+    stats = {r["check"]: r["count"] for r in error_stats(errors).collect()}
+    assert stats == {"min_length": 2, "supported_format": 1, "non_null_text": 1}
+    # validate() is non-destructive: row count preserved, marker added
+    assert validate(df, checks).count() == 4
