@@ -64,3 +64,28 @@ def write_uuid_sharded(df: DataFrame, path: str, mode: str = "overwrite") -> dic
     """K4: shard by uuid prefix; returns the K2-style status."""
     sharded = df.withColumn("shard", uuid_shard_col())
     return write_partitioned_with_status(sharded, path, "shard", mode=mode)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed table write (saveAsTable — bucketing metadata lives in the
+    catalog): pre-shuffles data into `n_buckets` hash buckets on the join/
+    aggregation key so later equi-joins and groupBys between tables
+    bucketed the same way run WITHOUT an exchange — the co-located-join
+    strategy for repeated big-big joins at 100 TB (pay the shuffle once at
+    write time, never at read time). Optional per-bucket sort enables
+    sort-merge without the sort step. `path` makes it an external table
+    (data at the given location instead of the warehouse dir)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

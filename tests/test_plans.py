@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as contract
 
 from ndl_core_data_pipeline_spark.plans import audit_plan, explain_formatted
@@ -108,3 +110,48 @@ def test_audit_flags_cartesian(spark, sf_small):
     )
     assert any("CartesianProduct" in w or "BroadcastNestedLoopJoin" in w
                for w in audit_plan(bad)) or "Broadcast" in explain_formatted(bad)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    # co-located join: both sides bucketed on the key → SortMergeJoin with
+    # NO Exchange in the plan (the 100 TB repeated-join strategy: shuffle
+    # once at write, never per query)
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.sinks import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    write_bucketed(
+        load(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem", ["l_orderkey"], 8, path=str(tmp_path / "b_lineitem"),
+    )
+    write_bucketed(
+        load(spark, sf_small, "orders").select("o_orderkey", "o_totalprice"),
+        "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "b_orders"),
+    )
+    # sf0.001 is broadcast-sized, which would bypass bucketing entirely —
+    # disable auto-broadcast so the plan shows the big-big join strategy
+    # the buckets exist for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            on=spark.table("b_lineitem").l_orderkey
+            == spark.table("b_orders").o_orderkey,
+        )
+        plan = explain_formatted(j)
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        n_bucketed = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # sanity: matches the unbucketed result
+    n_plain = (
+        load(spark, sf_small, "lineitem")
+        .join(load(spark, sf_small, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n_bucketed == n_plain
