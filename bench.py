@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "text_langid",
     "vector_cosine_topk",
     "vector_lsh_buckets",
+    "vector_ivf_topk",
     "window_ranking_family",
     "window_sessionize",
     "join_asof_last_view",

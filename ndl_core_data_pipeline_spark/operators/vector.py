@@ -169,13 +169,14 @@ def _sq_l2(a, b):
     )
 
 
-def ivf_cell_assignments(spark, sf_dir):
+def ivf_cell_assignments(spark, sf_dir, cents=None):
     """IVF build step: every vector assigned to its nearest coarse cell
     (K-way broadcast expansion + per-vector argmin via window — no n²,
     shuffle keyed on vec_id only). The assigned cell can differ from the
     vector's own label; that disagreement is the quantizer doing its job."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = _centroid_arrays(emb)
+    if cents is None:
+        cents = _centroid_arrays(emb)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",
@@ -196,7 +197,11 @@ def ivf_topk(spark, sf_dir):
     an equi-join on vec_id (co-partitioned), never a cross join (reference
     ANN analog: LanceDB IVF-PQ, create_lancedb_index.py:143-148)."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = _centroid_arrays(emb)
+    # K×dim rows — cache so the probe and the assignment share ONE
+    # computation of the centroid subtree (the plan otherwise recomputes
+    # the posexplode+groupBy pipeline per consumer; no ReusedExchange
+    # across a broadcast boundary)
+    cents = _centroid_arrays(emb).cache()
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     probed = (
         cents.crossJoin(F.broadcast(q))
@@ -205,7 +210,7 @@ def ivf_topk(spark, sf_dir):
         .limit(IVF_NPROBE)
         .select("cell_id")
     )
-    members = ivf_cell_assignments(spark, sf_dir).join(
+    members = ivf_cell_assignments(spark, sf_dir, cents=cents).join(
         F.broadcast(probed), "cell_id", "left_semi"
     )
     cand = emb.join(members, "vec_id", "left_semi").filter(F.col("vec_id") != 0)
