@@ -155,3 +155,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
         .count()
     )
     assert n_bucketed == n_plain
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    # data written partitionBy(key) → a reader filtering on that key must
+    # scan only the matching directories (PartitionFilters, not a full
+    # scan + post-filter) — at 100 TB this is the difference between
+    # reading one partition and reading everything
+    from ndl_core_data_pipeline_spark.io import load
+
+    out = str(tmp_path / "by_flag")
+    load(spark, sf_small, "lineitem").write.partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = explain_formatted(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    assert "(l_returnflag" in plan.split("PartitionFilters:")[1][:120]
+    n = back.count()
+    assert n == load(spark, sf_small, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).count()
+    assert n > 0
