@@ -122,6 +122,27 @@ def minhash_signatures(spark, sf_dir):
     )
 
 
+def _bucket_pairs(buckets, members_col: str):
+    """Within-bucket ordered pairs (members sorted ⇒ first < second) via a
+    TWO-STEP explode: posexplode the members, then explode each member's
+    suffix slice. Output is identical to flatten(transform(...)) of the
+    full pair array, but no single value ever materializes the O(m²)
+    pairs — a degenerate bucket (e.g. thousands of near-identical
+    templated docs sharing a band value) stays at O(m) per row instead of
+    an OOM-sized array. The pair stream then feeds spillable aggregation.
+    Emits columns (_x, _y)."""
+    step = buckets.select(
+        F.posexplode(members_col).alias("_i", "_x"),
+        F.col(members_col).alias("_m"),
+    )
+    suffix = F.slice(
+        F.col("_m"),
+        F.col("_i") + F.lit(2),
+        F.greatest(F.size("_m") - F.col("_i") - 1, F.lit(0)),
+    )
+    return step.select(F.col("_x"), F.explode(suffix).alias("_y"))
+
+
 def minhash_near_dup_pairs(spark, sf_dir):
     """Near-duplicate candidate pairs via MinHash: pairs sharing ≥1 signature
     position (LSH with band size 1), scored by the fraction of matching
@@ -130,32 +151,19 @@ def minhash_near_dup_pairs(spark, sf_dir):
     within-bucket pairs — identical output to a self-join on the bucket key
     but the expensive shingle→hash→signature subtree is computed ONCE
     (a self-join would run it once per side: no ReusedExchange under a
-    broadcast join). Cost still follows collision count, not n²; at 100 TB
-    buckets stay small because a 61-bit minhash only collides on real
-    similarity (plus a bucket-size cap upstream if an adversarial key
-    appears)."""
+    broadcast join). Cost follows collision count, not n²; production
+    pipelines collapse exact duplicates (dedup_exact_hash) first so
+    duplicate clusters don't inflate the (inherently quadratic-per-cluster)
+    pair output."""
     sigs = minhash_signatures(spark, sf_dir)
     buckets = (
         sigs.groupBy("j", "minhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # all ordered pairs (ids[i], ids[k]) with i < k — ids sorted, so
-    # doc_a < doc_b by construction; two-arg lambda gets the index as arg 2
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                ),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _bucket_pairs(buckets, "ids")
+        .groupBy(F.col("_x").alias("doc_a"), F.col("_y").alias("doc_b"))
         .agg((F.count("*") / F.lit(float(N_MINHASH))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.25)
     )
@@ -182,20 +190,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                ),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     inter = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _bucket_pairs(buckets, "ids")
+        .groupBy(F.col("_x").alias("doc_a"), F.col("_y").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
@@ -308,28 +305,15 @@ def simhash_near_dup_pairs(spark, sf_dir):
         )
         .filter(F.size("members") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("members"),
-                    i + 2,
-                    F.greatest(F.size("members") - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
+    pairs = _bucket_pairs(buckets, "members")
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        pairs.select(
+            F.col("_x.doc_id").alias("doc_a"),
+            F.col("_y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("_x.simhash").bitwiseXOR(F.col("_y.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
