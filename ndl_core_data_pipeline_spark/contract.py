@@ -48,24 +48,29 @@ def build_registry() -> Registry:
         windows,
     )
 
+    # Registration order controls which queries the driver verifies when it
+    # caps its per-round window (round 1 stopped after the first 50 entries).
+    # Modules whose queries have never received a driver CORRECTNESS row go
+    # first; the already-driver-green tpch/filters/joins/aggregates/windows
+    # families go last so the unchecked tail accumulates green rows.
     reg = Registry()
     for module in (
+        dedup,
+        vector,
+        textops,
+        sorts,
+        setops,
+        arrays,
+        pii,
+        files,
+        groupedmap,
+        multimodal,
+        eventwindows,
         tpch,
         filters,
         joins,
         aggregates,
         windows,
-        sorts,
-        setops,
-        textops,
-        arrays,
-        pii,
-        files,
-        groupedmap,
-        vector,
-        dedup,
-        multimodal,
-        eventwindows,
     ):
         module.register(reg)
     return reg

@@ -98,11 +98,18 @@ def conditional_counters(spark, sf_dir):
 
 
 def approx_distinct(spark, sf_dir):
-    """Engine surface: approx_count_distinct (HLL). Algorithm differs from
-    DuckDB's approx_distinct → no oracle; driver records rows-only."""
+    """Engine surface: approx_count_distinct (HLL). Sketch values differ
+    between engines, so the checkable contract is: emit the EXACT distinct
+    count plus a boolean asserting the HLL estimate is within 5× the
+    requested 1% rsd of it. The oracle emits the same exact count and
+    literal TRUE — if Spark's sketch ever drifted out of bound the flag
+    flips false and the driver's value-hash catches it."""
     l = load(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_bound"),
     )
 
 
@@ -209,7 +216,12 @@ def register(reg):
         "COUNT(*) FILTER (WHERE lang = 'zh') AS flagged "
         "FROM documents GROUP BY source",
     )
-    reg.add("agg_approx_distinct", approx_distinct)  # rows-only: HLL != DuckDB's
+    reg.add(
+        "agg_approx_distinct",
+        approx_distinct,
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, "
+        "TRUE AS approx_within_bound FROM lineitem GROUP BY l_returnflag",
+    )
     reg.add(
         "agg_grouping_sets",
         grouping_sets_agg,

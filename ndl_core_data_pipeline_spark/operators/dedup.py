@@ -55,9 +55,15 @@ def exact_hash_dedup(spark, sf_dir):
 
 
 def _shingles_spark(text_col):
-    """Distinct word 3-gram shingles as an array column (JVM-side)."""
+    """Distinct word 3-gram shingles as an array column (JVM-side).
+
+    Docs with fewer than SHINGLE_N words yield NULL (→ zero rows after
+    explode). Without the guard, concat_ws would skip the NULL element_at
+    results and emit a short pseudo-shingle ('w1 w2') while the SQL
+    oracle's || propagates NULL and drops the row — a parity break for
+    1-2-word docs."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - SHINGLE_N, F.lit(0))),
             lambda i: F.concat_ws(
@@ -68,6 +74,7 @@ def _shingles_spark(text_col):
             ),
         )
     )
+    return F.when(F.size(words) >= SHINGLE_N, shingles)
 
 
 # affine-permutation constants for h_j(x) = (A_j * x + B_j) mod P — the
@@ -122,7 +129,25 @@ def minhash_signatures(spark, sf_dir):
     )
 
 
-def _bucket_pairs(buckets, members_col: str):
+MAX_BUCKET_MEMBERS = 4096  # pair cap per bucket: m(m-1)/2 ≈ 8.4M at 4096
+
+
+def oversize_buckets(buckets, members_col: str, max_members: int = MAX_BUCKET_MEMBERS):
+    """The buckets _bucket_pairs would drop: key columns + member count.
+    Pipelines that want an audit trail count/log this frame alongside the
+    pair output so the guard is never a silent truncation."""
+    return buckets.filter(F.size(members_col) > max_members).select(
+        *[c for c in buckets.columns if c != members_col],
+        F.size(members_col).alias("n_members"),
+    )
+
+
+def _bucket_pairs(
+    buckets,
+    members_col: str,
+    max_members: int = MAX_BUCKET_MEMBERS,
+    observation=None,
+):
     """Within-bucket ordered pairs (members sorted ⇒ first < second) via a
     TWO-STEP explode: posexplode the members, then explode each member's
     suffix slice. Output is identical to flatten(transform(...)) of the
@@ -130,8 +155,26 @@ def _bucket_pairs(buckets, members_col: str):
     pairs — a degenerate bucket (e.g. thousands of near-identical
     templated docs sharing a band value) stays at O(m) per row instead of
     an OOM-sized array. The pair stream then feeds spillable aggregation.
+
+    Degenerate-bucket guard: buckets with more than `max_members` members
+    are excluded BEFORE pair expansion, so a pathological corpus (millions
+    of identical templated docs surviving exact dedup) cannot emit
+    quadratic pair output. The drop is observable, not silent: pass a
+    pyspark.sql.Observation as `observation` to receive
+    (n_dropped_buckets, n_dropped_members) when the query finishes, or
+    audit with oversize_buckets() on the same bucket frame.
     Emits columns (_x, _y)."""
-    step = buckets.select(
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum(
+                F.when(F.size(members_col) > max_members, 1).otherwise(0)
+            ).alias("n_dropped_buckets"),
+            F.sum(
+                F.when(F.size(members_col) > max_members, F.size(members_col)).otherwise(0)
+            ).alias("n_dropped_members"),
+        )
+    step = buckets.filter(F.size(members_col) <= max_members).select(
         F.posexplode(members_col).alias("_i", "_x"),
         F.col(members_col).alias("_m"),
     )
@@ -338,13 +381,16 @@ def register(reg):
         r"SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash, "
         "MIN(doc_id) AS keeper_id FROM documents GROUP BY 1",
     )
+    # range(0, len-n+1) is empty for len < n, mirroring the size(words) >=
+    # SHINGLE_N guard in _shingles_spark — both engines emit zero shingles
+    # for docs shorter than the n-gram
     shingle_sql = """
 shingles AS (
   SELECT DISTINCT doc_id, source,
          words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
   FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS words
         FROM documents) w,
-       UNNEST(range(0, GREATEST(len(words) - {n} + 1, 1))) AS t(i)
+       UNNEST(range(0, len(words) - {n} + 1)) AS t(i)
   WHERE words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] <> ''
 )""".format(n=SHINGLE_N)
     # base hash x = md5[0:12 hex] as bigint; h_j = (A_j*x + B_j) % P

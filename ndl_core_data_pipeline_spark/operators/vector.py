@@ -104,32 +104,40 @@ def label_centroids(spark, sf_dir):
     )
 
 
+def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-hyperplanes h[j][d] = ((j*31+d)*2654435761
+    % 2001)/1000 - 1. The values depend only on (j, d) — query constants —
+    so they are computed ONCE here driver-side (n_planes×dim floats) and
+    embedded as literal arrays. Rebuilding them per row per bit with
+    transform(sequence(...)) cost 2.24× on the bench."""
+    return [
+        [((j * 31 + d) * 2654435761 % 2001) / 1000.0 - 1.0 for d in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def embedding_dim(df, vec_col: str = "embedding") -> int:
+    """Vector width sniff — one driver-visible row from a limit-1 scan
+    (same single-row pattern as ingest.infer's stats fetch; the array
+    length is not in the parquet schema)."""
+    return int(df.select(F.size(vec_col).alias("d")).limit(1).first()["d"])
+
+
 def lsh_bucket_assignment(spark, sf_dir):
-    """V5 scale path: random-hyperplane LSH — 16-bit signatures from
-    deterministic pseudo-hyperplanes h[j][d] = ((j*31+d)*2654435761 % 2001)
-    /1000 - 1, so the oracle reproduces the exact buckets. Near-duplicate
+    """V5 scale path: random-hyperplane LSH — 16-bit signatures from the
+    deterministic hyperplane_matrix, so the oracle reproduces the exact
+    buckets. The matrix ships as 16 literal dim-length arrays; per row the
+    work is 16 zip_with dot products, nothing rebuilt. Near-duplicate
     candidates then join on equal signature instead of crossing n²
     (ref ANN: LanceDB IVF-PQ, create_lancedb_index.py:143-148 — different
     algorithm, same role: prune the candidate space)."""
     emb = load(spark, sf_dir, "embeddings")
-
-    # NB: the hyperplane lambda must take exactly ONE argument — pyspark
-    # passes the array index as a second positional arg to binary lambdas,
-    # so a `lambda d, jj=j:` capture would silently clobber jj.
-    def hyperplane(jj):
-        return lambda d: ((F.lit(jj * 31) + d) * 2654435761 % 2001) / 1000.0 - 1.0
-
+    planes = hyperplane_matrix(16, embedding_dim(emb))
     bits = []
     for j in range(16):
+        h = F.array(*[F.lit(v) for v in planes[j]])
         h_dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("embedding") - 1),
-                    hyperplane(j),
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
+            F.zip_with(F.col("embedding"), h, lambda x, hv: x.cast("double") * hv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

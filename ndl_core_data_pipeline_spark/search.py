@@ -131,22 +131,19 @@ def neighbor_merge(
 N_PLANES = 12  # LSH signature bits for the approximate path
 
 
-def _lsh_bits(vec_col, n_planes: int = N_PLANES):
-    """Deterministic random-hyperplane signature (same construction as
-    operators/vector.lsh_bucket_assignment)."""
-    def hyperplane(jj):
-        return lambda d: ((F.lit(jj * 31) + d) * 2654435761 % 2001) / 1000.0 - 1.0
+def _lsh_bits(vec_col, dim: int, n_planes: int = N_PLANES):
+    """Deterministic random-hyperplane signature (same hyperplane_matrix as
+    operators/vector.lsh_bucket_assignment). The matrix is driver-side
+    constants embedded as literal arrays — per row the executors do
+    n_planes zip_with dot products and rebuild nothing."""
+    from .operators.vector import hyperplane_matrix
 
+    planes = hyperplane_matrix(n_planes, dim)
     bits = []
     for j in range(n_planes):
+        h = F.array(*[F.lit(v) for v in planes[j]])
         h_dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1), hyperplane(j)
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
+            F.zip_with(vec_col, h, lambda x, hv: x.cast("double") * hv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -154,12 +151,18 @@ def _lsh_bits(vec_col, n_planes: int = N_PLANES):
     return sum(bits[1:], bits[0]).cast("bigint")
 
 
-def lsh_index(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def lsh_index(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """Materialize the ANN index: corpus + lsh_bucket column. Persist this
     (e.g. parquet partitioned by bucket) and candidate lookup becomes a
     partition-pruned scan — the IVF-list analog of the reference's
     LanceDB index (create_lancedb_index.py:143-148)."""
-    return corpus.withColumn("lsh_bucket", _lsh_bits(F.col(vec_col)))
+    from .operators.vector import embedding_dim
+
+    if dim is None:
+        dim = embedding_dim(corpus, vec_col)
+    return corpus.withColumn("lsh_bucket", _lsh_bits(F.col(vec_col), dim))
 
 
 def ann_topk(
@@ -175,15 +178,15 @@ def ann_topk(
     exact-rerank the candidates. The candidate filter prunes the scan —
     at scale, bucket-partitioned storage turns it into partition pruning —
     and the expensive cosine runs on a small fraction of the corpus."""
-    import hashlib  # deterministic driver-side signature of the query
-
     import numpy as np
 
+    from .operators.vector import hyperplane_matrix
+
     q = np.asarray(query_vec, dtype=np.float64)
+    planes = np.asarray(hyperplane_matrix(N_PLANES, len(q)))
     sig = 0
     for j in range(N_PLANES):
-        h = ((((j * 31) + np.arange(len(q))) * 2654435761) % 2001) / 1000.0 - 1.0
-        if float(q @ h) > 0:
+        if float(q @ planes[j]) > 0:
             sig |= 1 << j
     probes = [sig]
     if probe_hamming >= 1:

@@ -21,9 +21,10 @@ DEFAULT_SALTS = 16
 
 
 def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, col_name: str = "_salt") -> DataFrame:
-    """Uniform salt derived from a random-free, row-stable expression —
-    spark_partition_id + a per-row monotonic component keeps it
-    deterministic within a run without a Python RNG."""
+    """Uniform salt from monotonically_increasing_id() % n_salts — a
+    random-free, row-stable expression (the id already encodes the
+    partition in its high bits), deterministic within a run without a
+    Python RNG."""
     return df.withColumn(
         col_name, (F.monotonically_increasing_id() % n_salts).cast("int")
     )
@@ -61,7 +62,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
-    n_salts×, so a hot key occupies n_salts reducers instead of one."""
+    n_salts×, so a hot key occupies n_salts reducers instead of one.
+
+    Only join types where the replicated side never emits unmatched rows
+    are valid: a right/full outer join would surface each unmatched
+    small-side row n_salts times."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the small side is replicated, so outer-preserving it duplicates rows"
+        )
     big_salted = with_salt(big, n_salts)
     salts = small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
     small_rep = small.crossJoin(salts)

@@ -1,0 +1,74 @@
+"""Dedup guard rails: short-doc shingle parity, degenerate-bucket cap,
+salted-join type restriction, LSH literal-hyperplane plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from ndl_core_data_pipeline_spark import skew
+from ndl_core_data_pipeline_spark.operators import dedup
+from ndl_core_data_pipeline_spark.operators.vector import (
+    hyperplane_matrix,
+    lsh_bucket_assignment,
+)
+
+
+def test_short_docs_emit_no_shingles(spark):
+    # docs shorter than SHINGLE_N words must yield zero shingles, matching
+    # the SQL oracle where || propagates NULL / range() is empty
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three"), (4, "a b c d")],
+        ["doc_id", "text"],
+    )
+    out = (
+        df.select("doc_id", F.explode(dedup._shingles_spark(F.col("text"))).alias("s"))
+        .filter(F.length("s") > 0)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    counts = {r["doc_id"]: r["count"] for r in out}
+    assert 1 not in counts and 2 not in counts
+    assert counts[3] == 1 and counts[4] == 2
+
+
+def test_bucket_pairs_drops_degenerate_buckets(spark):
+    # one healthy bucket (3 members -> 3 pairs), one degenerate (caps out)
+    buckets = spark.createDataFrame(
+        [("ok", list(range(3))), ("huge", list(range(50)))],
+        ["bucket", "ids"],
+    )
+    obs = Observation("guard")
+    pairs = dedup._bucket_pairs(buckets, "ids", max_members=10, observation=obs)
+    rows = pairs.collect()
+    assert len(rows) == 3  # only the healthy bucket's C(3,2) pairs
+    assert obs.get == {"n_dropped_buckets": 1, "n_dropped_members": 50}
+    over = dedup.oversize_buckets(buckets, "ids", max_members=10).collect()
+    assert [(r["bucket"], r["n_members"]) for r in over] == [("huge", 50)]
+
+
+def test_bucket_pairs_default_cap_passes_normal_corpora(spark):
+    buckets = spark.createDataFrame([("b", [1, 2, 3, 4])], ["bucket", "ids"])
+    assert dedup._bucket_pairs(buckets, "ids").count() == 6
+
+
+def test_salted_join_rejects_outer_preserving_small_side(spark):
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for bad in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            skew.salted_join(df, df, "k", how=bad)
+
+
+def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):
+    # the hyperplane matrix must be plan-time constants: no per-row
+    # sequence()/transform() rebuild of what is a query literal
+    df = lsh_bucket_assignment(spark, sf_small)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "sequence(" not in plan
+    # spot-check the driver-side matrix shape and first value
+    planes = hyperplane_matrix(16, 64)
+    assert planes[0][0] == (0 * 2654435761 % 2001) / 1000.0 - 1.0
+    assert len(planes) == 16 and len(planes[0]) == 64
