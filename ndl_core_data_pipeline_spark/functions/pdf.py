@@ -1,0 +1,368 @@
+"""Pure-Python PDF text layer — the tier below PyMuPDF for S5
+(ref: resources/convertors/pdf_extractor.py:56-101).
+
+Implements the subset of ISO 32000 needed to read the text layer of
+ordinary text PDFs, from public spec knowledge only:
+
+- object scan (`N 0 obj` … `endobj`), direct-/Length and scan-to-
+  `endstream` stream extraction, FlateDecode inflation;
+- /ObjStm (compressed object stream, PDF 1.5) expansion so font dicts
+  hidden in object streams resolve;
+- page graph: /Type/Page → /Contents streams + /Resources /Font map,
+  with /Parent inheritance for resources;
+- content-stream text operators: literal strings (nested parens, octal
+  escapes, line continuations), hex strings, BT/ET, Td/TD/T*/'/" line
+  breaks, and Tf font tracking;
+- /ToUnicode CMaps (beginbfchar/beginbfrange) so CID-keyed fonts
+  (Identity-H) decode to real text; fonts without a CMap fall back to
+  UTF-16BE (BOM) or Latin-1.
+
+Out of scope (→ the PyMuPDF tier): LZW/DCT/JBIG2 filters, predictor
+DecodeParms, encrypted files, Type3 glyph procs, vertical writing.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"\bstream\r?\n")
+_DIRECT_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s*\d+\s+R)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
+    if b"/FlateDecode" in dict_bytes:
+        try:
+            return zlib.decompressobj().decompress(data)
+        except zlib.error:
+            return None
+    if b"/Filter" in dict_bytes:
+        return None  # unsupported filter
+    return data
+
+
+def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """num → (object dict/body bytes, decoded stream bytes or None)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_HEAD_RE.finditer(payload):
+        num, start = int(m.group(1)), m.end()
+        em = payload.find(b"endobj", start)
+        sm = _STREAM_START_RE.search(payload, start, em if em != -1 else len(payload))
+        if sm is None:
+            objs[num] = (payload[start : em if em != -1 else len(payload)], None)
+            continue
+        d = payload[start : sm.start()]
+        lm = _DIRECT_LENGTH_RE.search(d)
+        if lm:
+            data = payload[sm.end() : sm.end() + int(lm.group(1))]
+        else:
+            es = payload.find(b"endstream", sm.end())
+            data = payload[sm.end() : es if es != -1 else len(payload)]
+            data = data.rstrip(b"\r\n")
+        objs[num] = (d, _inflate(d, data))
+    # expand /ObjStm so dict-only objects inside compressed streams resolve
+    for d, data in list(objs.values()):
+        if data is None or b"/ObjStm" not in d:
+            continue
+        mn = re.search(rb"/N\s+(\d+)", d)
+        mf = re.search(rb"/First\s+(\d+)", d)
+        if not (mn and mf):
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        offs = [int(header[2 * k + 1]) for k in range(n)]
+        nums = [int(header[2 * k]) for k in range(n)]
+        offs.append(len(data) - first)
+        for k in range(n):
+            objs.setdefault(
+                nums[k], (data[first + offs[k] : first + offs[k + 1]], None)
+            )
+    return objs
+
+
+def _resolve(objs, body: bytes, key: bytes) -> bytes | None:
+    """Value of /key in an object body: inline dict body or one-level
+    dereference of `N 0 R`."""
+    m = re.search(rb"/" + key + rb"\s*(<<|\[|\d)", body)
+    if not m:
+        return None
+    at = m.start() + 1 + len(key)
+    rest = body[at:]
+    rm = re.match(rb"\s*(\d+)\s+\d+\s+R", rest)
+    if rm:
+        target = objs.get(int(rm.group(1)))
+        return target[0] if target else None
+    dm = re.match(rb"\s*<<", rest)
+    if dm:
+        # balanced << >> scan
+        i = dm.end()
+        depth = 1
+        while i < len(rest) and depth:
+            if rest[i : i + 2] == b"<<":
+                depth += 1
+                i += 2
+            elif rest[i : i + 2] == b">>":
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        return rest[dm.end() : i - 2]
+    am = re.match(rb"\s*\[", rest)
+    if am:
+        j = rest.find(b"]", am.end())
+        return rest[am.end() : j if j != -1 else len(rest)]
+    return None
+
+
+# ------------------------------------------------------------- CMap parse
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+
+
+def _u16(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    return raw.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(stream: bytes) -> dict:
+    """CID → unicode map from a ToUnicode CMap; key '_codelen' holds the
+    source code width in bytes (2 for Identity-H). The width is taken
+    from the bfchar/bfrange SOURCE hex lengths, not codespacerange —
+    simple-font writers routinely declare <0000> <FFFF> while emitting
+    1-byte sources like <20>."""
+    cmap: dict = {}
+    src_lens: list[int] = []
+    for block in _BFCHAR_RE.finditer(stream):
+        hexes = _HEX_RE.findall(block.group(1))
+        for k in range(0, len(hexes) - 1, 2):
+            src_lens.append(len(hexes[k]) // 2)
+            cmap[int(hexes[k], 16)] = _u16(hexes[k + 1])
+    for block in _BFRANGE_RE.finditer(stream):
+        body = block.group(1)
+        # triplets: <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+        for t in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])",
+            body,
+        ):
+            lo, hi = int(t.group(1), 16), int(t.group(2), 16)
+            src_lens.append(len(t.group(1)) // 2)
+            dst = t.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_RE.findall(dst)
+                for i, code in enumerate(range(lo, hi + 1)):
+                    if i < len(dsts):
+                        cmap[code] = _u16(dsts[i])
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                for code in range(lo, hi + 1):
+                    cmap[code] = chr(base + (code - lo)) if base + (code - lo) <= 0x10FFFF else ""
+    if src_lens:
+        cmap["_codelen"] = max(set(src_lens), key=src_lens.count)
+    else:
+        m = _CODESPACE_RE.search(stream)
+        cmap["_codelen"] = len(m.group(1)) // 2 if m else 2
+    return cmap
+
+
+# --------------------------------------------------------- content stream
+
+
+def _scan_literal(data: bytes, start: int) -> tuple[bytes, int]:
+    """PDF literal string from '(' — nested parens, backslash escapes
+    (octal, line continuation) per spec §7.3.4.2. Returns raw bytes."""
+    i = start + 1
+    depth = 1
+    out = bytearray()
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oc = 0
+                k = 0
+                while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                    oc = oc * 8 + (data[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(oc & 0xFF)
+                continue
+            mapped = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+            if e in mapped:
+                out.append(mapped[e])
+            elif e in (0x0A, 0x0D):  # line continuation
+                if e == 0x0D and i + 1 < n and data[i + 1] == 0x0A:
+                    i += 1
+            else:  # \( \) \\ and anything else: the char itself
+                out.append(e)
+            i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _decode_shown(raw: bytes, cmap: dict | None) -> str:
+    if cmap:
+        clen = cmap.get("_codelen", 2)
+        out = []
+        for k in range(0, len(raw) - clen + 1, clen):
+            code = int.from_bytes(raw[k : k + clen], "big")
+            # 1-byte unmapped codes: WinAnsi ≈ Latin-1 fallback; 2-byte
+            # (CID) unmapped codes have no portable glyph meaning
+            dflt = chr(code) if clen == 1 and 0x20 <= code < 0x100 else ""
+            out.append(cmap.get(code, dflt))
+        return "".join(out)
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def _content_text(content: bytes, fontmap: dict[bytes, dict | None]) -> str:
+    """Collect text-showing strings in order; Td/TD/T*/'/\"/ET emit
+    newlines; Tf switches the active font's ToUnicode map."""
+    out: list[str] = []
+    i, n = 0, len(content)
+    in_text = False
+    last_name: bytes | None = None
+    cmap: dict | None = None
+    while i < n:
+        c = content[i : i + 1]
+        if c == b"(":
+            raw, i = _scan_literal(content, i)
+            if in_text:
+                out.append(_decode_shown(raw, cmap))
+            continue
+        if c == b"<" and content[i : i + 2] != b"<<":
+            j = content.find(b">", i)
+            if j == -1:
+                break
+            if in_text:
+                hexs = re.sub(rb"\s", b"", content[i + 1 : j])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                try:
+                    out.append(_decode_shown(bytes.fromhex(hexs.decode("ascii")), cmap))
+                except ValueError:
+                    pass
+            i = j + 1
+            continue
+        if c == b"/":
+            m = _NAME_RE.match(content, i)
+            if m:
+                last_name = m.group(1)
+                i = m.end()
+                continue
+        m = _OP_RE.match(content, i)
+        if m:
+            op = m.group()
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+                out.append("\n")
+            elif op == b"Tf" and last_name is not None:
+                cmap = fontmap.get(last_name)
+            elif op in (b"Td", b"TD", b"T*", b"'", b'"') and in_text:
+                out.append("\n")
+            i = m.end()
+            continue
+        i += 1
+    lines = [ln.strip() for ln in "".join(out).split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+# ---------------------------------------------------------------- driver
+
+
+def _page_fontmap(objs, page_body: bytes, cmap_cache: dict) -> dict[bytes, dict | None]:
+    """Resource-name → ToUnicode cmap for one page, walking /Parent for
+    inherited /Resources (spec §7.7.3.4)."""
+    body = page_body
+    res = None
+    for _ in range(8):  # bounded parent walk
+        res = _resolve(objs, body, b"Resources")
+        if res is not None:
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+        if not pm or int(pm.group(1)) not in objs:
+            break
+        body = objs[int(pm.group(1))][0]
+    if res is None:
+        return {}
+    fonts = _resolve(objs, res, b"Font")
+    if fonts is None:
+        return {}
+    fontmap: dict[bytes, dict | None] = {}
+    for fm in re.finditer(rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+\d+\s+R", fonts):
+        name, ref = fm.group(1), int(fm.group(2))
+        font = objs.get(ref)
+        fontmap[name] = None
+        if font is None:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font[0])
+        if tm:
+            cref = int(tm.group(1))
+            if cref not in cmap_cache:
+                cobj = objs.get(cref)
+                cmap_cache[cref] = (
+                    _parse_tounicode(cobj[1]) if cobj and cobj[1] else None
+                )
+            fontmap[name] = cmap_cache[cref]
+    return fontmap
+
+
+def pdf_text(payload: bytes) -> str:
+    """Text layer of a PDF, pure Python. Page-graph driven when the page
+    objects resolve; otherwise falls back to scanning every inflated
+    stream that contains BT text blocks (no font decoding)."""
+    objs = _objects(payload)
+    cmap_cache: dict = {}
+    pages: list[str] = []
+    for num in sorted(objs):
+        d, _ = objs[num]
+        if not re.search(rb"/Type\s*/Page\b(?!s)", d):
+            continue
+        fontmap = _page_fontmap(objs, d, cmap_cache)
+        cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)", d)
+        if not cm:
+            continue
+        content = b"\n".join(
+            objs[int(r.group(1))][1] or b""
+            for r in _REF_RE.finditer(cm.group(1))
+            if int(r.group(1)) in objs
+        )
+        t = _content_text(content, fontmap)
+        if t.strip():
+            pages.append(t)
+    if pages:
+        return "\n".join(pages)
+    # fallback: no parsable page graph — scan raw streams
+    for _, data in objs.values():
+        if data and b"BT" in data:
+            t = _content_text(data, {})
+            if t.strip():
+                pages.append(t)
+    return "\n".join(pages)

@@ -118,6 +118,41 @@ def detect_language_udf(texts: pd.Series, fallbacks: pd.Series) -> pd.Series:
     )
 
 
+_PRESIDIO = None
+_PRESIDIO_TRIED = False
+
+
+def _presidio_engines():
+    """Lazy once-per-executor presidio engines. AnalyzerEngine construction
+    loads spaCy models (seconds) — building it per row would be a
+    scale-killer, so the engines and the operator configs are module-level
+    singletons, mirroring _tiktoken_encoder. Returns (analyzer, anonymizer,
+    operators) or None when presidio is absent."""
+    global _PRESIDIO, _PRESIDIO_TRIED
+    if not _PRESIDIO_TRIED:
+        _PRESIDIO_TRIED = True
+        try:
+            from presidio_analyzer import AnalyzerEngine
+            from presidio_anonymizer import AnonymizerEngine
+            from presidio_anonymizer.entities import OperatorConfig
+
+            _PRESIDIO = (
+                AnalyzerEngine(),
+                AnonymizerEngine(),
+                {
+                    "EMAIL_ADDRESS": OperatorConfig(
+                        "replace", {"new_value": "xxx@xxx.xx"}
+                    ),
+                    "PHONE_NUMBER": OperatorConfig(
+                        "replace", {"new_value": "xx-xxxx-xxxx"}
+                    ),
+                },
+            )
+        except ImportError:
+            _PRESIDIO = None
+    return _PRESIDIO
+
+
 def anonymize_text(text: str | None) -> str | None:
     """P1: presidio tier when importable, else the regex tier; texts over
     1 MB pass through untouched (anonymizer.py:29-31)."""
@@ -125,27 +160,16 @@ def anonymize_text(text: str | None) -> str | None:
         return text
     if len(text) >= ANONYMIZER_MAX_CHARS:
         return text
-    try:
-        from presidio_analyzer import AnalyzerEngine
-        from presidio_anonymizer import AnonymizerEngine
-        from presidio_anonymizer.entities import OperatorConfig
-
-        analyzer = AnalyzerEngine()
-        results = analyzer.analyze(
-            text=text, entities=["EMAIL_ADDRESS", "PHONE_NUMBER"], language="en"
-        )
-        return AnonymizerEngine().anonymize(
-            text=text,
-            analyzer_results=results,
-            operators={
-                "EMAIL_ADDRESS": OperatorConfig("replace", {"new_value": "xxx@xxx.xx"}),
-                "PHONE_NUMBER": OperatorConfig(
-                    "replace", {"new_value": "xx-xxxx-xxxx"}
-                ),
-            },
-        ).text
-    except ImportError:
+    engines = _presidio_engines()
+    if engines is None:
         return UK_PHONE_RE.sub("xx-xxxx-xxxx", EMAIL_RE.sub("xxx@xxx.xx", text))
+    analyzer, anonymizer, operators = engines
+    results = analyzer.analyze(
+        text=text, entities=["EMAIL_ADDRESS", "PHONE_NUMBER"], language="en"
+    )
+    return anonymizer.anonymize(
+        text=text, analyzer_results=results, operators=operators
+    ).text
 
 
 @pandas_udf(StringType())
@@ -264,19 +288,52 @@ def extract_html_text_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_html_text)
 
 
-def extract_pdf_text(payload: bytes) -> str:
+# ------------------------------------------------------------ pdf extract
+
+PDF_OCR_THRESHOLD = 200  # resources/convertors/pdf_extractor.py:12
+
+
+def _pdf_ocr(payload: bytes) -> str:
+    """OCR tier (pdf_extractor.py:15-53: pdf2image + pytesseract). The
+    rasterizer/OCR libs are not in this container; absent them this
+    returns '' and the short text layer stands."""
+    try:
+        import pdf2image  # noqa: F401
+        import pytesseract
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return ""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf") as tmp:
+        tmp.write(payload)
+        tmp.flush()
+        images = pdf2image.convert_from_path(tmp.name)
+    return "\n".join(pytesseract.image_to_string(img) for img in images).strip()
+
+
+def extract_pdf_text(payload: bytes, ocr_threshold: int = PDF_OCR_THRESHOLD) -> str:
     """S5: PDF text extraction with OCR fallback (pdf_extractor.py:56-101).
-    PyMuPDF/tesseract are not in this container — the Spark plumbing
-    (binaryFile scan → this function inside mapInPandas) is real; the
-    codec call is stubbed."""
+    Tiers: PyMuPDF when importable → pure-Python content-stream parser.
+    When the text layer yields fewer than `ocr_threshold` chars the OCR
+    tier is consulted and appended when longer (pdf_extractor.py:94-98)."""
     try:
         import fitz  # PyMuPDF
 
         doc = fitz.open(stream=payload, filetype="pdf")
-        text = "".join(page.get_text() for page in doc)
-        return text  # OCR-append branch (len<200) requires pytesseract
-    except ImportError as exc:
-        raise NotImplementedError("PDF codec not available in this build") from exc
+        try:
+            text = "\n".join(page.get_text("text") for page in doc).strip()
+        finally:
+            doc.close()
+    except ImportError:
+        from .pdf import pdf_text
+
+        text = pdf_text(payload).strip()
+    if len(text) < ocr_threshold:
+        ocr_text = _pdf_ocr(payload)
+        if len(ocr_text) > len(text):
+            return text + "\n\n" + ocr_text
+    return text
 
 
 # ---------------------------------------------------------------- renders

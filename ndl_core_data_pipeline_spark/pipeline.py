@@ -23,7 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .functions.udfs import anonymize_text_udf, detect_language_udf, token_count_udf
+from .functions.udfs import (
+    anonymize_text_udf,
+    detect_language_udf,
+    extract_html_text_udf,
+    token_count_udf,
+)
 from .operators.textops import LICENSE_DEFAULT, LICENSE_MAP
 from .schema import (
     CANONICAL_SCHEMA,
@@ -74,6 +79,11 @@ def canonicalize(raw: DataFrame, parse_ts=None) -> DataFrame:
         else F.lit("{}")
     )
     text = F.coalesce(get("text"), F.lit(""))
+    # embedded-markup sniff (assets/processing/assets.py:196-197): when the
+    # converted text still contains both '<' and '>', it is residual HTML —
+    # re-extract before language detection and the word/token counts
+    has_markup = text.contains("<") & text.contains(">")
+    text = F.when(has_markup, extract_html_text_udf(text)).otherwise(text)
     word_count = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.regexp_count(text, F.lit(r"\S+"))
     )

@@ -197,3 +197,25 @@ def test_quarantine_splits_and_reports(spark):
     assert stats == {"min_length": 2, "supported_format": 1, "non_null_text": 1}
     # validate() is non-destructive: row count preserved, marker added
     assert validate(df, checks).count() == 4
+
+
+def test_embedded_html_reextracted(spark):
+    # assets/processing/assets.py:196-197: text still containing markup is
+    # re-run through the HTML extractor before counting
+    html_text = "<p>Hello <b>brave</b> world</p><p>Second para</p>"
+    rows = [
+        {"identifier": "h1", "format": "text", "text": html_text},
+        {"identifier": "h2", "format": "text", "text": "plain 2 < 3 text"},
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["identifier"]: r
+        for r in pipeline.canonicalize(df).select(
+            "identifier", "text", "word_count"
+        ).collect()
+    }
+    assert "<p>" not in out["h1"]["text"]
+    assert "Hello brave world" in out["h1"]["text"].replace("\n", " ")
+    assert out["h1"]["word_count"] == 5
+    # a lone '<' without '>' is NOT markup — text passes through untouched
+    assert out["h2"]["text"] == "plain 2 < 3 text"
