@@ -56,6 +56,35 @@ def run_one(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def setup_ivf_probe(spark, sf_dir: str, tmp: str):
+    """The 100 TB IVF shape: build the index ONCE, persist partitioned by
+    cell, and time ONLY probe + exact rerank over the pruned partitions.
+    (vector_ivf_topk stays in the list as the self-contained oracle form
+    that rebuilds per query — this entry is the production read path.)"""
+    from ndl_core_data_pipeline_spark import search
+    from ndl_core_data_pipeline_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    indexed, centers = search.ivf_index(emb, n_cells=16)
+    path = os.path.join(tmp, "ivf_index")
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    persisted = spark.read.parquet(path)
+    qvec = [
+        float(v)
+        for v in emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    ]
+
+    def timed(spark, sf_dir):
+        return search.ivf_search(persisted, centers, qvec, nprobe=2, k=10)
+
+    return timed
+
+
+# build-once / probe-many entries: setup runs untimed, the returned
+# callable is what the reps measure
+SETUP_BENCH = {"vector_ivf_probe": setup_ivf_probe}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -81,6 +110,18 @@ def main() -> None:
             best = min(run_one(queries[name], spark, sf_dir) for _ in range(reps))
             timings[name] = round(best, 4)
             print(f"bench {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="ndlspark-bench-")
+        try:
+            for name, setup in SETUP_BENCH.items():
+                timed = setup(spark, sf_dir, tmp)
+                best = min(run_one(timed, spark, sf_dir) for _ in range(reps))
+                timings[name] = round(best, 4)
+                print(f"bench {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         total = round(sum(timings.values()), 4)
         print(
             json.dumps(

@@ -112,3 +112,71 @@ def skip_existing(work: DataFrame, existing: DataFrame, key: str) -> DataFrame:
     """F8: drop work items already materialized (left_anti on the key) —
     the idempotent re-crawl guard."""
     return work.join(existing.select(key).distinct(), key, "left_anti")
+
+
+def parse_atom_page(xml_text: str) -> tuple[list[dict], str | None]:
+    """Namespace-agnostic Atom page parse (legislation_gov_uk
+    assets.py:75-95): every entry's (entry_id, title, updated, links[])
+    plus the document-level rel='next' href (first match, as in the
+    reference)."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.split("}", 1)[1] if "}" in tag else tag
+
+    root = ET.fromstring(xml_text)
+    entries: list[dict] = []
+    for el in root.iter():
+        if local(el.tag) != "entry":
+            continue
+        rec: dict = {"entry_id": None, "title": None, "updated": None, "links": []}
+        for ch in el:
+            name = local(ch.tag)
+            if name in ("id", "title", "updated"):
+                key = "entry_id" if name == "id" else name
+                rec[key] = (ch.text or "").strip()
+            elif name == "link" and ch.get("href"):
+                rec["links"].append(ch.get("href"))
+        entries.append(rec)
+    next_url = None
+    for el in root.iter():
+        if local(el.tag) == "link" and (el.get("rel") or "").lower() == "next":
+            next_url = el.get("href")
+            break
+    return entries, next_url
+
+
+def follow_next_links(
+    spark: SparkSession,
+    start_url: str,
+    fetch_page: Callable[[str], str],
+    schema: str,
+    parse_page: Callable[[str], tuple[list[dict], str | None]] = parse_atom_page,
+    max_pages: int = 10_000,
+    rate_per_second: float = DEFAULT_RATE,
+) -> DataFrame:
+    """S-family: sequential rel='next' link walk (legislation_gov_uk
+    assets.py:46-100). The walk is inherently serial — each page names
+    its successor — so page DISCOVERY runs driver-side with the same
+    rate limiting and retry as the distributed fetches; each page is one
+    small feed request. The heavy per-entry document fetches then fan
+    out across the cluster (fetch_offsets / mapInPandas over the
+    returned frame) — at 100 TB the feed walk is metadata-only while
+    the cluster does the byte-moving. Cycle-safe (seen-URL set) and
+    page-capped; stops on an empty page like the reference."""
+    limiter = RateLimiter(rate_per_second)
+    url: str | None = start_url
+    seen: set[str] = set()
+    rows: list[dict] = []
+    page_no = 0
+    while url and page_no < max_pages and url not in seen:
+        seen.add(url)
+        limiter.acquire()
+        page = with_retry(lambda u=url: fetch_page(u))
+        if not page:
+            break
+        entries, url = parse_page(page)
+        for e in entries:
+            rows.append({"page_no": page_no, **e})
+        page_no += 1
+    return spark.createDataFrame(rows, f"page_no INT, {schema}")

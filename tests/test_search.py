@@ -75,3 +75,20 @@ def test_search_end_to_end(spark, corpus):
     assert rows, "elbow cut must keep at least the best hit"
     assert rows[0]["chunk_id"] == 3  # self-match is the top hit
     assert "chunk-03" in rows[0]["merged_text"]
+
+
+def test_ivf_persisted_probe_partition_pruned(spark, corpus, tmp_path):
+    # the production path: index written partitioned by cell; a probe must
+    # prune to nprobe partitions at the parquet scan, not filter post-read
+    df, _ = corpus
+    indexed, centers = search.ivf_index(df, n_cells=4)
+    path = str(tmp_path / "ivf")
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    persisted = spark.read.parquet(path)
+    qvec = df.select("embedding").first()["embedding"]
+    hits = search.ivf_search(persisted, centers, [float(v) for v in qvec], nprobe=2, k=5)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    rows = hits.collect()
+    assert len(rows) == 5
+    assert rows[0]["cos_sim"] == pytest.approx(1.0)  # the query vector itself

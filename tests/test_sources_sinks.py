@@ -16,6 +16,7 @@ from ndl_core_data_pipeline_spark.sources import (
     offset_batches,
     skip_existing,
 )
+from ndl_core_data_pipeline_spark.sources import crawl
 from ndl_core_data_pipeline_spark.sources.crawl import with_retry
 
 
@@ -109,3 +110,65 @@ def test_uuid_sharded_write(spark, tmp_path):
 
     dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
     assert dirs == {"shard=00", "shard=01", "shard=02", "shard=03"}
+
+
+def test_follow_next_links_walks_feed(spark):
+    # 3-page fake Atom feed; page 2 links back to page 0 (cycle guard)
+    def feed(page, nxt):
+        entries = "".join(
+            f'<entry><id>e{page}-{i}</id><title>T{page}-{i}</title>'
+            f'<updated>2025-01-0{page+1}</updated>'
+            f'<link rel="alternate" href="http://x/{page}/{i}"/></entry>'
+            for i in range(2)
+        )
+        nl = f'<link rel="next" href="{nxt}"/>' if nxt else ""
+        return (
+            '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+            + nl + entries + "</feed>"
+        )
+
+    pages = {
+        "p0": feed(0, "p1"),
+        "p1": feed(1, "p2"),
+        "p2": feed(2, "p0"),  # cycle back — walk must stop
+    }
+    df = crawl.follow_next_links(
+        spark,
+        "p0",
+        pages.__getitem__,
+        "entry_id STRING, title STRING, updated STRING, links ARRAY<STRING>",
+        rate_per_second=0.0,
+    )
+    rows = df.orderBy("page_no", "entry_id").collect()
+    assert [r["entry_id"] for r in rows] == [
+        "e0-0", "e0-1", "e1-0", "e1-1", "e2-0", "e2-1",
+    ]
+    assert rows[0]["links"] == ["http://x/0/0"]
+    assert {r["page_no"] for r in rows} == {0, 1, 2}
+
+
+def test_parse_atom_page_next_and_entries():
+    entries, nxt = crawl.parse_atom_page(
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<link rel="self" href="here"/><link rel="NEXT" href="there"/>'
+        "<entry><id> e1 </id><title>t</title><updated>u</updated>"
+        '<link href="a"/><link href="b"/></entry></feed>'
+    )
+    assert nxt == "there"  # rel matched case-insensitively
+    assert entries == [
+        {"entry_id": "e1", "title": "t", "updated": "u", "links": ["a", "b"]}
+    ]
+
+
+def test_guess_extension_tiers():
+    from ndl_core_data_pipeline_spark.operators.files import MIME_EXT, guess_extension
+
+    assert len(MIME_EXT) == 57  # full reference map (api_client.py:116-177)
+    assert guess_extension("application/vnd.rar") == ".rar"
+    assert guess_extension("audio/x-flac; charset=binary") == ".flac"
+    assert guess_extension("text/x-custom") == ".txt"  # text/* fallback
+    assert guess_extension("text/x-markdown") == ".md"  # text subtype map
+    assert guess_extension("application/vnd.custom+xml") == ".xml"  # +suffix
+    assert guess_extension("application/vnd.custom+weird") is None
+    assert guess_extension(None) is None
+    assert guess_extension("") is None
