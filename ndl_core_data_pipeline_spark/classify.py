@@ -62,16 +62,33 @@ def featurize(text: str) -> np.ndarray:
     return v / n if n else v
 
 
+_ST_MODEL = None
+_ST_TRIED = False
+
+
+def _sentence_transformer():
+    """Lazy once-per-executor all-MiniLM-L6-v2 (process_text_chunks.py:11)
+    — model load costs seconds, so it must never happen per batch. None
+    when sentence-transformers is absent."""
+    global _ST_MODEL, _ST_TRIED
+    if not _ST_TRIED:
+        _ST_TRIED = True
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            _ST_MODEL = SentenceTransformer("all-MiniLM-L6-v2")
+        except ImportError:
+            _ST_MODEL = None
+    return _ST_MODEL
+
+
 def embed_texts(texts: list[str]) -> np.ndarray:
     """V2 model tier when sentence-transformers is importable; hashed
     featurizer otherwise. Returns (len(texts), dim) float array."""
-    try:
-        from sentence_transformers import SentenceTransformer
-
-        model = SentenceTransformer("all-MiniLM-L6-v2")
+    model = _sentence_transformer()
+    if model is not None:
         return np.asarray(model.encode(texts))
-    except ImportError:
-        return np.stack([featurize(t) for t in texts])
+    return np.stack([featurize(t) for t in texts])
 
 
 def theme_matrix(themes: dict[str, str] | None = None) -> tuple[list[str], np.ndarray]:
