@@ -28,7 +28,13 @@ import zlib
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"\bstream\r?\n")
-_DIRECT_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s*\d+\s+R)")
+# group(2) present ⇒ indirect length ref and group(1) is the OBJECT NUMBER.
+# A single negative-lookahead form backtracks ('/Length 123 0 R' → '12'
+# with remainder '3 0 R' escaping the lookahead), so the ref arm is
+# matched explicitly instead.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+# integer-valued objects ('12 0 obj 843 endobj') for indirect /Length refs
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
@@ -46,23 +52,45 @@ def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
 
 
 def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """num → (object dict/body bytes, decoded stream bytes or None)."""
+    """num → (object dict/body bytes, decoded stream bytes or None).
+
+    Match positions inside an already-consumed object's extent are
+    skipped: compressed stream bytes can contain a false 'N 0 obj' that
+    would otherwise clobber the real object N parsed earlier."""
+    int_objs = {
+        int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(payload)
+    }
     objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
     for m in _OBJ_HEAD_RE.finditer(payload):
+        if m.start() < pos:
+            continue  # inside the previous object's stream/body
         num, start = int(m.group(1)), m.end()
         em = payload.find(b"endobj", start)
         sm = _STREAM_START_RE.search(payload, start, em if em != -1 else len(payload))
         if sm is None:
-            objs[num] = (payload[start : em if em != -1 else len(payload)], None)
+            end = em if em != -1 else len(payload)
+            objs[num] = (payload[start:end], None)
+            pos = end + 6 if em != -1 else len(payload)
             continue
         d = payload[start : sm.start()]
-        lm = _DIRECT_LENGTH_RE.search(d)
+        lm = _LENGTH_RE.search(d)
+        length = None
         if lm:
-            data = payload[sm.end() : sm.end() + int(lm.group(1))]
+            length = (
+                int(lm.group(1)) if lm.group(2) is None
+                else int_objs.get(int(lm.group(1)))
+            )
+        if length is not None:
+            data_end = sm.end() + length
+            data = payload[sm.end() : data_end]
         else:
-            es = payload.find(b"endstream", sm.end())
-            data = payload[sm.end() : es if es != -1 else len(payload)]
-            data = data.rstrip(b"\r\n")
+            data_end = payload.find(b"endstream", sm.end())
+            if data_end == -1:
+                data_end = len(payload)
+            data = payload[sm.end() : data_end].rstrip(b"\r\n")
+        em2 = payload.find(b"endobj", data_end)
+        pos = em2 + 6 if em2 != -1 else data_end
         objs[num] = (d, _inflate(d, data))
     # expand /ObjStm so dict-only objects inside compressed streams resolve
     for d, data in list(objs.values()):
@@ -129,7 +157,12 @@ _CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
 
 
 def _u16(hexs: bytes) -> str:
-    raw = bytes.fromhex(hexs.decode("ascii"))
+    try:
+        raw = bytes.fromhex(hexs.decode("ascii"))
+    except ValueError:  # odd digit count in a malformed CMap: degrade
+        if len(hexs) < 2:
+            return ""
+        raw = bytes.fromhex(hexs[: len(hexs) - len(hexs) % 2].decode("ascii"))
     return raw.decode("utf-16-be", "replace")
 
 
@@ -334,6 +367,32 @@ def _page_fontmap(objs, page_body: bytes, cmap_cache: dict) -> dict[bytes, dict 
     return fontmap
 
 
+def _page_content(objs, page_body: bytes) -> bytes:
+    """Concatenated decoded /Contents streams of one page. Handles the
+    inline-array form ('/Contents[4 0 R 5 0 R]' — '[' is a delimiter, no
+    whitespace required), the direct stream ref, and a ref whose target
+    is itself an array object of stream refs."""
+    m = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", page_body)
+    if not m:
+        return b""
+    parts: list[bytes] = []
+    for r in _REF_RE.finditer(m.group(1)):
+        target = objs.get(int(r.group(1)))
+        if target is None:
+            continue
+        body, stream = target
+        if stream is not None:
+            parts.append(stream)
+        elif body.lstrip().startswith(b"["):
+            # indirect array object: its body lists the stream refs
+            parts.extend(
+                objs[int(r2.group(1))][1] or b""
+                for r2 in _REF_RE.finditer(body)
+                if int(r2.group(1)) in objs
+            )
+    return b"\n".join(parts)
+
+
 def pdf_text(payload: bytes) -> str:
     """Text layer of a PDF, pure Python. Page-graph driven when the page
     objects resolve; otherwise falls back to scanning every inflated
@@ -346,15 +405,7 @@ def pdf_text(payload: bytes) -> str:
         if not re.search(rb"/Type\s*/Page\b(?!s)", d):
             continue
         fontmap = _page_fontmap(objs, d, cmap_cache)
-        cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)", d)
-        if not cm:
-            continue
-        content = b"\n".join(
-            objs[int(r.group(1))][1] or b""
-            for r in _REF_RE.finditer(cm.group(1))
-            if int(r.group(1)) in objs
-        )
-        t = _content_text(content, fontmap)
+        t = _content_text(_page_content(objs, d), fontmap)
         if t.strip():
             pages.append(t)
     if pages:

@@ -414,17 +414,23 @@ sigs AS (
         minhash_signatures,
         "WITH " + shingle_sql + hashed_sql + "\nSELECT doc_id, j, minhash FROM sigs",
     )
+    # bsize mirrors the MAX_BUCKET_MEMBERS degenerate-bucket guard in
+    # _bucket_pairs: both engines exclude buckets above the cap, so the
+    # guard is never a Spark-only divergence
     reg.add(
         "dedup_minhash_pairs",
         minhash_near_dup_pairs,
         "WITH "
         + shingle_sql
         + hashed_sql
-        + f"""
+        + f""",
+bsize AS (SELECT j, minhash, COUNT(*) AS m FROM sigs GROUP BY j, minhash)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(*) / {float(N_MINHASH)} AS est_jaccard
 FROM sigs a JOIN sigs b
   ON a.j = b.j AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+JOIN bsize s ON s.j = a.j AND s.minhash = a.minhash
+WHERE s.m <= {MAX_BUCKET_MEMBERS}
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) / {float(N_MINHASH)} >= 0.25""",
     )
@@ -433,12 +439,15 @@ HAVING COUNT(*) / {float(N_MINHASH)} >= 0.25""",
         ngram_jaccard_pairs,
         "WITH "
         + shingle_sql
-        + """,
+        + f""",
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+bsize AS (SELECT source, shingle, COUNT(*) AS m FROM shingles GROUP BY source, shingle),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shingles a JOIN shingles b
     ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.source = a.source AND s.shingle = a.shingle
+  WHERE s.m <= {MAX_BUCKET_MEMBERS}
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -480,9 +489,11 @@ halved AS (
         + " + ".join(bit_exprs)
         + " AS BIGINT) AS simhash FROM halved GROUP BY doc_id",
     )
-    # pairs: the oracle may afford the exact n² form — banded blocking is
-    # lossless for hamming ≤ SIMHASH_MAX_HAMMING (pigeonhole over 4 bands),
-    # so both forms produce identical pairs
+    # pairs: the oracle mirrors the banded blocking (lossless for hamming ≤
+    # SIMHASH_MAX_HAMMING by pigeonhole over 4 bands) INCLUDING the
+    # MAX_BUCKET_MEMBERS degenerate-bucket guard, so a pathological corpus
+    # drops the same buckets in both engines. DuckDB's >> on BIGINT is an
+    # arithmetic shift like Spark's shiftright; & 65535 discards sign fill.
     fp_sql = (
         "WITH "
         + halved_sql
@@ -494,9 +505,17 @@ halved AS (
         "dedup_simhash_pairs",
         simhash_near_dup_pairs,
         fp_sql
-        + f"""
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        + f""",
+banded AS (
+  SELECT doc_id, simhash, band, ((simhash >> (16 * band)) & 65535) AS nibble
+  FROM fp, (VALUES (0), (1), (2), (3)) AS bands(band)
+),
+bsize AS (SELECT band, nibble, COUNT(*) AS m FROM banded GROUP BY band, nibble)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+JOIN bsize s ON s.band = a.band AND s.nibble = a.nibble
+WHERE s.m <= {MAX_BUCKET_MEMBERS}
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
     )

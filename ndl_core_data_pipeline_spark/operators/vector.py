@@ -120,7 +120,12 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     """Vector width sniff — one driver-visible row from a limit-1 scan
     (same single-row pattern as ingest.infer's stats fetch; the array
     length is not in the parquet schema)."""
-    return int(df.select(F.size(vec_col).alias("d")).limit(1).first()["d"])
+    row = df.select(F.size(vec_col).alias("d")).limit(1).first()
+    if row is None or row["d"] is None or row["d"] < 0:
+        raise ValueError(
+            f"cannot infer {vec_col!r} width: no row with a non-null vector"
+        )
+    return int(row["d"])
 
 
 def lsh_bucket_assignment(spark, sf_dir):

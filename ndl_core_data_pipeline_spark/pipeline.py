@@ -81,9 +81,14 @@ def canonicalize(raw: DataFrame, parse_ts=None) -> DataFrame:
     text = F.coalesce(get("text"), F.lit(""))
     # embedded-markup sniff (assets/processing/assets.py:196-197): when the
     # converted text still contains both '<' and '>', it is residual HTML —
-    # re-extract before language detection and the word/token counts
+    # re-extract before language detection and the word/token counts.
+    # The UDF call must wrap the condition, not sit under it: Catalyst
+    # extracts Python UDFs out of CASE WHEN into an unconditional
+    # ArrowEvalPython node, so `when(cond, udf(text))` would ship EVERY
+    # row through the Python worker. Feeding the UDF a nulled input keeps
+    # non-markup rows on the None fast path inside the batch.
     has_markup = text.contains("<") & text.contains(">")
-    text = F.when(has_markup, extract_html_text_udf(text)).otherwise(text)
+    text = F.coalesce(extract_html_text_udf(F.when(has_markup, text)), text)
     word_count = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.regexp_count(text, F.lit(r"\S+"))
     )
@@ -138,9 +143,12 @@ def filter_supported(df: DataFrame) -> DataFrame:
 def anonymize(df: DataFrame) -> DataFrame:
     """P2 (resources/refine/anonymizer.py:47-71): anonymize text rows only,
     pass the rest through untouched."""
+    # null-feed form for the same reason as the canonicalize markup sniff:
+    # a UDF under CASE WHEN is hoisted and evaluated for all rows
     mask = (F.col("format") == "text") & F.col("text").isNotNull()
     return df.withColumn(
-        "text", F.when(mask, anonymize_text_udf(F.col("text"))).otherwise(F.col("text"))
+        "text",
+        F.coalesce(anonymize_text_udf(F.when(mask, F.col("text"))), F.col("text")),
     )
 
 

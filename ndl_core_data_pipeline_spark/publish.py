@@ -21,6 +21,7 @@ before upload. Here that split is explicit:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -65,9 +66,14 @@ def prepare_dataset(
     status = write_uuid_sharded(df, out_dir)
     source_counts: list[tuple[str, int]] = []
     if source_col and source_col in df.columns:
+        # aggregate over the parquet just WRITTEN, not the input plan: the
+        # card then always describes the published bytes (a nondeterministic
+        # lineage — uuid ids, sampling — would diverge on recompute) and the
+        # upstream DAG isn't paid a second time
+        written = df.sparkSession.read.parquet(out_dir)
         source_counts = [
             (r[source_col], r["n"])
-            for r in df.groupBy(source_col)
+            for r in written.groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), source_col)
             .collect()  # low-cardinality summary only
@@ -85,10 +91,12 @@ def delete_all_except_readme(api, repo_id: str) -> list[str]:
     repo_files = api.list_repo_files(repo_id=repo_id, repo_type="dataset")
     to_delete = [f for f in repo_files if f not in KEEP_FILES]
     if to_delete:
+        # delete_patterns are fnmatch globs: escape literal filenames so a
+        # repo file named 'data[2024].json' matches exactly, not as a glob
         api.delete_files(
             repo_id=repo_id,
             repo_type="dataset",
-            delete_patterns=to_delete,
+            delete_patterns=[glob.escape(f) for f in to_delete],
             commit_message="Delete all files except README.md before re-upload",
         )
     return to_delete

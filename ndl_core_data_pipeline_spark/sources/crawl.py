@@ -139,7 +139,10 @@ def parse_atom_page(xml_text: str) -> tuple[list[dict], str | None]:
                 rec["links"].append(ch.get("href"))
         entries.append(rec)
     next_url = None
-    for el in root.iter():
+    # direct children of the feed root only: root.iter() would also visit
+    # <entry>-level links, and a paged entry collection's own rel='next'
+    # must not derail the feed walk
+    for el in root:
         if local(el.tag) == "link" and (el.get("rel") or "").lower() == "next":
             next_url = el.get("href")
             break

@@ -11,6 +11,7 @@ from pyspark.sql.observation import Observation
 from ndl_core_data_pipeline_spark import skew
 from ndl_core_data_pipeline_spark.operators import dedup
 from ndl_core_data_pipeline_spark.operators.vector import (
+    embedding_dim,
     hyperplane_matrix,
     lsh_bucket_assignment,
 )
@@ -60,6 +61,12 @@ def test_salted_join_rejects_outer_preserving_small_side(spark):
     for bad in ("right", "full", "outer", "right_outer", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             skew.salted_join(df, df, "k", how=bad)
+
+
+def test_embedding_dim_empty_corpus_raises_cleanly(spark):
+    empty = spark.createDataFrame([], "doc_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="cannot infer"):
+        embedding_dim(empty)
 
 
 def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):

@@ -102,6 +102,77 @@ def test_simple_font_one_byte_codelen():
     assert P._decode_shown(b"A B", cmap) == "A B"  # unmapped ' ' falls back
 
 
+def _pdf_from_objects(objects: list[bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<</Size %d/Root 1 0 R>>\n%%%%EOF" % (len(objects) + 1)
+    return bytes(out)
+
+
+def test_indirect_length_ref_resolved():
+    # '/Length 6 0 R' must not backtrack-match as a tiny direct length
+    content = b"BT (indirect length works) Tj ET"
+    comp = zlib.compress(content)
+    payload = _pdf_from_objects(
+        [
+            b"<</Type/Catalog/Pages 2 0 R>>",
+            b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            b"<</Length 6 0 R/Filter/FlateDecode>>\nstream\n" + comp + b"\nendstream",
+            b"<</Type/Font>>",
+            b"%d" % len(comp),
+        ]
+    )
+    assert "indirect length works" in P.pdf_text(payload)
+
+
+def test_contents_array_without_space_and_indirect_array():
+    # '/Contents[4 0 R]' (no whitespace — '[' is a delimiter) and
+    # '/Contents 6 0 R' where object 6 is an array of stream refs
+    c1, c2 = zlib.compress(b"BT (page one) Tj ET"), zlib.compress(b"BT (page two) Tj ET")
+    payload = _pdf_from_objects(
+        [
+            b"<</Type/Catalog/Pages 2 0 R>>",
+            b"<</Type/Pages/Kids[3 0 R 5 0 R]/Count 2>>",
+            b"<</Type/Page/Parent 2 0 R/Contents[4 0 R]>>",
+            b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(c1) + c1 + b"\nendstream",
+            b"<</Type/Page/Parent 2 0 R/Contents 6 0 R>>",
+            b"[7 0 R]",
+            b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(c2) + c2 + b"\nendstream",
+        ]
+    )
+    text = P.pdf_text(payload)
+    assert "page one" in text and "page two" in text
+
+
+def test_malformed_cmap_odd_hex_degrades():
+    # odd digit count in the destination must degrade, not raise
+    cmap = P._parse_tounicode(b"1 beginbfchar <0041> <058> endbfchar\n")
+    assert isinstance(cmap[0x41], str)  # replacement char, no crash
+    assert P._u16(b"0") == "" and P._u16(b"00410") == "A"
+
+
+def test_false_obj_header_inside_stream_does_not_clobber():
+    # stream bytes containing '5 0 obj' must not overwrite real object 5
+    fake = b"junk 5 0 obj <</Type/Font/Bogus true>> endobj junk"
+    content = zlib.compress(b"BT (real text) Tj ET")
+    payload = _pdf_from_objects(
+        [
+            b"<</Type/Catalog/Pages 2 0 R>>",
+            b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            b"<</Length %d>>\nstream\n" % len(fake) + fake + b"\nendstream",
+            b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+        ]
+    )
+    objs = P._objects(payload)
+    assert b"Bogus" not in objs[5][0]
+    assert objs[5][1] is not None  # real object 5's stream survived
+
+
 @pytest.mark.skipif(not os.path.exists(REF_PDF1), reason="reference fixtures absent")
 def test_reference_pdf1_text_layer():
     text = udfs.extract_pdf_text(open(REF_PDF1, "rb").read())

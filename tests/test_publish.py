@@ -55,3 +55,18 @@ def test_publish_folder_clears_then_uploads(tmp_path):
 def test_publish_folder_without_hub_lib(tmp_path):
     # huggingface_hub absent in this container: gated, not an error
     assert publish.publish_folder(str(tmp_path), "org/ds") is False
+
+
+def test_delete_patterns_escape_glob_metacharacters():
+    calls = []
+
+    class FakeApi:
+        def list_repo_files(self, repo_id, repo_type):
+            return ["README.md", "data[2024].json", "report?.csv"]
+
+        def delete_files(self, repo_id, repo_type, delete_patterns, commit_message):
+            calls.append(sorted(delete_patterns))
+
+    publish.delete_all_except_readme(FakeApi(), "org/ds")
+    # literal names escaped so fnmatch treats them exactly
+    assert calls == [["data[[]2024].json", "report[?].csv"]]

@@ -160,6 +160,22 @@ def test_parse_atom_page_next_and_entries():
     ]
 
 
+def test_parse_atom_page_ignores_entry_level_next():
+    # an <entry>'s own rel='next' must not be mistaken for feed pagination
+    entries, nxt = crawl.parse_atom_page(
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><id>e1</id><link rel="next" href="WRONG"/></entry>'
+        '<link rel="next" href="right"/></feed>'
+    )
+    assert nxt == "right"
+    # and with no feed-level next at all, the walk ends
+    _, none_next = crawl.parse_atom_page(
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><id>e1</id><link rel="next" href="WRONG"/></entry></feed>'
+    )
+    assert none_next is None
+
+
 def test_guess_extension_tiers():
     from ndl_core_data_pipeline_spark.operators.files import MIME_EXT, guess_extension
 
