@@ -73,4 +73,7 @@ def build_registry() -> Registry:
         windows,
     ):
         module.register(reg)
+    # queries ADDED in later rounds register after every round-1 query, so
+    # they never displace a not-yet-driver-checked entry from the window
+    vector.register_round2(reg)
     return reg

@@ -128,6 +128,22 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     return int(row["d"])
 
 
+def _lsh_signature(emb_col, planes):
+    """16-bit random-hyperplane signature: bit j = sign of the dot product
+    with literal hyperplane j (plan-time constants, nothing rebuilt per
+    row)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        h = F.array(*[F.lit(v) for v in plane])
+        h_dot = F.aggregate(
+            F.zip_with(emb_col, h, lambda x, hv: x.cast("double") * hv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
+    return sum(bits[1:], bits[0]).cast("bigint")
+
+
 def lsh_bucket_assignment(spark, sf_dir):
     """V5 scale path: random-hyperplane LSH — 16-bit signatures from the
     deterministic hyperplane_matrix, so the oracle reproduces the exact
@@ -138,16 +154,7 @@ def lsh_bucket_assignment(spark, sf_dir):
     algorithm, same role: prune the candidate space)."""
     emb = load(spark, sf_dir, "embeddings")
     planes = hyperplane_matrix(16, embedding_dim(emb))
-    bits = []
-    for j in range(16):
-        h = F.array(*[F.lit(v) for v in planes[j]])
-        h_dot = F.aggregate(
-            F.zip_with(F.col("embedding"), h, lambda x, hv: x.cast("double") * hv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
-    sig = sum(bits[1:], bits[0]).cast("bigint")
+    sig = _lsh_signature(F.col("embedding"), planes)
     return emb.select("vec_id", "label", sig.alias("lsh_bucket"))
 
 
@@ -239,10 +246,11 @@ def ivf_topk(spark, sf_dir):
 
 
 def embedding_cosine_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: within a blocking key (label —
-    at 100 TB this would be the LSH bucket from lsh_bucket_assignment, same
-    plan shape), join a<b and keep pairs with cosine ≥ 0.9. The block join
-    bounds candidates; the cross join never materializes n²."""
+    """Embedding-cosine near-duplicate pairs, label-blocked form: within a
+    blocking key join a<b and keep pairs with cosine ≥ EMB_NEAR_DUP_MIN_COS.
+    The block join bounds candidates; the cross join never materializes n².
+    The content-blocked production form is embedding_lsh_near_dup below,
+    which derives the block key from the vectors themselves."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -261,7 +269,69 @@ def embedding_cosine_near_dup(spark, sf_dir):
         a.join(b, ["label"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("label", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= EMB_NEAR_DUP_MIN_COS)
+    )
+
+
+LSH_SIG_BANDS = 4  # 16-bit signature → 4 bands of 4 bits
+# verify threshold: production near-dup uses ~0.9; the registered query uses
+# 0.35 because the synthetic embeddings top out at ~0.47 pairwise cosine —
+# a 0.9 contract would be permanently-zero-row evidence
+EMB_NEAR_DUP_MIN_COS = 0.35
+
+
+def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS):
+    """Embedding-cosine near-duplicates with LSH-banded blocking — the
+    100 TB form: candidate pairs collide on any of 4 4-bit bands of the
+    16-bit hyperplane signature (no external label needed), then an exact
+    cosine ≥ 0.9 verify. ONE signature computation, bucket-capped pair
+    explosion (dedup._bucket_pairs), and two keyed joins to fetch the
+    vectors for the verify — the full corpus is never self-joined. Cost
+    tracks collisions: at 1000 executors this is a scan + one 4-bit-keyed
+    exchange + vec_id-keyed verify joins."""
+    from .dedup import _bucket_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = hyperplane_matrix(16, embedding_dim(emb))
+    sigs = emb.select(
+        "vec_id", _lsh_signature(F.col("embedding"), planes).alias("sig")
+    )
+    banded = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("bval"),
+                    )
+                    for b in range(LSH_SIG_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.bval")
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_ids = (
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("_x").alias("vec_a"), F.col("_y").alias("vec_b"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        pair_ids.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
     )
 
 
@@ -333,7 +403,7 @@ def register(reg):
         f"ROUND({pair_cos}, 6) AS cos_sim "
         "FROM embeddings a JOIN embeddings b "
         "ON a.label = b.label AND a.vec_id < b.vec_id "
-        f"WHERE ROUND({pair_cos}, 6) >= 0.9",
+        f"WHERE ROUND({pair_cos}, 6) >= {EMB_NEAR_DUP_MIN_COS}",
     )
     # shared IVF CTEs: exact-rounded centroids → per-vector nearest cell
     sq_l2 = (
@@ -381,16 +451,69 @@ def register(reg):
         "WHERE e.vec_id <> 0 "
         "ORDER BY cos_sim DESC, vec_id LIMIT 10",
     )
+    reg.add(
+        "vector_lsh_buckets",
+        lsh_bucket_assignment,
+        "SELECT vec_id, label, CAST(" + _lsh_bit_terms_sql() + " AS BIGINT) AS lsh_bucket "
+        "FROM (SELECT vec_id, label, embedding, len(embedding) AS dim FROM embeddings) t",
+    )
+
+
+def _lsh_bit_terms_sql() -> str:
+    """DuckDB expression for the 16-bit signature, reproducing
+    hyperplane_matrix bit-for-bit (expects columns embedding, dim)."""
     hp = "(( ({j}*31 + d) * 2654435761 ) % 2001) / 1000.0 - 1.0"
-    bit_terms = " + ".join(
+    return " + ".join(
         "(CASE WHEN list_sum(list_transform(range(0, dim), "
         f"d -> CAST(embedding[d + 1] AS DOUBLE) * ({hp.format(j=j)}))) > 0 "
         f"THEN 1 ELSE 0 END) * {2**j}"
         for j in range(16)
     )
+
+
+def register_round2(reg):
+    """Round-2 additions, registered AFTER every round-1 query (see
+    contract.build_registry): the driver verifies a bounded window per
+    round, and a new query must not displace a never-checked one."""
+    from .dedup import MAX_BUCKET_MEMBERS
+
+    dot_sql = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    norm_sql = (
+        "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    pc = (
+        dot_sql.format(a="ea.embedding", b="eb.embedding")
+        + " / ("
+        + norm_sql.format(a="ea.embedding")
+        + " * "
+        + norm_sql.format(a="eb.embedding")
+        + ")"
+    )
     reg.add(
-        "vector_lsh_buckets",
-        lsh_bucket_assignment,
-        "SELECT vec_id, label, CAST(" + bit_terms + " AS BIGINT) AS lsh_bucket "
-        "FROM (SELECT vec_id, label, embedding, len(embedding) AS dim FROM embeddings) t",
+        "dedup_embedding_lsh",
+        embedding_lsh_near_dup,
+        f"""WITH sigs AS (
+  SELECT vec_id, CAST({_lsh_bit_terms_sql()} AS BIGINT) AS sig
+  FROM (SELECT vec_id, embedding, len(embedding) AS dim FROM embeddings) t
+),
+banded AS (
+  SELECT vec_id, band, ((sig >> (4 * band)) & 15) AS bval
+  FROM sigs, (VALUES (0), (1), (2), (3)) AS bands(band)
+),
+bsize AS (SELECT band, bval, COUNT(*) AS m FROM banded GROUP BY band, bval),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+  JOIN bsize s ON s.band = a.band AND s.bval = a.bval
+  WHERE s.m <= {MAX_BUCKET_MEMBERS}
+)
+SELECT vec_a, vec_b, ROUND({pc}, 6) AS cos_sim
+FROM pairs
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE ROUND({pc}, 6) >= {EMB_NEAR_DUP_MIN_COS}""",
     )

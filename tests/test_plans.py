@@ -89,6 +89,15 @@ def test_minhash_pairs_single_pass(spark, sf_small):
     assert "partial_min" in plan  # signature agg still map-side combined
 
 
+def test_embedding_lsh_near_dup_no_cartesian(spark, sf_small):
+    # candidates come from banded LSH buckets; the verify joins are keyed
+    # on vec_id — the corpus must never cross-join itself, and the
+    # hyperplanes must be plan-time literals
+    plan = plan_of(spark, "dedup_embedding_lsh", sf_small)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "sequence(" not in plan  # literal hyperplane matrix
+
+
 def test_ngram_jaccard_explodes_shingles_twice_not_thrice(spark, sf_small):
     # shingle stream feeds per-doc sizes + bucket pairs (2 subtrees); the
     # old self-join form computed it 3×. Pin ≤2 generator instances.
