@@ -76,4 +76,5 @@ def build_registry() -> Registry:
     # queries ADDED in later rounds register after every round-1 query, so
     # they never displace a not-yet-driver-checked entry from the window
     vector.register_round2(reg)
+    textops.register_round2(reg)
     return reg

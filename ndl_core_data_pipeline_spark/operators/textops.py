@@ -125,6 +125,76 @@ def fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+WINNOW_W = 4  # winnowing window: hashes per selection window
+
+
+def winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting by winnowing (Schleimer,
+    Wilkerson & Aiken 2003 — the public MOSS algorithm): hash the word
+    3-gram stream in document order, slide a WINNOW_W-hash window, keep
+    each window's minimum, emit the distinct selected hashes. Two docs
+    sharing a run of ≥ W+2 words share a fingerprint — a position-robust
+    containment signal that md5-of-the-whole-doc (text_fingerprint)
+    cannot give. Plan shape: explode → map-side hash → ONE doc_id-keyed
+    window (sort within partition) → distinct; no joins, scales as a
+    single keyed shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # positional 3-gram shingles — winnowing needs the sequence, so no
+    # array_distinct here (contrast dedup._shingles_spark)
+    shingles = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        ),
+    )
+    sh = docs.select("doc_id", F.posexplode(shingles).alias("pos", "shingle"))
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("bigint")
+    hashed = sh.select("doc_id", "pos", x.alias("h"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        hashed.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def register_round2(reg):
+    """Round-2 additions — registered after every round-1 query (see
+    contract.build_registry ordering note)."""
+    reg.add(
+        "text_winnowing_fingerprints",
+        winnowing_fingerprints,
+        r"""WITH sh AS (
+  SELECT doc_id, i AS pos,
+         words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents) w,
+       UNNEST(range(0, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) AS h
+  FROM sh
+),
+wins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND %d FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM wins""" % (WINNOW_W - 1),
+    )
+
+
 def search_text_compose(spark, sf_dir):
     """V6: search text = title + ' ' + description + ' ' + text[:500]
     (ref: create_lancedb_index.py:18-44)."""

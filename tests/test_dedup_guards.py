@@ -63,6 +63,31 @@ def test_salted_join_rejects_outer_preserving_small_side(spark):
             skew.salted_join(df, df, "k", how=bad)
 
 
+def test_winnowing_shared_run_shares_fingerprint(spark, tmp_path):
+    # winnowing guarantee: docs sharing a run of >= W+2 words share at
+    # least one selected fingerprint; short/disjoint docs yield none/distinct
+    from ndl_core_data_pipeline_spark.operators.textops import winnowing_fingerprints
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words then " + common),
+            (2, common + " and a different tail here"),
+            (3, "totally unrelated content with other words entirely spoken"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fps = winnowing_fingerprints(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # shared run -> shared fingerprint
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    assert 4 not in by_doc  # < 3 words -> no shingles at all
+
+
 def test_embedding_dim_empty_corpus_raises_cleanly(spark):
     empty = spark.createDataFrame([], "doc_id long, embedding array<float>")
     with pytest.raises(ValueError, match="cannot infer"):
