@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "text_quality_score",
     "text_langid",
+    "text_winnowing_fingerprints",
     "vector_cosine_topk",
     "vector_lsh_buckets",
     "vector_ivf_topk",

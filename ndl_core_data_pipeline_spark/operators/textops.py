@@ -135,9 +135,9 @@ def winnowing_fingerprints(spark, sf_dir):
     each window's minimum, emit the distinct selected hashes. Two docs
     sharing a run of ≥ W+2 words share a fingerprint — a position-robust
     containment signal that md5-of-the-whole-doc (text_fingerprint)
-    cannot give. Plan shape: explode → map-side hash → ONE doc_id-keyed
-    window (sort within partition) → distinct; no joins, scales as a
-    single keyed shuffle."""
+    cannot give. Plan shape: per-row array expressions end-to-end (hash
+    stream → sliding minima → per-doc distinct) then one explode — a map
+    -only plan with no shuffle, embarrassingly parallel at any scale."""
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     # positional 3-gram shingles — winnowing needs the sequence, so no
@@ -154,16 +154,41 @@ def winnowing_fingerprints(spark, sf_dir):
             ),
         ),
     )
-    sh = docs.select("doc_id", F.posexplode(shingles).alias("pos", "shingle"))
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("bigint")
-    hashed = sh.select("doc_id", "pos", x.alias("h"))
-    from pyspark.sql import Window as W
-
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    return (
-        hashed.select("doc_id", F.min("h").over(win).alias("fp"))
-        .distinct()
+    # the whole winnow folds into per-row array expressions: hash stream,
+    # sliding-window minima, per-doc distinct — a PURE MAP plan with zero
+    # shuffles (an explode → doc_id-window → distinct formulation costs a
+    # sort exchange plus an aggregation exchange for the identical result).
+    # The hash array is materialized in its OWN projection: higher-order
+    # functions evaluate interpreted (no codegen subexpression
+    # elimination), so referencing the md5-chain expression from inside
+    # the window lambda would recompute the entire array per element —
+    # O(n²) hashing. As a multiply-referenced non-cheap alias it survives
+    # CollapseProject and is computed once per row.
+    # the scan may be one small file locally while the hash work is
+    # CPU-dense — rebalance so the map stage parallelizes (same move as
+    # minhash_signatures; at 100 TB the scan is already many splits and
+    # AQE elides the no-op exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+        ).alias("hs"),
     )
+    # size(NULL) is -1, and sequence(0, -2) DESCENDS — without the guard a
+    # short doc's NULL hash array would explode into NULL fingerprints
+    # instead of zero rows (the oracle drops those docs)
+    fps = F.when(
+        F.size("hs") > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("hs") - 1),
+                lambda i: F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)),
+            )
+        ),
+    )
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def register_round2(reg):

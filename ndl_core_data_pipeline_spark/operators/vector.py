@@ -281,14 +281,20 @@ EMB_NEAR_DUP_MIN_COS = 0.35
 
 
 def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS):
-    """Embedding-cosine near-duplicates with LSH-banded blocking — the
-    100 TB form: candidate pairs collide on any of 4 4-bit bands of the
-    16-bit hyperplane signature (no external label needed), then an exact
-    cosine ≥ 0.9 verify. ONE signature computation, bucket-capped pair
-    explosion (dedup._bucket_pairs), and two keyed joins to fetch the
-    vectors for the verify — the full corpus is never self-joined. Cost
-    tracks collisions: at 1000 executors this is a scan + one 4-bit-keyed
-    exchange + vec_id-keyed verify joins."""
+    """Embedding-cosine near-duplicates with LSH-banded blocking: candidate
+    pairs collide on any of 4 4-bit bands of the 16-bit hyperplane
+    signature (no external label needed), then an exact cosine verify.
+    ONE signature computation, bucket-capped pair explosion
+    (dedup._bucket_pairs), and two keyed joins to fetch the vectors for
+    the verify — the full corpus is never self-joined.
+
+    Band-width is the scale knob: candidates per band ≈ n²/2^bits, so
+    band bits must grow with log₂(n) — production near-dup (cos ≥ 0.9)
+    uses a 128-bit signature in 8×16-bit bands, giving ~n²/65536
+    candidates at ~50% recall. The 4-bit setting here matches the
+    synthetic corpus, whose pairwise-cosine ceiling (~0.47) needs
+    permissive bands to produce any verified rows; the MAX_BUCKET_MEMBERS
+    cap bounds the worst case either way."""
     from .dedup import _bucket_pairs
 
     emb = load(spark, sf_dir, "embeddings")
