@@ -218,6 +218,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     per-doc set sizes. Blocking bounds the join; at 100 TB the block key
     would be an LSH band instead of `source`."""
     docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = docs.select(
         "doc_id",
         "source",
@@ -267,6 +268,9 @@ def simhash_fingerprints(spark, sf_dir):
     both engines. Near-dups compare by Hamming distance; here we emit the
     fingerprint itself (the groupBy plan is the operator)."""
     docs = load(spark, sf_dir, "documents")
+    # rebalance the (possibly single-split) scan before the CPU-dense
+    # md5 + 64-bit-vote stage — same move as minhash_signatures
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = docs.select(
         "doc_id",
         F.explode(
