@@ -341,5 +341,13 @@ def extract_pdf_text(payload: bytes, ocr_threshold: int = PDF_OCR_THRESHOLD) -> 
 
 def iso8601(col: Column) -> Column:
     """Render a timestamp as the reference's ISO-8601 UTC string shape
-    (time_utils.py output: offset form, no fractional seconds)."""
-    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'+00:00'")
+    (time_utils.py: offset form; milliseconds kept when non-zero, per
+    tests/resources/test_time_utils.py:46-50). Session timezone is UTC
+    (session.py / io.ensure_session_defaults), so date_format renders
+    the UTC instant."""
+    frac = F.date_format(col, "SSS")
+    return F.concat(
+        F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(frac != "000", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+        F.lit("+00:00"),
+    )

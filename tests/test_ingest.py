@@ -119,3 +119,29 @@ def test_infer_plan_reports_ratios(spark, tmp_path):
     assert plans["x"].n_nonnull == 2  # "n/a" is a null token
     assert plans["x"].target == "long"
     assert infer_and_cast(raw).schema["x"].dataType.simpleString() == "bigint"
+
+
+def test_time_utils_goldens(spark):
+    # port of the reference's pinned parse_to_iso8601_utc behaviors
+    # (tests/resources/test_time_utils.py:18-68): Z suffix, naive->UTC,
+    # offset conversion, space separator, millisecond preservation,
+    # date-only, English short month — via _parse_ts + functions.iso8601
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.functions import iso8601
+    from ndl_core_data_pipeline_spark.ingest.infer import _parse_ts
+
+    cases = [
+        ("2025-01-27T10:26:06Z", "2025-01-27T10:26:06+00:00"),
+        ("2025-01-27T10:26:06", "2025-01-27T10:26:06+00:00"),
+        ("2025-01-27T11:26:06+01:00", "2025-01-27T10:26:06+00:00"),
+        ("2025-01-27 10:26:06", "2025-01-27T10:26:06+00:00"),
+        ("2025-01-27T10:26:06.123Z", "2025-01-27T10:26:06.123+00:00"),
+        ("2021-11-01", "2021-11-01T00:00:00+00:00"),
+        ("1 Mar 2023", "2023-03-01T00:00:00+00:00"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["raw"])
+    out = df.select("raw", iso8601(_parse_ts(F.col("raw"))).alias("iso")).collect()
+    got = {r["raw"]: r["iso"] for r in out}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw])
