@@ -1,0 +1,82 @@
+"""Command-line entry point — the engine's analog of the reference's
+Dagster job surface (definitions.py): every registered query and the
+refinement pipeline runnable offline from a shell.
+
+    python -m ndl_core_data_pipeline_spark list
+    python -m ndl_core_data_pipeline_spark query q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.001 --show 10
+    python -m ndl_core_data_pipeline_spark pipeline \
+        --input raw.parquet --output out_dir [--publish-name my-dataset]
+
+`pipeline` runs the §3.1 chain (canonicalize → dedup → filter →
+anonymize); with --publish-name the output is laid out as a publishable
+UUID-sharded dataset folder (publish.prepare_dataset), else plain
+parquet."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ndl_core_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered query names")
+    qp = sub.add_parser("query", help="run a registered query and show rows")
+    qp.add_argument("name")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("--show", type=int, default=20)
+    pp = sub.add_parser("pipeline", help="run the refinement pipeline")
+    pp.add_argument("--input", required=True, help="raw records parquet path")
+    pp.add_argument("--output", required=True, help="output directory")
+    pp.add_argument(
+        "--publish-name",
+        default=None,
+        help="lay the output out as a publishable sharded dataset folder",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .contract import build_registry
+
+    if args.cmd == "list":
+        for name in build_registry().queries:
+            print(name)
+        return 0
+
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="ndlspark-cli")
+    try:
+        if args.cmd == "query":
+            reg = build_registry()
+            if args.name not in reg.queries:
+                print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+                return 2
+            reg.queries[args.name](spark, args.sf_dir).show(
+                args.show, truncate=False
+            )
+        elif args.cmd == "pipeline":
+            from .pipeline import process
+
+            raw = spark.read.parquet(args.input)
+            out = process(raw)
+            if args.publish_name:
+                from .publish import prepare_dataset
+
+                prepare_dataset(out, args.output, args.publish_name)
+            else:
+                out.write.mode("overwrite").parquet(args.output)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

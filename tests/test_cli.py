@@ -1,0 +1,43 @@
+"""CLI surface: list / query / pipeline subcommands."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ndl_core_data_pipeline_spark.__main__ import main
+
+
+def test_list_prints_all_queries(capsys):
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) >= 100
+
+
+def test_query_runs_and_shows(spark, sf_small, capsys):
+    assert main(["query", "agg_count_by_key", "--sf-dir", sf_small], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "event_type" in out and "cnt" in out
+
+
+def test_query_unknown_name_errors(spark, capsys):
+    assert main(["query", "no_such_query"], spark=spark) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [
+            ("Doc A", "src1", "text", "alpha beta gamma " * 20, "2024-01-02"),
+            ("Doc A dup", "src1", "text", "alpha beta gamma " * 20, "2024-01-03"),
+            ("Doc B", "src2", "text", "delta epsilon zeta " * 20, "2024-01-04"),
+        ],
+        ["title", "source", "format", "text", "date"],
+    )
+    inp, outp = str(tmp_path / "raw"), str(tmp_path / "out")
+    raw.write.parquet(inp)
+    assert main(["pipeline", "--input", inp, "--output", outp], spark=spark) == 0
+    got = spark.read.parquet(outp)
+    # dedup collapsed the duplicate text; canonical schema present
+    assert got.count() == 2
+    assert "identifier" in got.columns and "word_count" in got.columns
+    assert got.filter(F.col("language").isNull()).count() == 0
