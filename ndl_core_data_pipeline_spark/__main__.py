@@ -16,6 +16,7 @@ parquet."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -25,7 +26,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sub.add_parser("list", help="list registered query names")
     qp = sub.add_parser("query", help="run a registered query and show rows")
     qp.add_argument("name")
-    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="table directory (default: $SPARK_GRAFT_SF_DIR, same knob as bench.py)",
+    )
     qp.add_argument("--show", type=int, default=20)
     pp = sub.add_parser("pipeline", help="run the refinement pipeline")
     pp.add_argument("--input", required=True, help="raw records parquet path")
@@ -42,10 +47,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
     from .contract import build_registry
 
+    reg = build_registry()
     if args.cmd == "list":
-        for name in build_registry().queries:
+        for name in reg.queries:
             print(name)
         return 0
+    # name check happens before the (expensive) SparkSession spin-up
+    if args.cmd == "query" and args.name not in reg.queries:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
 
     owns_session = spark is None
     if owns_session:
@@ -54,10 +64,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark(app_name="ndlspark-cli")
     try:
         if args.cmd == "query":
-            reg = build_registry()
-            if args.name not in reg.queries:
-                print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
-                return 2
             reg.queries[args.name](spark, args.sf_dir).show(
                 args.show, truncate=False
             )

@@ -341,13 +341,15 @@ def extract_pdf_text(payload: bytes, ocr_threshold: int = PDF_OCR_THRESHOLD) -> 
 
 def iso8601(col: Column) -> Column:
     """Render a timestamp as the reference's ISO-8601 UTC string shape
-    (time_utils.py: offset form; milliseconds kept when non-zero, per
+    (time_utils.py `_format_dt_iso`: offset form; fractional seconds at
+    full microsecond precision with trailing zeros trimmed, omitted when
+    zero — .123000 → ".123", .000456 → ".000456", per
     tests/resources/test_time_utils.py:46-50). Session timezone is UTC
     (session.py / io.ensure_session_defaults), so date_format renders
     the UTC instant."""
-    frac = F.date_format(col, "SSS")
+    frac = F.regexp_replace(F.date_format(col, "SSSSSS"), "0+$", "")
     return F.concat(
         F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"),
-        F.when(frac != "000", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+        F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
         F.lit("+00:00"),
     )

@@ -38,3 +38,19 @@ def sql_dsum(expr: str, dec: str = "DECIMAL(25,6)") -> str:
 
 def sql_davg(expr: str, dec: str = "DECIMAL(25,6)") -> str:
     return f"(CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE) / COUNT({expr}))"
+
+
+def rebalance_narrow_scan(df, spark):
+    """Round-robin rebalance a scan that produced fewer splits than cores.
+
+    A small local file arrives as one split, so a CPU-dense map stage
+    (shingling, hashing) would run on a single core. When the scan is
+    already at least `defaultParallelism` splits — always true at scale —
+    the input is returned unchanged, so no shuffle is ever added to a
+    wide scan. Round-robin (no key) spreads rows evenly regardless of
+    key skew; downstream keyed aggregations add their own exchange, but
+    those ship post-aggregation rows (e.g. 8 longs per doc), not text."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
+from ._util import rebalance_narrow_scan
 
 N_MINHASH = 8  # signature length
 SHINGLE_N = 3  # word n-gram size
@@ -94,10 +95,7 @@ def minhash_signatures(spark, sf_dir):
     aggregation ships only 8 longs per doc across the shuffle. At 100 TB:
     a scan stage + one keyed exchange of fixed-width signatures."""
     docs = load(spark, sf_dir, "documents")
-    # the scan may be a single partition (small file locally) while the
-    # shingle+hash stage is CPU-dense — rebalance on the agg key so hash
-    # work parallelizes and partial aggregation stays co-located
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = rebalance_narrow_scan(docs, spark)
     shingled = docs.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).filter(F.length("shingle") > 0)
@@ -218,7 +216,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     per-doc set sizes. Blocking bounds the join; at 100 TB the block key
     would be an LSH band instead of `source`."""
     docs = load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = rebalance_narrow_scan(docs, spark)
     sh = docs.select(
         "doc_id",
         "source",
@@ -268,9 +266,7 @@ def simhash_fingerprints(spark, sf_dir):
     both engines. Near-dups compare by Hamming distance; here we emit the
     fingerprint itself (the groupBy plan is the operator)."""
     docs = load(spark, sf_dir, "documents")
-    # rebalance the (possibly single-split) scan before the CPU-dense
-    # md5 + 64-bit-vote stage — same move as minhash_signatures
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = rebalance_narrow_scan(docs, spark)
     words = docs.select(
         "doc_id",
         F.explode(

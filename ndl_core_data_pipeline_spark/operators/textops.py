@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
+from ._util import rebalance_narrow_scan
 
 # reference license map (assets/processing/assets.py:299-315): lowercase
 # lookup with default "OGL-UK-3.0"
@@ -136,8 +137,10 @@ def winnowing_fingerprints(spark, sf_dir):
     sharing a run of ≥ W+2 words share a fingerprint — a position-robust
     containment signal that md5-of-the-whole-doc (text_fingerprint)
     cannot give. Plan shape: per-row array expressions end-to-end (hash
-    stream → sliding minima → per-doc distinct) then one explode — a map
-    -only plan with no shuffle, embarrassingly parallel at any scale."""
+    stream → sliding minima → per-doc distinct) then one explode — a
+    map-only plan, embarrassingly parallel at any scale (the only
+    exchange is the narrow-scan rebalance below, which never fires when
+    the scan already has ≥ cores splits)."""
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     # positional 3-gram shingles — winnowing needs the sequence, so no
@@ -155,20 +158,16 @@ def winnowing_fingerprints(spark, sf_dir):
         ),
     )
     # the whole winnow folds into per-row array expressions: hash stream,
-    # sliding-window minima, per-doc distinct — a PURE MAP plan with zero
-    # shuffles (an explode → doc_id-window → distinct formulation costs a
-    # sort exchange plus an aggregation exchange for the identical result).
+    # sliding-window minima, per-doc distinct — a pure map plan (an
+    # explode → doc_id-window → distinct formulation costs a sort
+    # exchange plus an aggregation exchange for the identical result).
     # The hash array is materialized in its OWN projection: higher-order
     # functions evaluate interpreted (no codegen subexpression
     # elimination), so referencing the md5-chain expression from inside
     # the window lambda would recompute the entire array per element —
     # O(n²) hashing. As a multiply-referenced non-cheap alias it survives
     # CollapseProject and is computed once per row.
-    # the scan may be one small file locally while the hash work is
-    # CPU-dense — rebalance so the map stage parallelizes (same move as
-    # minhash_signatures; at 100 TB the scan is already many splits and
-    # AQE elides the no-op exchange)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = rebalance_narrow_scan(docs, spark)
     hashed = docs.select(
         "doc_id",
         F.transform(

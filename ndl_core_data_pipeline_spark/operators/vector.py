@@ -153,7 +153,7 @@ def lsh_bucket_assignment(spark, sf_dir):
     (ref ANN: LanceDB IVF-PQ, create_lancedb_index.py:143-148 — different
     algorithm, same role: prune the candidate space)."""
     emb = load(spark, sf_dir, "embeddings")
-    planes = hyperplane_matrix(16, embedding_dim(emb))
+    planes = hyperplane_matrix(LSH_SIG_BITS, embedding_dim(emb))
     sig = _lsh_signature(F.col("embedding"), planes)
     return emb.select("vec_id", "label", sig.alias("lsh_bucket"))
 
@@ -273,7 +273,10 @@ def embedding_cosine_near_dup(spark, sf_dir):
     )
 
 
+LSH_SIG_BITS = 16  # signature width; every use derives from this constant
 LSH_SIG_BANDS = 4  # 16-bit signature → 4 bands of 4 bits
+LSH_BAND_BITS = LSH_SIG_BITS // LSH_SIG_BANDS
+LSH_BAND_MASK = (1 << LSH_BAND_BITS) - 1
 # verify threshold: production near-dup uses ~0.9; the registered query uses
 # 0.35 because the synthetic embeddings top out at ~0.47 pairwise cosine —
 # a 0.9 contract would be permanently-zero-row evidence
@@ -298,7 +301,7 @@ def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS)
     from .dedup import _bucket_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    planes = hyperplane_matrix(16, embedding_dim(emb))
+    planes = hyperplane_matrix(LSH_SIG_BITS, embedding_dim(emb))
     sigs = emb.select(
         "vec_id", _lsh_signature(F.col("embedding"), planes).alias("sig")
     )
@@ -309,8 +312,8 @@ def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS)
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sig", 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright("sig", LSH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(LSH_BAND_MASK))
                         .alias("bval"),
                     )
                     for b in range(LSH_SIG_BANDS)
@@ -473,7 +476,7 @@ def _lsh_bit_terms_sql() -> str:
         "(CASE WHEN list_sum(list_transform(range(0, dim), "
         f"d -> CAST(embedding[d + 1] AS DOUBLE) * ({hp.format(j=j)}))) > 0 "
         f"THEN 1 ELSE 0 END) * {2**j}"
-        for j in range(16)
+        for j in range(LSH_SIG_BITS)
     )
 
 
@@ -506,8 +509,8 @@ def register_round2(reg):
   FROM (SELECT vec_id, embedding, len(embedding) AS dim FROM embeddings) t
 ),
 banded AS (
-  SELECT vec_id, band, ((sig >> (4 * band)) & 15) AS bval
-  FROM sigs, (VALUES (0), (1), (2), (3)) AS bands(band)
+  SELECT vec_id, band, ((sig >> ({LSH_BAND_BITS} * band)) & {LSH_BAND_MASK}) AS bval
+  FROM sigs, (VALUES {", ".join(f"({b})" for b in range(LSH_SIG_BANDS))}) AS bands(band)
 ),
 bsize AS (SELECT band, bval, COUNT(*) AS m FROM banded GROUP BY band, bval),
 pairs AS (

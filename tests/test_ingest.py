@@ -137,6 +137,11 @@ def test_time_utils_goldens(spark):
         ("2025-01-27T11:26:06+01:00", "2025-01-27T10:26:06+00:00"),
         ("2025-01-27 10:26:06", "2025-01-27T10:26:06+00:00"),
         ("2025-01-27T10:26:06.123Z", "2025-01-27T10:26:06.123+00:00"),
+        # full microsecond precision, trailing zeros trimmed — matches
+        # _format_dt_iso (time_utils.py:9-27): str(micro).rstrip('0')
+        ("2025-01-27T10:26:06.123456Z", "2025-01-27T10:26:06.123456+00:00"),
+        ("2025-01-27T10:26:06.000456Z", "2025-01-27T10:26:06.000456+00:00"),
+        ("2025-01-27T10:26:06.123000Z", "2025-01-27T10:26:06.123+00:00"),
         ("2021-11-01", "2021-11-01T00:00:00+00:00"),
         ("1 Mar 2023", "2023-03-01T00:00:00+00:00"),
     ]
