@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_exact_hash",
     "dedup_minhash_signatures",
     "dedup_minhash_pairs",
+    "dedup_minhash_clusters",
     "dedup_simhash_pairs",
     "text_quality_score",
     "text_langid",

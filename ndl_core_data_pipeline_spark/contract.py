@@ -77,4 +77,5 @@ def build_registry() -> Registry:
     # they never displace a not-yet-driver-checked entry from the window
     vector.register_round2(reg)
     textops.register_round2(reg)
+    dedup.register_round2(reg)
     return reg

@@ -362,6 +362,113 @@ def simhash_near_dup_pairs(spark, sf_dir):
     )
 
 
+# ---- oracle SQL fragments shared by the minhash family (module-level so
+# ---- register() and register_round2() compose the same text).
+# range(0, len-n+1) is empty for len < n, mirroring the size(words) >=
+# SHINGLE_N guard in _shingles_spark — both engines emit zero shingles
+# for docs shorter than the n-gram
+_SHINGLE_SQL = """
+shingles AS (
+  SELECT DISTINCT doc_id, source,
+         words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
+  FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents) w,
+       UNNEST(range(0, len(words) - {n} + 1)) AS t(i)
+  WHERE words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] <> ''
+)""".format(n=SHINGLE_N)
+# base hash x = md5[0:12 hex] as bigint; h_j = (A_j*x + B_j) % P
+_PERM_ROWS = ", ".join(
+    f"({j}, {MINHASH_A[j]}, {MINHASH_B[j]})" for j in range(N_MINHASH)
+)
+_HASHED_SQL = f""",
+base AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) AS x
+  FROM shingles
+),
+perms(j, a, b) AS (VALUES {_PERM_ROWS}),
+sigs AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+         MIN((a * x + b) % {MINHASH_P}) AS minhash
+  FROM base, perms GROUP BY doc_id, j
+)"""
+
+
+CC_MAX_ITER = 25  # safety bound; pointer jumping needs ~log2(diameter) rounds
+
+
+def connected_components(edges, src: str = "doc_a", dst: str = "doc_b"):
+    """Connected components over an undirected pair list: every node gets
+    the minimum node id reachable from it as its component label — the
+    canonical-document assignment step that turns near-dup PAIRS into
+    dedup CLUSTERS (keep doc_id == cluster_id, drop the rest).
+
+    Distributed iterative algorithm, no driver-side graph: each round is
+    (1) neighbor-min propagation — a node adopts the smallest label among
+    itself and its neighbors (one join + one keyed min-agg), then
+    (2) pointer jumping — a node adopts its label's label (labels are
+    node ids, so this is a self-join). Jumping collapses chains
+    exponentially: a path graph converges in O(log diameter) rounds where
+    plain propagation needs O(diameter). Convergence is detected from
+    sum(label), which strictly decreases until fixpoint — one scalar
+    action per round, no row-level diff join. localCheckpoint truncates
+    the lineage each round so the plan doesn't grow unboundedly (at
+    cluster scale, use a reliable checkpoint dir instead — same loop).
+
+    The driver loop controls ITERATION only; all data stays distributed
+    (the only driver traffic is one aggregate scalar per round)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CC_MAX_ITER):
+        nbr = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        merged = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        parent = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("jump")
+        )
+        jumped = merged.join(parent, "label", "left").select(
+            "node", F.least("label", F.coalesce("jump", "label")).alias("label")
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {CC_MAX_ITER} rounds")
+    return labels
+
+
+def minhash_clusters(spark, sf_dir):
+    """Near-duplicate clusters: MinHash candidate pairs (est_jaccard ≥
+    0.25) as edges → connected components → (doc_id, cluster_id) with
+    cluster_id = min doc_id of the component. Only docs participating in
+    ≥1 near-dup pair appear; unpaired docs are their own implicit
+    singleton cluster. This is the step dedup pipelines run after pair
+    generation so that A≈B and B≈C collapse to ONE keeper even when A-C
+    was never scored."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
+
+
 def register(reg):
     reg.add(
         "dedup_exact_keep_first",
@@ -381,34 +488,7 @@ def register(reg):
         r"SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash, "
         "MIN(doc_id) AS keeper_id FROM documents GROUP BY 1",
     )
-    # range(0, len-n+1) is empty for len < n, mirroring the size(words) >=
-    # SHINGLE_N guard in _shingles_spark — both engines emit zero shingles
-    # for docs shorter than the n-gram
-    shingle_sql = """
-shingles AS (
-  SELECT DISTINCT doc_id, source,
-         words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
-  FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS words
-        FROM documents) w,
-       UNNEST(range(0, len(words) - {n} + 1)) AS t(i)
-  WHERE words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] <> ''
-)""".format(n=SHINGLE_N)
-    # base hash x = md5[0:12 hex] as bigint; h_j = (A_j*x + B_j) % P
-    perm_rows = ", ".join(
-        f"({j}, {MINHASH_A[j]}, {MINHASH_B[j]})" for j in range(N_MINHASH)
-    )
-    hashed_sql = f""",
-base AS (
-  SELECT doc_id,
-         CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) AS x
-  FROM shingles
-),
-perms(j, a, b) AS (VALUES {perm_rows}),
-sigs AS (
-  SELECT doc_id, CAST(j AS BIGINT) AS j,
-         MIN((a * x + b) % {MINHASH_P}) AS minhash
-  FROM base, perms GROUP BY doc_id, j
-)"""
+    shingle_sql, hashed_sql = _SHINGLE_SQL, _HASHED_SQL
     reg.add(
         "dedup_minhash_signatures",
         minhash_signatures,
@@ -518,4 +598,41 @@ JOIN banded b ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
 JOIN bsize s ON s.band = a.band AND s.nibble = a.nibble
 WHERE s.m <= {MAX_BUCKET_MEMBERS}
   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
+    )
+
+
+def register_round2(reg):
+    """Round-2 additions — registered after every round-1 query (see
+    contract.build_registry ordering note). The cluster oracle computes
+    the same transitive closure as the Spark loop with a recursive CTE:
+    reach(node, lbl) enumerates every label reachable from each node,
+    MIN(lbl) per node is the component id."""
+    reg.add(
+        "dedup_minhash_clusters",
+        minhash_clusters,
+        "WITH RECURSIVE "
+        + _SHINGLE_SQL
+        + _HASHED_SQL
+        + f""",
+bsize AS (SELECT j, minhash, COUNT(*) AS m FROM sigs GROUP BY j, minhash),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.j = b.j AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.j = a.j AND s.minhash = a.minhash
+  WHERE s.m <= {MAX_BUCKET_MEMBERS}
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) / {float(N_MINHASH)} >= 0.25
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""",
     )

@@ -104,3 +104,24 @@ def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):
     planes = hyperplane_matrix(16, 64)
     assert planes[0][0] == (0 * 2654435761 % 2001) / 1000.0 - 1.0
     assert len(planes) == 16 and len(planes[0]) == 64
+
+
+def test_connected_components_path_graph(spark):
+    # a 12-node path is the worst case for plain min-propagation (needs 11
+    # rounds); pointer jumping must converge well inside CC_MAX_ITER and
+    # label every node with the chain minimum
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["doc_a", "doc_b"]
+    )
+    out = dedup.connected_components(edges).collect()
+    assert {r["node"]: r["label"] for r in out} == {i: 1 for i in range(1, 13)}
+
+
+def test_connected_components_two_clusters_and_transitivity(spark):
+    # A-B and B-C must land in one cluster even though A-C was never paired;
+    # D-E is a separate component; higher-id edge order must not matter
+    edges = spark.createDataFrame(
+        [(20, 10), (10, 30), (50, 40)], ["doc_a", "doc_b"]
+    )
+    out = {r["node"]: r["label"] for r in dedup.connected_components(edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
