@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_minhash_clusters",
     "dedup_simhash_pairs",
     "text_quality_score",
+    "text_repetition_signals",
     "text_langid",
     "text_winnowing_fingerprints",
     "vector_cosine_topk",

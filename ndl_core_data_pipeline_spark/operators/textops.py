@@ -190,6 +190,126 @@ def winnowing_fingerprints(spark, sf_dir):
     return hashed.select("doc_id", F.explode(fps).alias("fp"))
 
 
+def repetition_signals(spark, sf_dir):
+    """Repetition-based quality signals (Gopher, Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality training data). Per document:
+    unique-word fraction, most-frequent-word fraction, fraction of word
+    occurrences that are repeats, top-bigram character fraction
+    (occurrences × bigram chars / total chars), and fraction of bigram
+    occurrences whose bigram occurs more than once. Plan: two
+    explode → (doc, term) count → per-doc rollup passes (words, bigrams),
+    joined on doc_id — keyed shuffles whose post-count rows are tiny, so
+    the shape holds at any corpus size. Tie-break for the top term is
+    (count, term) max — deterministic in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_narrow_scan(docs, spark)
+    words_arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = docs.select(
+        "doc_id", F.explode(words_arr).alias("w")
+    ).filter(F.length("w") > 0)
+    wcounts = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    wstats = wcounts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_uniq"),
+        F.max(F.struct("cnt", F.col("w"))).alias("top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occ"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.when(
+                F.size(words_arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words_arr) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(words_arr, i + 1), F.element_at(words_arr, i + 2)
+                    ),
+                ),
+            )
+        ).alias("bg"),
+    )
+    bcounts = bigrams.groupBy("doc_id", "n_chars", "bg").agg(F.count("*").alias("cnt"))
+    bstats = bcounts.groupBy("doc_id", "n_chars").agg(
+        F.sum("cnt").alias("n_bg"),
+        F.max(F.struct("cnt", F.col("bg"))).alias("topbg"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_bg_occ"),
+    )
+    joined = wstats.join(bstats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("n_uniq") / F.col("n_words"), 6).alias("uniq_word_frac"),
+        F.round(F.col("top.cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("dup_occ") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(
+            F.col("topbg.cnt") * F.length(F.col("topbg.bg")) / F.col("n_chars"), 6
+        ).alias("top_bigram_char_frac"),
+        F.round(F.col("dup_bg_occ") / F.col("n_bg"), 6).alias("dup_bigram_frac"),
+    )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1 — public):
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' or '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3  # lines ending with '...'
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8  # words containing ≥1 alphabetic char
+
+
+def gopher_filters(spark, sf_dir):
+    """Gopher rule-based quality flags (Rae et al. 2021 Table A1), one
+    boolean per rule plus the conjunction — entirely map-side JVM regex
+    counting, no shuffle, so it runs at scan speed at any scale. Rules:
+    word count in [50, 100k]; mean word length in [3, 10]; symbol-to-word
+    ratio ('#'/'...') ≤ 0.1; ≤ 90% of lines bullet-led; ≤ 30% of lines
+    ellipsis-ended; ≥ 80% of words contain an alphabetic character."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.regexp_count(text, F.lit(r"\S+")).cast("bigint")
+    nonspace = F.regexp_count(text, F.lit(r"\S")).cast("bigint")
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.round(nonspace / safe_words, 6)
+    n_symbols = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("bigint")
+    symbol_ratio = F.round(n_symbols / safe_words, 6)
+    n_lines = (F.regexp_count(text, F.lit("\n")) + 1).cast("bigint")
+    bullet_frac = F.round(
+        F.regexp_count(text, F.lit(r"(?m)^\s*[-*•]")) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.regexp_count(text, F.lit(r"(?m)\.\.\.$")) / n_lines, 6
+    )
+    alpha_words = F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*")).cast("bigint")
+    alpha_frac = F.round(alpha_words / safe_words, 6)
+    f_nwords = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_wlen = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+    f_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    f_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
+    f_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC
+    f_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        f_nwords.cast("bigint").alias("f_word_count"),
+        f_wlen.cast("bigint").alias("f_mean_word_len"),
+        f_symbol.cast("bigint").alias("f_symbol_ratio"),
+        f_bullet.cast("bigint").alias("f_bullet_lines"),
+        f_ellipsis.cast("bigint").alias("f_ellipsis_lines"),
+        f_alpha.cast("bigint").alias("f_alpha_words"),
+        (f_nwords & f_wlen & f_symbol & f_bullet & f_ellipsis & f_alpha)
+        .cast("bigint")
+        .alias("keep_gopher"),
+    )
+
+
 def register_round2(reg):
     """Round-2 additions — registered after every round-1 query (see
     contract.build_registry ordering note)."""
@@ -216,6 +336,93 @@ wins AS (
   FROM hashed
 )
 SELECT DISTINCT doc_id, fp FROM wins""" % (WINNOW_W - 1),
+    )
+    reg.add(
+        "text_repetition_signals",
+        repetition_signals,
+        r"""WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents) t
+  WHERE LENGTH(w) > 0
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w),
+ws AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_uniq,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ
+  FROM wc GROUP BY doc_id),
+topw AS (
+  SELECT doc_id, cnt, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w DESC) AS rn
+  FROM wc),
+bg AS (
+  SELECT doc_id, LENGTH(text) AS n_chars, ws[i + 1] || ' ' || ws[i + 2] AS bg
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents) t,
+       UNNEST(range(0, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2),
+bgc AS (SELECT doc_id, n_chars, bg, COUNT(*) AS cnt
+        FROM bg GROUP BY doc_id, n_chars, bg),
+bs AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(cnt) AS BIGINT) AS n_bg,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bg_occ
+  FROM bgc GROUP BY doc_id, n_chars),
+topb AS (
+  SELECT doc_id, cnt, bg,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg DESC) AS rn
+  FROM bgc)
+SELECT w.doc_id, w.n_words,
+       ROUND(w.n_uniq / w.n_words, 6) AS uniq_word_frac,
+       ROUND(tw.cnt / w.n_words, 6) AS top_word_frac,
+       ROUND(w.dup_occ / w.n_words, 6) AS dup_word_frac,
+       ROUND(tb.cnt * LENGTH(tb.bg) / b.n_chars, 6) AS top_bigram_char_frac,
+       ROUND(b.dup_bg_occ / b.n_bg, 6) AS dup_bigram_frac
+FROM ws w
+LEFT JOIN topw tw ON tw.doc_id = w.doc_id AND tw.rn = 1
+LEFT JOIN bs b ON b.doc_id = w.doc_id
+LEFT JOIN topb tb ON tb.doc_id = w.doc_id AND tb.rn = 1""",
+    )
+    nw = r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
+    nonspace = r"CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)"
+    nsym = r"(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))"
+    nlines = "CAST(len(string_split(text, chr(10))) AS BIGINT)"
+    nbullet = r"len(regexp_extract_all(text, '(?m)^\s*[-*•]'))"
+    nellip = r"len(regexp_extract_all(text, '(?m)\.\.\.$'))"
+    nalpha = r"CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)"
+    reg.add(
+        "text_gopher_filters",
+        gopher_filters,
+        f"""WITH m AS (
+  SELECT doc_id,
+         {nw} AS n_words,
+         ROUND({nonspace} / GREATEST({nw}, 1), 6) AS mean_word_len,
+         ROUND({nsym} / GREATEST({nw}, 1), 6) AS symbol_ratio,
+         ROUND({nbullet} / {nlines}, 6) AS bullet_frac,
+         ROUND({nellip} / {nlines}, 6) AS ellipsis_frac,
+         ROUND({nalpha} / GREATEST({nw}, 1), 6) AS alpha_word_frac
+  FROM documents)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS BIGINT)
+         AS f_word_count,
+       CAST(mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+         AS BIGINT) AS f_mean_word_len,
+       CAST(symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS BIGINT) AS f_symbol_ratio,
+       CAST(bullet_frac <= {GOPHER_MAX_BULLET_FRAC} AS BIGINT) AS f_bullet_lines,
+       CAST(ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC} AS BIGINT) AS f_ellipsis_lines,
+       CAST(alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC} AS BIGINT) AS f_alpha_words,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+            AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+            AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC} AS BIGINT)
+         AS keep_gopher
+FROM m""",
     )
 
 

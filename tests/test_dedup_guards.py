@@ -125,3 +125,49 @@ def test_connected_components_two_clusters_and_transitivity(spark):
     )
     out = {r["node"]: r["label"] for r in dedup.connected_components(edges).collect()}
     assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_gopher_filters_edge_cases(spark, tmp_path):
+    # crafted docs exercising every rule: bullets, ellipsis line-ends,
+    # symbol density, non-alpha words, word-count bounds
+    from ndl_core_data_pipeline_spark.operators import textops
+
+    rows = [
+        (1, "ok " + " ".join(f"word{i}" for i in range(60))),  # passes all
+        (2, "- a\n- b\n- c"),  # every line bullet-led + too few words
+        (3, "so it goes...\nand on...\nplain line\nmore text here"),  # 2/4 ellipsis
+        (4, "# " * 30 + "tag"),  # symbol-heavy
+        (5, " ".join(str(i) for i in range(80))),  # numeric words, no alpha
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textops.gopher_filters(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["keep_gopher"] == 1
+    assert out[2]["f_bullet_lines"] == 0 and out[2]["f_word_count"] == 0
+    assert out[3]["f_ellipsis_lines"] == 0  # 0.5 > 0.3
+    assert out[4]["f_symbol_ratio"] == 0
+    assert out[5]["f_alpha_words"] == 0 and out[5]["keep_gopher"] == 0
+
+
+def test_repetition_signals_on_repetitive_doc(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.operators import textops
+
+    rows = [
+        (1, "spam spam spam spam"),  # 1 distinct word, bigram 'spam spam' x3
+        (2, "all words here differ fully"),  # no repetition
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textops.repetition_signals(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["uniq_word_frac"] == 0.25 and out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_bigram_frac"] == 1.0
+    assert out[2]["uniq_word_frac"] == 1.0 and out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_bigram_frac"] == 0.0
