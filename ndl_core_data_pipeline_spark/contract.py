@@ -78,4 +78,5 @@ def build_registry() -> Registry:
     vector.register_round2(reg)
     textops.register_round2(reg)
     dedup.register_round2(reg)
+    tpch.register_round2(reg)
     return reg

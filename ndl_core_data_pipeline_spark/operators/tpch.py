@@ -352,6 +352,150 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q8_market_share(spark, sf_dir):
+    """Q8 shape (adapted: no p_mfgr in the testdata): NATION_3-supplier
+    share of revenue to EUROPE customers, per order year. Conditional
+    share inside a six-way join — both sums ride one aggregation; dims
+    broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(nation_rev, "nation_rev"),
+            dsum(rev, "total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """Q9 shape (adapted: profit uses a 0.6×p_retailprice supply-cost proxy
+    — the testdata has no partsupp table): per supplier-nation per order
+    year, profit over 'gear' parts."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"), F.count("*").alias("n_items"))
+    )
+
+
+def q12_late_shipment_priority(spark, sf_dir):
+    """Q12 shape (adapted: the testdata has no l_shipmode/commitdate, so
+    the class key is shipping lateness vs the order date): per lateness
+    class, how many lines belong to high- vs low-priority orders.
+    Interval arithmetic (no datediff) keeps both engines' day semantics
+    identical."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    late_class = (
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            "late_90",
+        )
+        .when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "late_30",
+        )
+        .otherwise("on_time")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(late_class.alias("late_class"))
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape (adapted: 'late' is shipdate > orderdate + 60 days — the
+    testdata has no commit/receipt dates): suppliers who were the ONLY
+    late supplier on a multi-supplier order. The classic EXISTS/NOT-
+    EXISTS pair is expressed as one per-(order, supplier) rollup + a
+    per-order WINDOW over that rollup — the fact table is scanned and
+    joined exactly ONCE (the correlated-self-join form, or a groupBy
+    re-derivation, would execute the join subtree twice: no exchange
+    reuse under a broadcast join). Both post-join exchanges carry only
+    (orderkey, suppkey, flag) rows."""
+    from pyspark.sql import Window as W
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_os = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("has_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    culprit = per_os.select(
+        "l_suppkey",
+        "has_late",
+        F.count("*").over(w).alias("n_supps"),
+        F.sum("has_late").over(w).alias("n_late_supps"),
+    ).filter(
+        (F.col("has_late") == 1)
+        & (F.col("n_supps") > 1)
+        & (F.col("n_late_supps") == 1)
+    )
+    return (
+        culprit.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def register(reg):
     reg.add(
         "q1_pricing_summary",
@@ -547,4 +691,88 @@ def register(reg):
         "AND p_size BETWEEN 1 AND 10) "
         "OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 "
         "AND p_size BETWEEN 1 AND 15)",
+    )
+
+
+def register_round2(reg):
+    """Round-2 additions — registered after every round-1 query (see
+    contract.build_registry ordering note)."""
+    reg.add(
+        "q8_market_share",
+        q8_market_share,
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        + sql_dsum(
+            "CASE WHEN n1.n_name = 'NATION_3' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        )
+        + " AS nation_rev, "
+        f"{sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev, "
+        "ROUND("
+        + sql_dsum(
+            "CASE WHEN n1.n_name = 'NATION_3' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        )
+        + f" / {sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS mkt_share "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "WHERE r_name = 'EUROPE' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01' "
+        "GROUP BY o_year",
+    )
+    reg.add(
+        "q9_product_profit",
+        q9_product_profit,
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+        + sql_dsum(
+            "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity"
+        )
+        + " AS profit, COUNT(*) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%gear%' "
+        "GROUP BY n_name, o_year",
+    )
+    reg.add(
+        "q12_late_shipment_priority",
+        q12_late_shipment_priority,
+        "SELECT CASE "
+        "WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'late_90' "
+        "WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 'late_30' "
+        "ELSE 'on_time' END AS late_class, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY late_class",
+    )
+    reg.add(
+        "q21_waiting_suppliers",
+        q21_waiting_suppliers,
+        "WITH per_os AS ("
+        "  SELECT l_orderkey, l_suppkey, "
+        "  MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "      THEN 1 ELSE 0 END) AS has_late "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "  WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "  AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "  GROUP BY l_orderkey, l_suppkey), "
+        "per_o AS ("
+        "  SELECT l_orderkey, COUNT(*) AS n_supps, SUM(has_late) AS n_late_supps "
+        "  FROM per_os GROUP BY l_orderkey) "
+        "SELECT s_name, COUNT(*) AS numwait "
+        "FROM per_os JOIN per_o USING (l_orderkey) "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE per_os.has_late = 1 AND per_o.n_supps > 1 AND per_o.n_late_supps = 1 "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
     )

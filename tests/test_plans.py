@@ -186,3 +186,25 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
         F.col("l_returnflag") == "R"
     ).count()
     assert n > 0
+
+
+def test_q8_broadcast_dims_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "q8_market_share", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation x2 / region / supplier dims
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan  # year window pushed
+
+
+def test_q9_part_filter_pushed(spark, sf_small):
+    plan = plan_of(spark, "q9_product_profit", sf_small)
+    assert "CartesianProduct" not in plan
+    # the %gear% LIKE must reach the part scan, not sit above the join
+    assert "StringContains(p_name,gear)" in plan
+
+
+def test_q21_single_fact_scan(spark, sf_small):
+    # the sole-late-supplier rollup must scan/join lineitem exactly once —
+    # the naive EXISTS/NOT-EXISTS form re-executes the join subtree
+    plan = plan_of(spark, "q21_waiting_suppliers", sf_small)
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
