@@ -257,16 +257,37 @@ GOPHER_MAX_BULLET_FRAC = 0.9  # lines starting with a bullet
 GOPHER_MAX_ELLIPSIS_FRAC = 0.3  # lines ending with '...'
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8  # words containing ≥1 alphabetic char
 
+# DuckDB mirrors of gopher_metrics / gopher_keep_expr, shared by the flags
+# oracle and the curation-funnel oracle
+_NW = r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
+_NONSPACE = r"CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)"
+_NSYM = r"(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))"
+_NLINES = "CAST(len(string_split(text, chr(10))) AS BIGINT)"
+_NBULLET = r"len(regexp_extract_all(text, '(?m)^\s*[-*•]'))"
+_NELLIP = r"len(regexp_extract_all(text, '(?m)\.\.\.$'))"
+_NALPHA = r"CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)"
+GOPHER_METRICS_SQL = f"""
+  SELECT doc_id, source,
+         {_NW} AS n_words,
+         ROUND({_NONSPACE} / GREATEST({_NW}, 1), 6) AS mean_word_len,
+         ROUND({_NSYM} / GREATEST({_NW}, 1), 6) AS symbol_ratio,
+         ROUND({_NBULLET} / {_NLINES}, 6) AS bullet_frac,
+         ROUND({_NELLIP} / {_NLINES}, 6) AS ellipsis_frac,
+         ROUND({_NALPHA} / GREATEST({_NW}, 1), 6) AS alpha_word_frac
+  FROM documents"""
+GOPHER_KEEP_SQL = (
+    f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+    f"AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN} "
+    f"AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} "
+    f"AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC} "
+    f"AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC} "
+    f"AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC})"
+)
 
-def gopher_filters(spark, sf_dir):
-    """Gopher rule-based quality flags (Rae et al. 2021 Table A1), one
-    boolean per rule plus the conjunction — entirely map-side JVM regex
-    counting, no shuffle, so it runs at scan speed at any scale. Rules:
-    word count in [50, 100k]; mean word length in [3, 10]; symbol-to-word
-    ratio ('#'/'...') ≤ 0.1; ≤ 90% of lines bullet-led; ≤ 30% of lines
-    ellipsis-ended; ≥ 80% of words contain an alphabetic character."""
-    docs = load(spark, sf_dir, "documents")
-    text = F.col("text")
+
+def gopher_metrics(text):
+    """The six Gopher rule metrics as Columns over a text column; shared
+    by the flags query and the curation-funnel composition."""
     n_words = F.regexp_count(text, F.lit(r"\S+")).cast("bigint")
     nonspace = F.regexp_count(text, F.lit(r"\S")).cast("bigint")
     safe_words = F.greatest(n_words, F.lit(1))
@@ -276,14 +297,41 @@ def gopher_filters(spark, sf_dir):
     ).cast("bigint")
     symbol_ratio = F.round(n_symbols / safe_words, 6)
     n_lines = (F.regexp_count(text, F.lit("\n")) + 1).cast("bigint")
-    bullet_frac = F.round(
-        F.regexp_count(text, F.lit(r"(?m)^\s*[-*•]")) / n_lines, 6
-    )
-    ellipsis_frac = F.round(
-        F.regexp_count(text, F.lit(r"(?m)\.\.\.$")) / n_lines, 6
-    )
+    bullet_frac = F.round(F.regexp_count(text, F.lit(r"(?m)^\s*[-*•]")) / n_lines, 6)
+    ellipsis_frac = F.round(F.regexp_count(text, F.lit(r"(?m)\.\.\.$")) / n_lines, 6)
     alpha_words = F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*")).cast("bigint")
     alpha_frac = F.round(alpha_words / safe_words, 6)
+    return n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac
+
+
+def gopher_keep_expr(text):
+    """Conjunction of the six Gopher rules as one boolean Column."""
+    n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac = (
+        gopher_metrics(text)
+    )
+    return (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+    )
+
+
+def gopher_filters(spark, sf_dir):
+    """Gopher rule-based quality flags (Rae et al. 2021 Table A1), one
+    boolean per rule plus the conjunction — entirely map-side JVM regex
+    counting, no shuffle, so it runs at scan speed at any scale. Rules:
+    word count in [50, 100k]; mean word length in [3, 10]; symbol-to-word
+    ratio ('#'/'...') ≤ 0.1; ≤ 90% of lines bullet-led; ≤ 30% of lines
+    ellipsis-ended; ≥ 80% of words contain an alphabetic character."""
+    docs = load(spark, sf_dir, "documents")
+    n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac = (
+        gopher_metrics(F.col("text"))
+    )
     f_nwords = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     f_wlen = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
     f_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
@@ -386,25 +434,10 @@ LEFT JOIN topw tw ON tw.doc_id = w.doc_id AND tw.rn = 1
 LEFT JOIN bs b ON b.doc_id = w.doc_id
 LEFT JOIN topb tb ON tb.doc_id = w.doc_id AND tb.rn = 1""",
     )
-    nw = r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
-    nonspace = r"CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)"
-    nsym = r"(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))"
-    nlines = "CAST(len(string_split(text, chr(10))) AS BIGINT)"
-    nbullet = r"len(regexp_extract_all(text, '(?m)^\s*[-*•]'))"
-    nellip = r"len(regexp_extract_all(text, '(?m)\.\.\.$'))"
-    nalpha = r"CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)"
     reg.add(
         "text_gopher_filters",
         gopher_filters,
-        f"""WITH m AS (
-  SELECT doc_id,
-         {nw} AS n_words,
-         ROUND({nonspace} / GREATEST({nw}, 1), 6) AS mean_word_len,
-         ROUND({nsym} / GREATEST({nw}, 1), 6) AS symbol_ratio,
-         ROUND({nbullet} / {nlines}, 6) AS bullet_frac,
-         ROUND({nellip} / {nlines}, 6) AS ellipsis_frac,
-         ROUND({nalpha} / GREATEST({nw}, 1), 6) AS alpha_word_frac
-  FROM documents)
+        f"""WITH m AS ({GOPHER_METRICS_SQL})
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
        ellipsis_frac, alpha_word_frac,
        CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS BIGINT)
