@@ -1,0 +1,532 @@
+"""Round-3 training-data-pipeline operators (SURVEY §2.14 extensions).
+
+Large-scale corpus-curation shapes a 100 TB training-data build needs
+beyond the dedup/similarity/text-analysis families already registered:
+
+- deterministic sampling (hash-bucket, stratified-by-language, per-group
+  pseudo-reservoir) — reproducible subsets with no RNG state, so a re-run
+  at any parallelism selects the identical rows;
+- sequence packing (next-fit per group via applyInPandas, and the
+  split-allowed cumulative-sum form as a pure window) — grouping documents
+  into fixed token-capacity training bins;
+- block-level exact dedup (C4-style duplicated-span removal at 10-word
+  granularity);
+- benchmark contamination scoring (n-gram overlap between train docs and
+  a held-out eval source, hash-join on gram — never all-pairs);
+- text normalization (NFC-adjacent whitespace/control cleanup);
+- embedding compression: symmetric int8 scalar quantization and 32-bit
+  sign codes (binary quantization halves) — the memory-side companions to
+  the LSH/IVF ANN family;
+- token-length histograms for shard planning.
+
+Every operator is JVM-side expression work except the two inherently
+sequential-per-group packers, which use grouped-map pandas (bounded
+groups, parallel across groups). All hashes are md5-prefix→bigint, the
+same cross-engine-stable construction textops.winnowing uses.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ._util import rebalance_narrow_scan
+
+# deterministic-sampling modulus and default keep-rate (percent)
+SAMPLE_MOD = 100
+SAMPLE_PCT = 10
+# stratified keep-rates: downsample the dominant language, keep more of
+# the rest (the Pile/ROOTS-style per-stratum allocation)
+STRAT_PCT_EN = 5
+STRAT_PCT_OTHER = 20
+# pseudo-reservoir size per source
+RESERVOIR_K = 5
+# sequence-packing token capacity per bin
+PACK_CAP = 256
+# block-dedup granularity (words per block)
+BLOCK_W = 10
+# contamination n-gram order
+CONTAM_N = 3
+# token-histogram bucket width
+HIST_W = 32
+
+
+def _hash48(col):
+    """First 48 bits of md5 as a non-negative bigint — bit-identical in
+    Spark (conv/substring) and DuckDB ('0x' cast), used as the engine's
+    deterministic sampling/bucketing key."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def _sql_hash48(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 12) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def sample_hash_bucket(spark, sf_dir):
+    """Deterministic SAMPLE_PCT% sample: keep rows whose md5(doc_id)
+    bucket falls below the rate. Reproducible under any partitioning or
+    cluster size (contrast df.sample, whose RNG is partition-dependent),
+    and a pure map-side filter — pushes to the scan, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = _hash48(F.col("doc_id").cast("string")) % SAMPLE_MOD
+    return docs.filter(bucket < SAMPLE_PCT).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-language keep-rates
+    (downsample 'en', keep more of the rest), reported as per-stratum
+    totals so the allocation itself is the checked result. Map-side
+    filter + one tiny keyed aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = _hash48(F.col("doc_id").cast("string")) % SAMPLE_MOD
+    rate = F.when(F.col("lang") == "en", F.lit(STRAT_PCT_EN)).otherwise(
+        F.lit(STRAT_PCT_OTHER)
+    )
+    return (
+        docs.withColumn("sampled", (bucket < rate).cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("sampled").alias("n_sampled"),
+        )
+        .withColumn(
+            "sample_frac", F.round(F.col("n_sampled") / F.col("n_total"), 6)
+        )
+        .orderBy("lang")
+    )
+
+
+def sample_topk_per_source(spark, sf_dir):
+    """Pseudo-reservoir: the RESERVOIR_K deterministic 'random' docs per
+    source — rank by (hash, doc_id) inside each source and keep the top
+    K. One keyed window; at scale this is the standard distributed
+    reservoir replacement (rank-by-hash instead of stateful reservoir)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = _hash48(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", h.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source", "sample_key", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------- sequence packing
+
+
+def pack_nextfit_per_source(spark, sf_dir):
+    """Next-fit sequence packing: walk each source's docs in doc_id order,
+    appending to the current bin until the PACK_CAP token capacity would
+    overflow, then open a new bin. The recurrence is prefix-dependent
+    (fill resets on overflow), so it is not window-expressible; the
+    distributed shape is grouped-map pandas — sequential inside a group,
+    parallel across groups, groups bounded by per-source corpus size.
+    The oracle is a recursive CTE walking the same order."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        fill = 0
+        b = 0
+        first = True
+        for tk in pdf["n_tokens"]:
+            tk = int(tk)
+            if not first and fill + tk > PACK_CAP:
+                b += 1
+                fill = 0
+            first = False
+            fill += tk
+            bins.append(b)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "source", "n_tokens", "bin_id"]]
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "doc_id BIGINT, source STRING, n_tokens BIGINT, bin_id BIGINT"
+    )
+
+
+def pack_cumsum_bins(spark, sf_dir):
+    """Split-allowed packing (pack-then-slice): bin = floor(prefix-token
+    count / capacity) over doc_id order per source. The streaming-concat
+    formulation used when documents may straddle bin boundaries; unlike
+    next-fit it is a pure window cumsum — one keyed sort, no pandas."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start,
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAP)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+# ------------------------------------------------------------- block dedup
+
+
+def dedup_block_exact(spark, sf_dir):
+    """C4-style duplicated-span detection at BLOCK_W-word granularity:
+    hash each non-overlapping 10-word block, emit blocks occurring in
+    more than one document with their spread and representative doc.
+    Plan: map-only block hashing (per-row array expressions), one explode,
+    one keyed aggregation on the 48-bit block hash — the shuffle ships
+    (hash, doc_id) pairs only, never text, so the shape holds at corpus
+    scale."""
+    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_narrow_scan(docs, spark)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_blocks = F.floor(F.size(words) / BLOCK_W).cast("int")
+    blocks = F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * BLOCK_W + 1, BLOCK_W)
+            ),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(blocks).alias("block")
+    ).select("doc_id", _hash48(F.col("block")).alias("block_hash"))
+    return (
+        exploded.groupBy("block_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _sql_block_dedup() -> str:
+    return rf"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         array_to_string(ws[i * {BLOCK_W} + 1 : i * {BLOCK_W} + {BLOCK_W}], ' ') AS block
+  FROM w, UNNEST(range(0, CAST(floor(len(ws) / {BLOCK_W}) AS BIGINT))) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, {_sql_hash48('block')} AS block_hash FROM blocks
+)
+SELECT block_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS rep_doc
+FROM hashed
+GROUP BY block_hash
+HAVING COUNT(DISTINCT doc_id) > 1"""
+
+
+# ------------------------------------------------------------ contamination
+
+
+def contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination scoring: treat source 'src0' as the
+    held-out eval set; for every train doc, the fraction of its distinct
+    word 3-grams that appear anywhere in eval. The eval gram set is tiny
+    relative to the corpus, so the overlap is a broadcast hash join on
+    the gram hash — per-doc work never touches other train docs (no
+    all-pairs). This is the standard n-gram decontamination pass (GPT-3
+    appendix C / PaLM-style) as one declarative plan."""
+    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_narrow_scan(docs, spark)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(words) >= CONTAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - CONTAM_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            )
+        ),
+    )
+    g = docs.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    ).select("doc_id", "source", _hash48(F.col("gram")).alias("gh"))
+    eval_grams = (
+        g.filter(F.col("source") == "src0").select("gh").distinct()
+    ).withColumn("in_eval", F.lit(1))
+    train = g.filter(F.col("source") != "src0")
+    return (
+        train.join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("in_eval"), F.lit(0))).alias("n_shared"),
+        )
+        .withColumn(
+            "contam_frac", F.round(F.col("n_shared") / F.col("n_grams"), 6)
+        )
+    )
+
+
+def _sql_contamination() -> str:
+    return rf"""WITH w AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         {_sql_hash48(f"ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]")} AS gh
+  FROM w, UNNEST(range(0, len(ws) - {CONTAM_N - 1})) AS t(i)
+  WHERE len(ws) >= {CONTAM_N}
+),
+ev AS (SELECT DISTINCT gh FROM grams WHERE source = 'src0')
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS contam_frac
+FROM grams g LEFT JOIN ev ON g.gh = ev.gh
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id"""
+
+
+# ---------------------------------------------------------- text normalize
+
+
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization for hashing/dedup keys: strip control
+    characters, collapse whitespace runs, trim, lowercase — emitted with
+    a changed flag so downstream stages can skip already-canonical rows.
+    Pure map expressions, whole-stage codegen end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.col("text"), r"[\x00-\x1f\x7f]", " ")
+    s = F.lower(F.trim(F.regexp_replace(s, r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        s.alias("norm_text"),
+        (s != F.col("text")).cast("bigint").alias("changed"),
+    )
+
+
+# ------------------------------------------------------ embedding compression
+
+
+def vector_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization: per-vector scale 127/max|v|,
+    code_i = floor(v_i * scale). 4× memory reduction for the ANN recall
+    path; exploded to (vec_id, pos, code) rows for the oracle hash. The
+    scale is a per-row sequential double computation — deterministic in
+    both engines (see _util docstring)."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.col("scale")).cast("bigint")
+    )
+    return (
+        emb.select("vec_id", vd.alias("v"), scale.alias("scale"))
+        .select("vec_id", "scale", F.posexplode(codes).alias("pos", "code"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            "code",
+            F.round(F.col("scale"), 6).alias("scale_r"),
+        )
+    )
+
+
+def _sql_quantize_int8() -> str:
+    return """WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              ELSE 0.0 END AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(i AS BIGINT) AS pos,
+       CAST(floor(v[i + 1] * scale) AS BIGINT) AS code,
+       ROUND(scale, 6) AS scale_r
+FROM s, UNNEST(range(0, len(v))) AS t(i)"""
+
+
+def vector_quantize_binary(spark, sf_dir):
+    """Binary quantization: 1 bit per dimension (sign), packed into two
+    32-bit halves — 64 dims → 8 bytes, the Hamming-distance candidate
+    representation vector stores use before exact rerank. Packing is a
+    per-row fold (aggregate over a 32-step sequence); no shuffle at all."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def pack(offset):
+        # SQL-expression form: the Python-API shiftleft only takes a
+        # literal shift amount, the SQL builtin accepts the fold variable
+        return F.expr(
+            "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> "
+            f"acc + IF(element_at(embedding, i + {offset} + 1) > 0, "
+            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+        )
+
+    return emb.select(
+        "vec_id",
+        pack(0).alias("code_lo"),
+        pack(32).alias("code_hi"),
+    )
+
+
+def _sql_quantize_binary() -> str:
+    half = (
+        "list_sum(list_transform(range(0, 32), "
+        "i -> CASE WHEN embedding[i + {off} + 1] > 0 "
+        "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))"
+    )
+    return (
+        "SELECT vec_id, "
+        f"CAST({half.format(off=0)} AS BIGINT) AS code_lo, "
+        f"CAST({half.format(off=32)} AS BIGINT) AS code_hi "
+        "FROM embeddings"
+    )
+
+
+# ------------------------------------------------------------- histograms
+
+
+def text_token_histogram(spark, sf_dir):
+    """Token-length histogram in HIST_W-token buckets with corpus share —
+    the shard-planning profile (how many docs land in each context-length
+    band). Map + one tiny aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    bucket = (F.floor(n_tokens / HIST_W) * HIST_W).cast("bigint")
+    agg = docs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+    total = agg.select(F.sum("n_docs").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def register(reg):
+    reg.add(
+        "sample_hash_bucket",
+        sample_hash_bucket,
+        f"SELECT doc_id, source, lang, n_chars FROM documents "
+        f"WHERE {_sql_hash48('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} < {SAMPLE_PCT}",
+    )
+    reg.add(
+        "sample_stratified",
+        sample_stratified,
+        f"""SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {_sql_hash48('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD}
+                     < CASE WHEN lang = 'en' THEN {STRAT_PCT_EN} ELSE {STRAT_PCT_OTHER} END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(SUM(CASE WHEN {_sql_hash48('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD}
+                     < CASE WHEN lang = 'en' THEN {STRAT_PCT_EN} ELSE {STRAT_PCT_OTHER} END
+                THEN 1 ELSE 0 END) / COUNT(*), 6) AS sample_frac
+FROM documents GROUP BY lang ORDER BY lang""",
+    )
+    reg.add(
+        "sample_topk_per_source",
+        sample_topk_per_source,
+        f"""SELECT doc_id, source, sample_key, rk FROM (
+  SELECT doc_id, source,
+         {_sql_hash48('CAST(doc_id AS VARCHAR)')} AS sample_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_sql_hash48('CAST(doc_id AS VARCHAR)')}, doc_id)
+           AS rk
+  FROM documents) t WHERE rk <= {RESERVOIR_K}""",
+    )
+    reg.add(
+        "pack_nextfit_per_source",
+        pack_nextfit_per_source,
+        rf"""WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens > {PACK_CAP} THEN p.bin_id + 1
+              ELSE p.bin_id END,
+         CASE WHEN p.fill + t.n_tokens > {PACK_CAP} THEN t.n_tokens
+              ELSE p.fill + t.n_tokens END
+  FROM packed p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id FROM packed""",
+    )
+    reg.add(
+        "pack_cumsum_bins",
+        pack_cumsum_bins,
+        rf"""SELECT doc_id, source, n_tokens,
+       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_start,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PACK_CAP}) AS BIGINT) AS bin_id
+FROM (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents) t
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    )
+    reg.add("dedup_block_exact", dedup_block_exact, _sql_block_dedup())
+    reg.add("contamination_ngram", contamination_ngram, _sql_contamination())
+    reg.add(
+        "text_normalize",
+        text_normalize,
+        r"""SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS norm_text,
+       CAST(lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                                      '\s+', ' ', 'g'))) <> text AS BIGINT) AS changed
+FROM documents""",
+    )
+    reg.add("vector_quantize_int8", vector_quantize_int8, _sql_quantize_int8())
+    reg.add("vector_quantize_binary", vector_quantize_binary, _sql_quantize_binary())
+    reg.add(
+        "text_token_histogram",
+        text_token_histogram,
+        rf"""SELECT CAST(floor(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                        / {HIST_W}) * {HIST_W} AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS share
+FROM documents GROUP BY 1 ORDER BY bucket""",
+    )
