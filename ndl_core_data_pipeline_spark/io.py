@@ -42,5 +42,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.parquet stores ts as TIMESTAMP(NANOS). How it arrives depends
+        # on the Spark version: with spark.sql.legacy.parquet.nanosAsLong in
+        # effect it reads as BIGINT nanoseconds; Spark 4.1+ ignores that
+        # runtime conf and reads it as TIMESTAMP_NTZ, already truncated to
+        # micros. Branch on the actual dtype so both paths yield a session-TZ
+        # (UTC) TIMESTAMP matching DuckDB's ns->us truncation of the same file.
+        dtype = dict(df.dtypes)["ts"]
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
