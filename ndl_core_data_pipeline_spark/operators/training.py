@@ -262,23 +262,26 @@ def contamination_ngram(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     docs = rebalance_narrow_scan(docs, spark)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # hash each gram inside the transform and dedup the HASHES (not the gram
+    # strings) so the per-doc distinct matches the oracle's post-hash DISTINCT
+    # exactly even under a 48-bit collision within one doc; still map-side
     grams = F.when(
         F.size(words) >= CONTAM_N,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - CONTAM_N),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
+                lambda i: _hash48(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(words, i + 1),
+                        F.element_at(words, i + 2),
+                        F.element_at(words, i + 3),
+                    )
                 ),
             )
         ),
     )
-    g = docs.select(
-        "doc_id", "source", F.explode(grams).alias("gram")
-    ).select("doc_id", "source", _hash48(F.col("gram")).alias("gh"))
+    g = docs.select("doc_id", "source", F.explode(grams).alias("gh"))
     eval_grams = (
         g.filter(F.col("source") == "src0").select("gh").distinct()
     ).withColumn("in_eval", F.lit(1))
@@ -341,16 +344,17 @@ def text_normalize(spark, sf_dir):
 
 def vector_quantize_int8(spark, sf_dir):
     """Symmetric int8 scalar quantization: per-vector scale 127/max|v|,
-    code_i = floor(v_i * scale). 4× memory reduction for the ANN recall
-    path; exploded to (vec_id, pos, code) rows for the oracle hash. The
-    scale is a per-row sequential double computation — deterministic in
-    both engines (see _util docstring)."""
+    code_i = round(v_i * scale) — round-to-nearest (half away from zero
+    in both engines), the standard symmetric quantizer. 4× memory
+    reduction for the ANN recall path; exploded to (vec_id, pos, code)
+    rows for the oracle hash. The scale is a per-row sequential double
+    computation — deterministic in both engines (see _util docstring)."""
     emb = load(spark, sf_dir, "embeddings")
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
     codes = F.transform(
-        F.col("v"), lambda x: F.floor(x * F.col("scale")).cast("bigint")
+        F.col("v"), lambda x: F.round(x * F.col("scale")).cast("bigint")
     )
     return (
         emb.select("vec_id", vd.alias("v"), scale.alias("scale"))
@@ -375,7 +379,7 @@ def _sql_quantize_int8() -> str:
 )
 SELECT vec_id,
        CAST(i AS BIGINT) AS pos,
-       CAST(floor(v[i + 1] * scale) AS BIGINT) AS code,
+       CAST(round(v[i + 1] * scale) AS BIGINT) AS code,
        ROUND(scale, 6) AS scale_r
 FROM s, UNNEST(range(0, len(v))) AS t(i)"""
 
