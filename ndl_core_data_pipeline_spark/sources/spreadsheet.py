@@ -3,10 +3,10 @@ scan, all cells as strings, one output table per sheet
 (resources/convertors/spreadsheet_to_parquet.py:108-187; sheet-name
 sanitizer :46-61; 60 s read timeout :43,123-139).
 
-openpyxl/odfpy are not in this container: the reader raises a clear
-NotImplementedError without them, and everything around the cell read —
-sheet fan-out via mapInPandas over a file listing, name sanitizing,
-string coercion, per-sheet inference — is importable and tested.
+XLSX reads through the pure-stdlib SpreadsheetML parser in
+``sources/xlsx.py`` (zip + XML per the public ECMA-376 spec), so the
+cell tier works without openpyxl. ODS (also zip+XML but a different
+schema) stays gated on odfpy with a clear NotImplementedError.
 Spreadsheets are small by nature; parallelism comes from MANY FILES
 (one task per file), not from splitting one workbook.
 """
@@ -31,8 +31,9 @@ def sanitize_sheet_name(name: str) -> str:
 
 
 def read_workbook_sheets(path: str) -> dict[str, list[list[str]]]:
-    """Driver-side single-workbook read: {sheet → rows of string cells}.
-    Gated on openpyxl (xlsx) / odfpy (ods)."""
+    """Single-workbook read: {sheet → rectangular rows of string cells}.
+    XLSX goes through the pure-Python SpreadsheetML tier (sources/xlsx.py);
+    ODS remains gated on odfpy."""
     if path.endswith(".ods"):
         try:
             from odf.opendocument import load as ods_load  # noqa: F401
@@ -41,21 +42,9 @@ def read_workbook_sheets(path: str) -> dict[str, list[list[str]]]:
                 "ODS reading requires odfpy, which is not in this build"
             ) from exc
         raise NotImplementedError("ODS cell extraction pending odfpy availability")
-    try:
-        from openpyxl import load_workbook
-    except ImportError as exc:
-        raise NotImplementedError(
-            "XLSX reading requires openpyxl, which is not in this build"
-        ) from exc
-    wb = load_workbook(path, read_only=True, data_only=True)
-    out: dict[str, list[list[str]]] = {}
-    for ws in wb.worksheets:
-        rows = [
-            ["" if c is None else str(c) for c in row]
-            for row in ws.iter_rows(values_only=True)
-        ]
-        out[sanitize_sheet_name(ws.title)] = rows
-    return out
+    from .xlsx import read_xlsx
+
+    return read_xlsx(path)
 
 
 def sheets_to_frames(

@@ -83,5 +83,7 @@ def test_sheets_to_frames_with_inference(spark):
 
 
 def test_workbook_reader_gated():
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_workbook_sheets("/nonexistent.xlsx")
+    # XLSX now has a pure-Python tier (tests/test_xlsx.py); only ODS
+    # remains gated on the absent odfpy dependency
+    with pytest.raises(NotImplementedError, match="odfpy"):
+        read_workbook_sheets("/nonexistent.ods")
