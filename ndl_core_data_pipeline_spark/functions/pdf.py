@@ -17,8 +17,13 @@ ordinary text PDFs, from public spec knowledge only:
   (Identity-H) decode to real text; fonts without a CMap fall back to
   UTF-16BE (BOM) or Latin-1.
 
-Out of scope (→ the PyMuPDF tier): LZW/DCT/JBIG2 filters, predictor
-DecodeParms, encrypted files, Type3 glyph procs, vertical writing.
+- /DecodeParms predictors on Flate streams: PNG row filters 10-15
+  (None/Sub/Up/Average/Paeth per the public PNG spec, the form every
+  mainstream producer emits for xref/object streams) and TIFF
+  horizontal differencing (Predictor 2, 8-bit components).
+
+Out of scope (→ the PyMuPDF tier): LZW/DCT/JBIG2 filters, encrypted
+files, Type3 glyph procs, vertical writing.
 """
 
 from __future__ import annotations
@@ -40,12 +45,77 @@ _NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
+def _decode_parm(dict_bytes: bytes, key: bytes, default: int) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", dict_bytes)
+    return int(m.group(1)) if m else default
+
+
+def _png_unfilter(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse PNG row filters (type byte per row: 0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) — the /Predictor >= 10 encoding of ISO 32000
+    §7.4.4.4, defined by the public PNG spec."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        ftype = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if len(row) < rowlen:
+            row.extend(bytes(rowlen - len(row)))
+        if ftype == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ftype == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    if bpc != 8:  # sub-byte TIFF differencing: rare, leave untouched
+        return data
+    rowlen = columns * colors
+    out = bytearray(data)
+    for r0 in range(0, len(out), rowlen):
+        for j in range(r0 + colors, min(r0 + rowlen, len(out))):
+            out[j] = (out[j] + out[j - colors]) & 0xFF
+    return bytes(out)
+
+
 def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
     if b"/FlateDecode" in dict_bytes:
         try:
-            return zlib.decompressobj().decompress(data)
+            raw = zlib.decompressobj().decompress(data)
         except zlib.error:
             return None
+        pred = _decode_parm(dict_bytes, b"Predictor", 1)
+        if pred >= 2:
+            columns = _decode_parm(dict_bytes, b"Columns", 1)
+            colors = _decode_parm(dict_bytes, b"Colors", 1)
+            bpc = _decode_parm(dict_bytes, b"BitsPerComponent", 8)
+            if pred >= 10:
+                raw = _png_unfilter(raw, columns, colors, bpc)
+            else:
+                raw = _tiff_unpredict(raw, columns, colors, bpc)
+        return raw
     if b"/Filter" in dict_bytes:
         return None  # unsupported filter
     return data
