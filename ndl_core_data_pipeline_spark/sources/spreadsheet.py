@@ -3,10 +3,10 @@ scan, all cells as strings, one output table per sheet
 (resources/convertors/spreadsheet_to_parquet.py:108-187; sheet-name
 sanitizer :46-61; 60 s read timeout :43,123-139).
 
-XLSX reads through the pure-stdlib SpreadsheetML parser in
-``sources/xlsx.py`` (zip + XML per the public ECMA-376 spec), so the
-cell tier works without openpyxl. ODS (also zip+XML but a different
-schema) stays gated on odfpy with a clear NotImplementedError.
+Both formats read through pure-stdlib parsers — XLSX via the
+SpreadsheetML tier in ``sources/xlsx.py`` (zip + XML per the public
+ECMA-376 spec), ODS via the OpenDocument tier in ``sources/ods.py``
+(OASIS ODF v1.2) — so no openpyxl/odfpy dependency is needed.
 Spreadsheets are small by nature; parallelism comes from MANY FILES
 (one task per file), not from splitting one workbook.
 """
@@ -32,16 +32,12 @@ def sanitize_sheet_name(name: str) -> str:
 
 def read_workbook_sheets(path: str) -> dict[str, list[list[str]]]:
     """Single-workbook read: {sheet → rectangular rows of string cells}.
-    XLSX goes through the pure-Python SpreadsheetML tier (sources/xlsx.py);
-    ODS remains gated on odfpy."""
+    XLSX via the pure-Python SpreadsheetML tier (sources/xlsx.py), ODS
+    via the OpenDocument tier (sources/ods.py)."""
     if path.endswith(".ods"):
-        try:
-            from odf.opendocument import load as ods_load  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "ODS reading requires odfpy, which is not in this build"
-            ) from exc
-        raise NotImplementedError("ODS cell extraction pending odfpy availability")
+        from .ods import read_ods
+
+        return read_ods(path)
     from .xlsx import read_xlsx
 
     return read_xlsx(path)

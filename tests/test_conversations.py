@@ -82,8 +82,8 @@ def test_sheets_to_frames_with_inference(spark):
     assert df.count() == 2
 
 
-def test_workbook_reader_gated():
-    # XLSX now has a pure-Python tier (tests/test_xlsx.py); only ODS
-    # remains gated on the absent odfpy dependency
-    with pytest.raises(NotImplementedError, match="odfpy"):
+def test_workbook_reader_missing_file():
+    # both formats now have pure-Python tiers (tests/test_xlsx.py,
+    # tests/test_ods.py); a bad path surfaces as a file error, not a gate
+    with pytest.raises(FileNotFoundError):
         read_workbook_sheets("/nonexistent.ods")

@@ -120,11 +120,6 @@ def test_read_workbook_sheets_routes_xlsx(workbook_path):
     assert read_workbook_sheets(workbook_path) == read_xlsx(workbook_path)
 
 
-def test_ods_still_gated():
-    with pytest.raises(NotImplementedError, match="odfpy|ODS"):
-        read_workbook_sheets("/nonexistent.ods")
-
-
 def test_xlsx_to_frames(spark, workbook_path):
     frames = sheets_to_frames(spark, read_xlsx(workbook_path))
     df = frames["Water_Level_Readings"]
