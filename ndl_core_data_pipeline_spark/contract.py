@@ -99,6 +99,8 @@ _ROUND5_FRONT = [
     # -- semantics corrected this round --
     "vector_quantize_int8",
     "contamination_ngram",
+    # -- new in round 5 (V2 model-free embedding generation) --
+    "text_embed_hash",
     # -- last driver-green in round 1 --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -51,6 +51,8 @@ BLOCK_W = 10
 CONTAM_N = 3
 # token-histogram bucket width
 HIST_W = 32
+# feature-hashing embedder dimensionality
+EMBED_DIM = 64
 
 
 def _hash48(col):
@@ -384,6 +386,70 @@ SELECT vec_id,
 FROM s, UNNEST(range(0, len(v))) AS t(i)"""
 
 
+def text_embed_hash(spark, sf_dir):
+    """V2 embedding generation, model-free tier: the feature-hashing
+    trick (Weinberger et al. 2009) as one declarative plan. Each word
+    hashes to one of EMBED_DIM buckets with a ±1 sign from a second
+    hash bit; per-doc bucket sums are L2-normalized. Output is the
+    sparse (doc_id, bucket, raw, weight) form — exact engine/oracle
+    agreement because bucket sums are integer arithmetic and the
+    normalize is one correctly-rounded IEEE sqrt + divide.
+
+    Scale shape: explode → one keyed shuffle on (doc_id, bucket) with
+    map-side partial sums, then a window co-keyed on doc_id. No Python,
+    no all-pairs; the model tier (classify.embed_texts via mapInPandas)
+    plugs into the same downstream schema when sentence-transformers
+    is importable (reference assets/rag/process_text_chunks.py:62-68).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_narrow_scan(docs, spark)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = docs.select("doc_id", F.explode(words).alias("w")).filter(
+        F.col("w") != ""
+    )
+    feat = w.select(
+        "doc_id",
+        (_hash48(F.col("w")) % EMBED_DIM).alias("bucket"),
+        F.when(
+            _hash48(F.concat(F.lit("#"), F.col("w"))) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    raw = feat.groupBy("doc_id", "bucket").agg(F.sum("sgn").alias("raw"))
+    norm = F.sqrt(
+        F.sum(F.col("raw") * F.col("raw")).over(Window.partitionBy("doc_id"))
+    )
+    return raw.select(
+        "doc_id",
+        "bucket",
+        F.col("raw").cast("bigint").alias("raw"),
+        F.round(F.col("raw") / norm, 6).alias("weight"),
+    )
+
+
+def _sql_embed_hash() -> str:
+    word_hash = _sql_hash48("w")
+    sign_hash = _sql_hash48("'#' || w")
+    return rf"""WITH w AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+feat AS (
+  SELECT doc_id, {word_hash} % {EMBED_DIM} AS bucket,
+         CASE WHEN {sign_hash} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM w
+),
+raw AS (SELECT doc_id, bucket, SUM(sgn) AS raw FROM feat GROUP BY 1, 2)
+SELECT doc_id, bucket, CAST(raw AS BIGINT) AS raw,
+       ROUND(raw / sqrt(SUM(raw * raw) OVER (PARTITION BY doc_id)), 6) AS weight
+FROM raw"""
+
+
 def vector_quantize_binary(spark, sf_dir):
     """Binary quantization: 1 bit per dimension (sign), packed into two
     32-bit halves — 64 dims → 8 bytes, the Hamming-distance candidate
@@ -523,6 +589,7 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
                                       '\s+', ' ', 'g'))) <> text AS BIGINT) AS changed
 FROM documents""",
     )
+    reg.add("text_embed_hash", text_embed_hash, _sql_embed_hash())
     reg.add("vector_quantize_int8", vector_quantize_int8, _sql_quantize_int8())
     reg.add("vector_quantize_binary", vector_quantize_binary, _sql_quantize_binary())
     reg.add(
