@@ -91,12 +91,13 @@ def _table_rows(table: ET.Element) -> list[list[str]]:
     return [r + [""] * (width - len(r)) for r in rows]
 
 
-def read_ods(path: str) -> dict[str, list[list[str]]]:
+def read_ods(src) -> dict[str, list[list[str]]]:
     """{sanitized-unique sheet name -> rectangular rows of string cells},
-    sheets in document order — same contract as xlsx.read_xlsx."""
+    sheets in document order — same contract as xlsx.read_xlsx. `src` is
+    a path or a binary file-like."""
     from .spreadsheet import sanitize_sheet_name
 
-    with zipfile.ZipFile(path) as zf:
+    with zipfile.ZipFile(src) as zf:
         root = ET.fromstring(zf.read("content.xml"))
     out: dict[str, list[list[str]]] = {}
     for table in root.iter(f"{_T}table"):

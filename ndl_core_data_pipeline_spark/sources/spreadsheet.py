@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..ingest.infer import infer_and_cast
 
@@ -41,6 +42,66 @@ def read_workbook_sheets(path: str) -> dict[str, list[list[str]]]:
     from .xlsx import read_xlsx
 
     return read_xlsx(path)
+
+
+def read_workbook_bytes(name: str, data: bytes) -> dict[str, list[list[str]]]:
+    """read_workbook_sheets over in-memory content — the executor-side
+    form used by scan_workbooks (binaryFile rows carry bytes, not paths
+    local to the executor)."""
+    import io as _io
+
+    if name.endswith(".ods"):
+        from .ods import read_ods
+
+        return read_ods(_io.BytesIO(data))
+    from .xlsx import read_xlsx
+
+    return read_xlsx(_io.BytesIO(data))
+
+
+# one cell-grid row per sheet row; cells stay strings (typing happens
+# downstream per sheet via infer_and_cast, as in sheets_to_frames)
+WORKBOOK_CELLS_SCHEMA = (
+    "path string, sheet string, row_idx bigint, cells array<string>"
+)
+
+
+def scan_workbooks(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed multi-workbook scan (the at-scale S4 shape): a
+    binaryFile listing of .xlsx/.ods files fanned out one-task-per-file
+    through mapInPandas, each task parsing its workbook from bytes with
+    the pure-Python tiers. Output: (path, sheet, row_idx, cells) — the
+    exploded all-string cell grid, repartitionable downstream.
+
+    Workbooks are individually small and unsplittable; at 100 TB the
+    parallelism is across MILLIONS of files, which binaryFile
+    distributes by file. Reference analog: one converter invocation per
+    spreadsheet (resources/convertors/spreadsheet_to_parquet.py:108-187).
+    """
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .where(F.col("path").rlike(r"\.(xlsx|ods)$"))
+        .select("path", "content")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"path": [], "sheet": [], "row_idx": [], "cells": []}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for sheet, rows in read_workbook_bytes(
+                    fpath, bytes(content)
+                ).items():
+                    for i, row in enumerate(rows):
+                        out["path"].append(fpath)
+                        out["sheet"].append(sheet)
+                        out["row_idx"].append(i)
+                        out["cells"].append(row)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, WORKBOOK_CELLS_SCHEMA)
 
 
 def sheets_to_frames(

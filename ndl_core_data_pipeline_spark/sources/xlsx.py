@@ -131,14 +131,15 @@ def _sheet_rows(zf: zipfile.ZipFile, member: str, shared: list[str]) -> list[lis
     return [r + [""] * (width - len(r)) for r in rows]
 
 
-def read_xlsx(path: str) -> dict[str, list[list[str]]]:
+def read_xlsx(src) -> dict[str, list[list[str]]]:
     """{sanitized-unique sheet name -> rectangular rows of string cells},
     sheets in workbook order — the contract read_workbook_sheets exposes
-    and sheets_to_frames consumes."""
+    and sheets_to_frames consumes. `src` is a path or a binary file-like
+    (executors pass BytesIO over binaryFile content)."""
     from .spreadsheet import sanitize_sheet_name
 
     out: dict[str, list[list[str]]] = {}
-    with zipfile.ZipFile(path) as zf:
+    with zipfile.ZipFile(src) as zf:
         shared = _shared_strings(zf)
         for name, member in _sheet_parts(zf):
             safe = sanitize_sheet_name(name)

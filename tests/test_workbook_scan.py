@@ -1,0 +1,57 @@
+"""S4 distributed workbook fan-out: binaryFile listing -> mapInPandas
+parse-from-bytes -> exploded (path, sheet, row_idx, cells) grid."""
+
+from __future__ import annotations
+
+import shutil
+import zipfile
+
+import pytest
+
+from ndl_core_data_pipeline_spark.sources.spreadsheet import scan_workbooks
+
+from .test_ods import _CONTENT as ODS_CONTENT
+from . import test_xlsx as X
+
+
+@pytest.fixture(scope="module")
+def workbook_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("workbooks")
+    with zipfile.ZipFile(d / "a.xlsx", "w") as zf:
+        zf.writestr("[Content_Types].xml", X._CT)
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", X._WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        zf.writestr("xl/sharedStrings.xml", X._SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", X._SHEET1)
+        zf.writestr("xl/worksheets/sheet2.xml", X._SHEET2)
+    with zipfile.ZipFile(d / "b.ods", "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", ODS_CONTENT)
+    # a decoy the extension filter must skip
+    (d / "notes.txt").write_text("not a workbook")
+    return str(d)
+
+
+def test_scan_workbooks_fans_out(spark, workbook_dir):
+    df = scan_workbooks(spark, workbook_dir)
+    assert df.schema.simpleString() == (
+        "struct<path:string,sheet:string,row_idx:bigint,cells:array<string>>"
+    )
+    rows = df.collect()
+    by_sheet = {}
+    for r in rows:
+        by_sheet.setdefault((r["path"].split("/")[-1], r["sheet"]), []).append(r)
+    # xlsx contributes its 2 sheets, ods its 2; the .txt decoy none
+    assert {k[0] for k in by_sheet} == {"a.xlsx", "b.ods"}
+    assert ("a.xlsx", "Water_Level_Readings") in by_sheet
+    assert ("b.ods", "Awards_2017_18") in by_sheet
+    # cell grids round-trip identically to the single-file readers
+    water = sorted(
+        by_sheet[("a.xlsx", "Water_Level_Readings")], key=lambda r: r["row_idx"]
+    )
+    assert water[0]["cells"][:3] == ["Station", "Level", "Open"]
+    awards = sorted(
+        by_sheet[("b.ods", "Awards_2017_18")], key=lambda r: r["row_idx"]
+    )
+    assert awards[1]["cells"] == ["MPS", "Contact", "263246", "2017-11-02", "True"]
