@@ -1,0 +1,92 @@
+"""Streaming/batch parity on the REAL events table: the same
+window()/session_window() expressions, run once through the batch
+operators (oracle-certified) and once through Structured Streaming
+micro-batches, must produce identical results. This pins the §2.12
+claim that the batch oracle rows certify the streaming plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ndl_core_data_pipeline_spark.operators.eventwindows import (
+    session_window_per_user,
+    tumbling_window,
+)
+from ndl_core_data_pipeline_spark.streaming.jobs import (
+    sessionized_stream,
+    watermarked_tumbling_agg,
+)
+
+# arrival-typed schema (Spark 4.1 reads parquet TIMESTAMP(NANOS) as NTZ);
+# the cast to session-TZ timestamp mirrors io.load's events branch
+_STREAM_DDL = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+@pytest.fixture(scope="module")
+def events_landing(tmp_path_factory, sf_small):
+    # the file stream source requires a directory; stage the (small)
+    # events file into one
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_landing")
+    shutil.copy(f"{sf_small}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _events_stream(spark, landing_dir):
+    s = spark.readStream.schema(_STREAM_DDL).parquet(landing_dir)
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_complete(df, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_small, events_landing):
+    batch = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in tumbling_window(spark, sf_small).collect()
+    }
+    q = _run_complete(
+        watermarked_tumbling_agg(_events_stream(spark, events_landing)),
+        "tumb_parity",
+    )
+    try:
+        streamed = {
+            (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+            for r in spark.table("tumb_parity").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) > 0
+
+
+def test_session_stream_matches_batch(spark, sf_small, events_landing):
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_window_per_user(spark, sf_small).collect()
+    }
+    q = _run_complete(
+        sessionized_stream(_events_stream(spark, events_landing)), "sess_parity"
+    )
+    try:
+        streamed = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.table("sess_parity").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) > 0
