@@ -208,3 +208,13 @@ def test_q21_single_fact_scan(spark, sf_small):
     plan = plan_of(spark, "q21_waiting_suppliers", sf_small)
     assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_embed_hash_pruned_scan_and_partial_agg(spark, sf_small):
+    # feature-hash embedder: 2-column pruned scan, map-side partial sums
+    # into ONE keyed exchange, then the doc-keyed normalize window; no
+    # join of any kind
+    plan = plan_of(spark, "text_embed_hash", sf_small)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
