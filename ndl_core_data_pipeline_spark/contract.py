@@ -73,9 +73,9 @@ def build_registry() -> Registry:
     dedup.register_round2(reg)
     tpch.register_round2(reg)
     from .operators import training
-    before = set(reg.queries)
+
     training.register(reg)
-    _prioritize(reg, new_names=[n for n in reg.queries if n not in before])
+    _prioritize(reg)
     return reg
 
 
@@ -125,7 +125,7 @@ def _last_green_rounds() -> dict[str, int]:
     return last
 
 
-def _prioritize(reg: Registry, new_names: list[str]) -> None:
+def _prioritize(reg: Registry) -> None:
     missing = set(_FORCE_FRONT) - set(reg.queries)
     if missing:  # a typo here would silently drop a query from the rotation
         raise ValueError(f"front-list names not in registry: {sorted(missing)}")

@@ -419,14 +419,17 @@ def text_embed_hash(spark, sf_dir):
         .alias("sgn"),
     )
     raw = feat.groupBy("doc_id", "bucket").agg(F.sum("sgn").alias("raw"))
-    norm = F.sqrt(
-        F.sum(F.col("raw") * F.col("raw")).over(Window.partitionBy("doc_id"))
-    )
+    sumsq = F.sum(F.col("raw") * F.col("raw")).over(Window.partitionBy("doc_id"))
+    # zero-norm guard: a doc whose bucket sums all cancel to 0 would hit
+    # 0/0, where Spark and DuckDB disagree (NULL vs NaN) — emit 0.0
+    weight = F.when(
+        sumsq > 0, F.round(F.col("raw") / F.sqrt(sumsq), 6)
+    ).otherwise(F.lit(0.0))
     return raw.select(
         "doc_id",
         "bucket",
         F.col("raw").cast("bigint").alias("raw"),
-        F.round(F.col("raw") / norm, 6).alias("weight"),
+        weight.alias("weight"),
     )
 
 
@@ -444,10 +447,16 @@ feat AS (
          CASE WHEN {sign_hash} % 2 = 0 THEN 1 ELSE -1 END AS sgn
   FROM w
 ),
-raw AS (SELECT doc_id, bucket, SUM(sgn) AS raw FROM feat GROUP BY 1, 2)
+raw AS (SELECT doc_id, bucket, SUM(sgn) AS raw FROM feat GROUP BY 1, 2),
+normed AS (
+  SELECT doc_id, bucket, raw,
+         SUM(raw * raw) OVER (PARTITION BY doc_id) AS sumsq
+  FROM raw
+)
 SELECT doc_id, bucket, CAST(raw AS BIGINT) AS raw,
-       ROUND(raw / sqrt(SUM(raw * raw) OVER (PARTITION BY doc_id)), 6) AS weight
-FROM raw"""
+       CASE WHEN sumsq > 0 THEN ROUND(raw / sqrt(sumsq), 6)
+            ELSE 0.0 END AS weight
+FROM normed"""
 
 
 def vector_quantize_binary(spark, sf_dir):

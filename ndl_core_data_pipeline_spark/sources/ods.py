@@ -57,7 +57,10 @@ def _cell_value(cell: ET.Element) -> str:
     if vtype == "time":
         return cell.get(f"{_O}time-value", "")
     if vtype == "boolean":
-        return "True" if cell.get(f"{_O}boolean-value") == "true" else "False"
+        b = cell.get(f"{_O}boolean-value")
+        if b is None:  # malformed producer cell: fall back to display text
+            return "\n".join(_para_text(p) for p in cell.findall(f"{_X}p"))
+        return "True" if b == "true" else "False"
     return "\n".join(_para_text(p) for p in cell.findall(f"{_X}p"))
 
 
@@ -95,16 +98,12 @@ def read_ods(src) -> dict[str, list[list[str]]]:
     """{sanitized-unique sheet name -> rectangular rows of string cells},
     sheets in document order — same contract as xlsx.read_xlsx. `src` is
     a path or a binary file-like."""
-    from .spreadsheet import sanitize_sheet_name
+    from .spreadsheet import unique_sheet_name
 
     with zipfile.ZipFile(src) as zf:
         root = ET.fromstring(zf.read("content.xml"))
     out: dict[str, list[list[str]]] = {}
     for table in root.iter(f"{_T}table"):
-        safe = sanitize_sheet_name(table.get(f"{_T}name") or "sheet")
-        n, candidate = 1, safe
-        while candidate in out:
-            n += 1
-            candidate = f"{safe}_{n}"
-        out[candidate] = _table_rows(table)
+        name = table.get(f"{_T}name") or "sheet"
+        out[unique_sheet_name(name, out)] = _table_rows(table)
     return out

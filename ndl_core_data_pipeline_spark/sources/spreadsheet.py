@@ -31,11 +31,22 @@ def sanitize_sheet_name(name: str) -> str:
     return s or "sheet"
 
 
+def unique_sheet_name(name: str, taken) -> str:
+    """Sanitized sheet name, suffixed _2/_3/... on collision — shared by
+    the XLSX and ODS cell tiers so both dedupe identically."""
+    safe = sanitize_sheet_name(name)
+    n, candidate = 1, safe
+    while candidate in taken:
+        n += 1
+        candidate = f"{safe}_{n}"
+    return candidate
+
+
 def read_workbook_sheets(path: str) -> dict[str, list[list[str]]]:
     """Single-workbook read: {sheet → rectangular rows of string cells}.
     XLSX via the pure-Python SpreadsheetML tier (sources/xlsx.py), ODS
     via the OpenDocument tier (sources/ods.py)."""
-    if path.endswith(".ods"):
+    if path.lower().endswith(".ods"):
         from .ods import read_ods
 
         return read_ods(path)
@@ -50,7 +61,7 @@ def read_workbook_bytes(name: str, data: bytes) -> dict[str, list[list[str]]]:
     local to the executor)."""
     import io as _io
 
-    if name.endswith(".ods"):
+    if name.lower().endswith(".ods"):
         from .ods import read_ods
 
         return read_ods(_io.BytesIO(data))
@@ -82,8 +93,12 @@ def scan_workbooks(spark: SparkSession, path: str) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
+        # pathGlobFilter prunes at the LISTING, so non-workbook files are
+        # never read at all (binaryFile pushes down only length/modtime
+        # predicates — a post-hoc rlike on path would still load bytes)
+        .option("pathGlobFilter", "*.{xlsx,ods,XLSX,ODS}")
         .load(path)
-        .where(F.col("path").rlike(r"\.(xlsx|ods)$"))
+        .where(F.col("path").rlike(r"(?i)\.(xlsx|ods)$"))
         .select("path", "content")
     )
 

@@ -48,19 +48,30 @@ def _col_index(letters: str) -> int:
     return n - 1
 
 
+def _string_item_text(el: ET.Element) -> str:
+    """Concatenate the display <t> runs of an <si>/<is> item: plain <t>
+    or rich-text <r><t> runs. Phonetic guide runs (<rPh>, emitted by
+    Japanese-locale Excel) and <phoneticPr> are NOT display text and are
+    skipped — flattening them would corrupt the cell value."""
+    parts: list[str] = []
+    for child in el:
+        tag = child.tag
+        if tag in (f"{_NS}rPh", f"{_NS}phoneticPr"):
+            continue
+        if tag == f"{_NS}t":
+            parts.append(child.text or "")
+        else:  # <r> run (or future wrapper): recurse
+            parts.append(_string_item_text(child))
+    return "".join(parts)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         data = zf.read("xl/sharedStrings.xml")
     except KeyError:
         return []
     root = ET.fromstring(data)
-    # each <si> may be a plain <t> or rich-text runs <r><t>..</t></r>;
-    # concatenating every descendant <t> handles both (xml:space
-    # preserved automatically — ElementTree keeps text verbatim)
-    return [
-        "".join(t.text or "" for t in si.iter(f"{_NS}t"))
-        for si in root.iter(f"{_NS}si")
-    ]
+    return [_string_item_text(si) for si in root.iter(f"{_NS}si")]
 
 
 def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
@@ -90,7 +101,7 @@ def _cell_value(cell: ET.Element, shared: list[str]) -> str:
         is_el = cell.find(f"{_NS}is")
         if is_el is None:
             return ""
-        return "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+        return _string_item_text(is_el)
     v = cell.find(f"{_NS}v")
     raw = v.text if v is not None and v.text is not None else ""
     if raw == "":
@@ -107,28 +118,47 @@ def _cell_value(cell: ET.Element, shared: list[str]) -> str:
 
 
 def _sheet_rows(zf: zipfile.ZipFile, member: str, shared: list[str]) -> list[list[str]]:
+    """Rectangular rows of string cells, with the same empty-trailing
+    normalization as the ODS tier: per-row trailing empty cells and
+    trailing all-empty rows collapse, interior gaps blank-fill. Rows and
+    cells accumulate SPARSELY keyed on the r= attributes — a formatting
+    ghost cell at A1048576 (a common Excel artifact) must not
+    materialize a million empty rows inside an executor task."""
     root = ET.fromstring(zf.read(member))
     data = root.find(f"{_NS}sheetData")
     if data is None:
         return []
-    rows: list[list[str]] = []
+    sparse: dict[int, list[str]] = {}
+    next_row = 0
     for row_el in data.iter(f"{_NS}row"):
         r_attr = row_el.get("r")
-        row_idx = int(r_attr) - 1 if r_attr else len(rows)
-        while len(rows) <= row_idx:
-            rows.append([])
-        cells = rows[row_idx]
+        row_idx = int(r_attr) - 1 if r_attr else next_row
+        next_row = row_idx + 1
+        cells: list[str] = []
         next_col = 0
         for cell in row_el.iter(f"{_NS}c"):
             ref = cell.get("r")
             m = _CELL_REF.match(ref) if ref else None
             col = _col_index(m.group(1)) if m else next_col
             next_col = col + 1
-            while len(cells) <= col:
-                cells.append("")
-            cells[col] = _cell_value(cell, shared)
-    width = max((len(r) for r in rows), default=0)
-    return [r + [""] * (width - len(r)) for r in rows]
+            value = _cell_value(cell, shared)
+            if value == "":
+                continue
+            if col < len(cells):  # out-of-order ref: place, don't append
+                cells[col] = value
+            else:
+                cells.extend([""] * (col - len(cells)))
+                cells.append(value)
+        if cells:
+            sparse[row_idx] = cells
+    if not sparse:
+        return []
+    width = max(len(r) for r in sparse.values())
+    last = max(sparse)
+    return [
+        sparse.get(i, []) + [""] * (width - len(sparse.get(i, ())))
+        for i in range(last + 1)
+    ]
 
 
 def read_xlsx(src) -> dict[str, list[list[str]]]:
@@ -136,16 +166,11 @@ def read_xlsx(src) -> dict[str, list[list[str]]]:
     sheets in workbook order — the contract read_workbook_sheets exposes
     and sheets_to_frames consumes. `src` is a path or a binary file-like
     (executors pass BytesIO over binaryFile content)."""
-    from .spreadsheet import sanitize_sheet_name
+    from .spreadsheet import unique_sheet_name
 
     out: dict[str, list[list[str]]] = {}
     with zipfile.ZipFile(src) as zf:
         shared = _shared_strings(zf)
         for name, member in _sheet_parts(zf):
-            safe = sanitize_sheet_name(name)
-            n, candidate = 1, safe
-            while candidate in out:
-                n += 1
-                candidate = f"{safe}_{n}"
-            out[candidate] = _sheet_rows(zf, member, shared)
+            out[unique_sheet_name(name, out)] = _sheet_rows(zf, member, shared)
     return out

@@ -95,22 +95,17 @@ def _ods_bytes(grid: list[list[str]]) -> bytes:
     return buf.getvalue()
 
 
-def _rect(grid: list[list[str]]) -> list[list[str]]:
-    width = max(len(r) for r in grid)
-    return [r + [""] * (width - len(r)) for r in grid]
-
-
 @settings(max_examples=60, deadline=None)
 @given(_grid)
 def test_xlsx_roundtrip(grid):
     sheets = read_xlsx(io.BytesIO(_xlsx_bytes(grid)))
-    assert sheets == {"S": _rect(grid)}
+    assert sheets == {"S": _expected(grid)}
 
 
-def _ods_expected(grid: list[list[str]]) -> list[list[str]]:
-    """The documented ODS normalization: per-row trailing empty cells and
-    trailing all-empty rows collapse (pending-run design), then the kept
-    rows rectangularize to the widest kept row."""
+def _expected(grid: list[list[str]]) -> list[list[str]]:
+    """The shared tier normalization: per-row trailing empty cells and
+    trailing all-empty rows collapse (pending/sparse design), then the
+    kept rows rectangularize to the widest kept row."""
     trimmed = []
     for row in grid:
         last = max((i for i, v in enumerate(row) if v != ""), default=-1)
@@ -127,4 +122,14 @@ def _ods_expected(grid: list[list[str]]) -> list[list[str]]:
 @given(_grid)
 def test_ods_roundtrip(grid):
     sheets = read_ods(io.BytesIO(_ods_bytes(grid)))
-    assert sheets == {"S": _ods_expected(grid)}
+    assert sheets == {"S": _expected(grid)}
+
+
+@settings(max_examples=40, deadline=None)
+@given(_grid)
+def test_tiers_agree_on_same_grid(grid):
+    # the same logical workbook must parse identically from either
+    # container format (downstream type inference sees one shape)
+    x = read_xlsx(io.BytesIO(_xlsx_bytes(grid)))
+    o = read_ods(io.BytesIO(_ods_bytes(grid)))
+    assert x == o

@@ -120,6 +120,50 @@ def test_read_workbook_sheets_routes_xlsx(workbook_path):
     assert read_workbook_sheets(workbook_path) == read_xlsx(workbook_path)
 
 
+def test_phonetic_runs_skipped():
+    # Japanese-locale Excel emits <rPh> furigana runs inside <si>; they
+    # are guide text, not cell value
+    import io as _io
+    from xml.etree import ElementTree as ET
+
+    from ndl_core_data_pipeline_spark.sources.xlsx import _string_item_text
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    si = ET.fromstring(
+        f'<si xmlns="{ns}"><t>東京</t>'
+        f'<rPh sb="0" eb="2"><t>トウキョウ</t></rPh>'
+        f'<phoneticPr fontId="1"/></si>'
+    )
+    assert _string_item_text(si) == "東京"
+    rich = ET.fromstring(
+        f'<si xmlns="{ns}"><r><t>Sev</t></r><r><t>ern</t></r>'
+        f'<rPh sb="0" eb="6"><t>x</t></rPh></si>'
+    )
+    assert _string_item_text(rich) == "Severn"
+
+
+def test_ghost_cell_does_not_materialize_rows():
+    # a formatting-only cell parked at A1048576 (common Excel artifact)
+    # must not allocate a million rows
+    import io as _io
+
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c></row>'
+        '<row r="1048576"><c r="A1048576" s="1"/></row></sheetData></worksheet>'
+    )
+    wb = _WORKBOOK.replace('<sheet name="Notes/Misc" sheetId="2" r:id="rId2"/>', "")
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert read_xlsx(_io.BytesIO(buf.getvalue())) == {
+        "Water_Level_Readings": [["x"]]
+    }
+
+
 def test_xlsx_to_frames(spark, workbook_path):
     frames = sheets_to_frames(spark, read_xlsx(workbook_path))
     df = frames["Water_Level_Readings"]
