@@ -89,3 +89,44 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the standing housekeeping job of any
+    100 TB lake. Streaming ingests and fine-grained partitions leave
+    thousands of KB-sized parquet files whose per-file open/footer cost
+    dominates scans; this rewrites a directory into ceil(bytes/target)
+    files of ~target size. With `sort_col`, output files are range-
+    clustered (repartitionByRange + sortWithinPartitions) so each file
+    carries tight min/max column stats and later range filters skip
+    whole files; without it, a plain coalesce-style rewrite.
+
+    Returns {"n_files_in", "n_files_out", "bytes_in"} for the caller's
+    audit trail. Input size comes from the binaryFile LISTING (length is
+    listing metadata; content is never projected, so no bytes are read)
+    — works on any Hadoop-compatible filesystem, not just local."""
+    import math
+
+    stats = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(in_path)
+        .select(F.sum("length").alias("b"), F.count("*").alias("n"))
+        .first()
+    )
+    total = int(stats["b"] or 0)
+    n_in = int(stats["n"])
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return {"n_files_in": n_in, "n_files_out": n_out, "bytes_in": total}

@@ -188,3 +188,45 @@ def test_guess_extension_tiers():
     assert guess_extension("application/vnd.custom+weird") is None
     assert guess_extension(None) is None
     assert guess_extension("") is None
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 40 tiny files — the post-streaming-ingest shape compaction fixes
+    spark.range(0, 4000).withColumnRenamed("id", "k").repartition(40).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, out, target_file_bytes=10 * 1024 * 1024)
+    assert stats["n_files_in"] == 40 and stats["n_files_out"] == 1
+    assert stats["bytes_in"] > 0
+    got = spark.read.parquet(out)
+    assert got.count() == 4000
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+
+
+def test_compact_parquet_range_clustered(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.sinks import compact_parquet
+    import glob
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 10000).withColumnRenamed("id", "k").repartition(20).write.parquet(src)
+    out = str(tmp_path / "clustered")
+    # force multiple output files to observe the range clustering
+    compact_parquet(spark, src, out, target_file_bytes=8 * 1024, sort_col="k")
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) > 1
+    # each file's [min,max] of k must be disjoint from every other's —
+    # the property that lets range filters skip whole files
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["k"])
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks)  # sortWithinPartitions held
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
