@@ -72,9 +72,10 @@ def build_registry() -> Registry:
     textops.register_round2(reg)
     dedup.register_round2(reg)
     tpch.register_round2(reg)
-    from .operators import training
+    from .operators import bpe, training
 
     training.register(reg)
+    bpe.register(reg)
     _prioritize(reg)
     return reg
 

@@ -1,0 +1,135 @@
+"""Distributed BPE vocabulary training (SURVEY §2.14 extension).
+
+Classic byte-pair-encoding merge learning (Sennrich et al. 2016,
+public algorithm): start from characters, repeatedly merge the most
+frequent adjacent symbol pair. The scale-correct Spark shape:
+
+- The corpus collapses ONCE to a distinct-word frequency table
+  (explode + groupBy) — after that, every merge round works on the
+  vocab-sized table (10^5-10^6 rows regardless of corpus size), never
+  the corpus again. This is exactly why BPE trains on 100 TB: the
+  active set is the vocabulary, weighted by counts.
+- Each round = one keyed shuffle (pair counts, map-side combined) +
+  a ONE-ROW collect (the argmax pair) + a map-only merge application
+  (Arrow-batched pandas UDF — adjacent-pair rewriting is inherently
+  sequential per word, parallel across words).
+- Deterministic: ties break on (count desc, left asc, right asc), so
+  the learned merge sequence is reproducible at any parallelism.
+- Lineage is cut with localCheckpoint every few rounds so K rounds
+  don't stack K plans.
+
+Not SQL-expressible as one query (the merge choice each round depends
+on the previous round's data), so this ships with an exact-equivalence
+test against a pure-Python reference implementation instead of a
+DuckDB oracle; the registry entry is rows-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+END_MARK = "</w>"  # word-end marker, per the original construction
+CHECKPOINT_EVERY = 8
+
+
+def _word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    words = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("word")
+    return (
+        docs.select(words)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _symbolize(wf: DataFrame) -> DataFrame:
+    # word -> [c1, c2, ..., cn</w>]: the end marker fuses to the last
+    # character so merges can't cross word boundaries
+    syms = F.expr(
+        f"transform(split(word, ''), (c, i) -> "
+        f"IF(i = length(word) - 1, c || '{END_MARK}', c))"
+    )
+    return wf.select(F.col("word"), F.col("freq"), syms.alias("syms"))
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS left, syms[i + 1] AS right))"
+    )
+    return (
+        sym.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("count"))
+    )
+
+
+def _merge_udf(left: str, right: str):
+    merged = left + right
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def one(arr):
+            out = []
+            i, n = 0, len(arr)
+            while i < n:
+                if i + 1 < n and arr[i] == left and arr[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(arr[i])
+                    i += 1
+            return out
+
+        return syms.map(lambda a: one(list(a)))
+
+    return apply_merge
+
+
+def train_bpe_merges(
+    docs: DataFrame, n_merges: int = 32, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Learn `n_merges` BPE merges; returns [(rank, left, right, count)].
+    The driver receives ONE row per round — never the vocabulary."""
+    sym = _symbolize(_word_freqs(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(sym)
+            .orderBy(F.desc("count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append((rank, row["left"], row["right"], int(row["count"])))
+        sym = sym.withColumn(
+            "syms", _merge_udf(row["left"], row["right"])(F.col("syms"))
+        )
+        if (rank + 1) % CHECKPOINT_EVERY == 0:
+            sym = sym.localCheckpoint()
+    return merges
+
+
+def bpe_merges_query(spark, sf_dir, n_merges: int = 24):
+    """Registry form: learned merge table over the documents corpus."""
+    from ..io import load
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=n_merges)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, left STRING, right STRING, count BIGINT"
+    )
+
+
+def register(reg) -> None:
+    # iterative + data-dependent per round: rows-only driver check; exact
+    # equivalence to a pure-Python reference is pinned in tests/test_bpe.py
+    reg.add("bpe_train_merges", bpe_merges_query)
