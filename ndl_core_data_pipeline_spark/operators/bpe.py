@@ -133,3 +133,41 @@ def register(reg) -> None:
     # iterative + data-dependent per round: rows-only driver check; exact
     # equivalence to a pure-Python reference is pinned in tests/test_bpe.py
     reg.add("bpe_train_merges", bpe_merges_query)
+
+
+def encode_with_merges(
+    docs: DataFrame, merges: list[tuple[int, str, str, int]], text_col: str = "text"
+) -> DataFrame:
+    """Apply a learned merge table: adds `tokens ARRAY<STRING>` and
+    `n_tokens BIGINT`. Map-only — the merge ranks ride to executors in
+    the UDF closure (vocab-sized, the classic broadcast-side object);
+    greedy lowest-rank-first application per word, the standard BPE
+    encode. No shuffle at any size."""
+    ranks = {(left, right): rank for rank, left, right, _count in merges}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        def word_tokens(w):
+            syms = [c if i < len(w) - 1 else c + END_MARK for i, c in enumerate(w)]
+            while len(syms) >= 2:
+                best, at = None, -1
+                for i, pair in enumerate(zip(syms, syms[1:])):
+                    r = ranks.get(pair)
+                    if r is not None and (best is None or r < best):
+                        best, at = r, i
+                if best is None:
+                    break
+                syms[at : at + 2] = [syms[at] + syms[at + 1]]
+            return syms
+
+        def one(t):
+            out = []
+            for w in (t or "").lower().strip().split():
+                out.extend(word_tokens(w))
+            return out
+
+        return texts.map(one)
+
+    return docs.withColumn("tokens", encode(F.col(text_col))).withColumn(
+        "n_tokens", F.size("tokens").cast("bigint")
+    )

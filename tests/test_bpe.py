@@ -83,3 +83,28 @@ def test_registry_query_runs(spark, sf_small):
     # already below the max
     counts = [r["count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_encode_with_merges(spark):
+    from ndl_core_data_pipeline_spark.operators.bpe import encode_with_merges
+
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text STRING")
+    merges = train_bpe_merges(docs, n_merges=12)
+    out = encode_with_merges(docs, merges).collect()
+    assert len(out) == len(TEXTS)
+    for row in out:
+        # every word ends at an end-marked token; n_tokens consistent
+        assert row["n_tokens"] == len(row["tokens"])
+        assert row["tokens"][-1].endswith(END_MARK)
+        rebuilt = "".join(row["tokens"]).replace(END_MARK, " ").strip()
+        assert rebuilt == " ".join(row["text"].lower().strip().split())
+
+
+def test_encode_greedy_rank_order(spark):
+    from ndl_core_data_pipeline_spark.operators.bpe import encode_with_merges
+
+    docs = spark.createDataFrame([("low low low",)], "text STRING")
+    merges = train_bpe_merges(docs, n_merges=2)
+    out = encode_with_merges(docs, merges).first()
+    # after 2 merges on a single repeated word, tokens shrink below chars
+    assert len(out["tokens"]) < 3 * 4
