@@ -1,7 +1,12 @@
-"""Differential test: every registered query vs its DuckDB oracle at sf0.001
-(the driver runs the same comparison at sf0.01 — see __spark_entry__.py)."""
+"""Differential test: every registered query vs its DuckDB oracle.
+
+Default scale is sf0.001 (fast suite). Set SPARK_GRAFT_PARITY_SF_DIR=
+/root/testdata/sf0.01 to sweep the whole registry at the DRIVER's scale
+— the form of the sweep run before each round's registry reorder."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -15,7 +20,8 @@ ORACLES = contract.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_small, name):
-    problems = run_compare(spark, name, QUERIES[name], ORACLES.get(name), sf_small)
+    sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", sf_small)
+    problems = run_compare(spark, name, QUERIES[name], ORACLES.get(name), sf_dir)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
