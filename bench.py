@@ -104,10 +104,11 @@ def main() -> None:
     try:
         run_one(queries["q6_forecast_revenue"], spark, sf_dir)  # warm-up
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        unknown = [n for n in BENCH_QUERIES if n not in queries]
+        if unknown:  # a renamed query must fail the bench, not shrink it
+            raise KeyError(f"bench headliners missing from registry: {unknown}")
         timings: dict[str, float] = {}
         for name in BENCH_QUERIES:
-            if name not in queries:
-                continue
             # best-of-N wall clock: robust against host-level noisy
             # neighbors; per-run times still visible on stderr
             best = min(run_one(queries[name], spark, sf_dir) for _ in range(reps))
