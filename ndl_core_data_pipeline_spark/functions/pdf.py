@@ -17,12 +17,15 @@ ordinary text PDFs, from public spec knowledge only:
   (Identity-H) decode to real text; fonts without a CMap fall back to
   UTF-16BE (BOM) or Latin-1.
 
-- /DecodeParms predictors on Flate streams: PNG row filters 10-15
-  (None/Sub/Up/Average/Paeth per the public PNG spec, the form every
-  mainstream producer emits for xref/object streams) and TIFF
-  horizontal differencing (Predictor 2, 8-bit components).
+- /DecodeParms predictors on Flate and LZW streams: PNG row filters
+  10-15 (None/Sub/Up/Average/Paeth per the public PNG spec, the form
+  every mainstream producer emits for xref/object streams) and TIFF
+  horizontal differencing (Predictor 2, 8-bit components);
+- /LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width 9-12 bit
+  codes, clear/EOD markers, EarlyChange width switching — the filter
+  legacy-producer PDFs carry.
 
-Out of scope (→ the PyMuPDF tier): LZW/DCT/JBIG2 filters, encrypted
+Out of scope (→ the PyMuPDF tier): DCT/JBIG2/CCITT filters, encrypted
 files, Type3 glyph procs, vertical writing.
 """
 
@@ -100,25 +103,74 @@ def _tiff_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode (ISO 32000 §7.4.4): MSB-first bit stream, 9-bit
+    codes growing to 12, code 256 clears the table, 257 ends the data.
+    `early` is /EarlyChange (default 1: the code width bumps one code
+    before the table strictly requires it)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (bitbuf >> nbits) & ((1 << width) - 1)
+            if code == 257:  # EOD
+                return bytes(out)
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                if code >= len(table):
+                    return None  # first code must be literal
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None  # corrupt stream
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
     if b"/FlateDecode" in dict_bytes:
         try:
             raw = zlib.decompressobj().decompress(data)
         except zlib.error:
             return None
-        pred = _decode_parm(dict_bytes, b"Predictor", 1)
-        if pred >= 2:
-            columns = _decode_parm(dict_bytes, b"Columns", 1)
-            colors = _decode_parm(dict_bytes, b"Colors", 1)
-            bpc = _decode_parm(dict_bytes, b"BitsPerComponent", 8)
-            if pred >= 10:
-                raw = _png_unfilter(raw, columns, colors, bpc)
-            else:
-                raw = _tiff_unpredict(raw, columns, colors, bpc)
-        return raw
-    if b"/Filter" in dict_bytes:
+    elif b"/LZWDecode" in dict_bytes:
+        early = _decode_parm(dict_bytes, b"EarlyChange", 1)
+        raw = _lzw_decode(data, early)
+        if raw is None:
+            return None
+    elif b"/Filter" in dict_bytes:
         return None  # unsupported filter
-    return data
+    else:
+        return data
+    pred = _decode_parm(dict_bytes, b"Predictor", 1)
+    if pred >= 2:
+        columns = _decode_parm(dict_bytes, b"Columns", 1)
+        colors = _decode_parm(dict_bytes, b"Colors", 1)
+        bpc = _decode_parm(dict_bytes, b"BitsPerComponent", 8)
+        if pred >= 10:
+            raw = _png_unfilter(raw, columns, colors, bpc)
+        else:
+            raw = _tiff_unpredict(raw, columns, colors, bpc)
+    return raw
 
 
 def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
