@@ -146,21 +146,125 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     return bytes(out)
 
 
-def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
-    if b"/FlateDecode" in dict_bytes:
-        try:
-            raw = zlib.decompressobj().decompress(data)
-        except zlib.error:
+def _asciihex_decode(data: bytes) -> bytes | None:
+    """ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
+    '>' terminates; an odd final digit is padded with 0."""
+    hexdigits = []
+    for byte in data:
+        ch = chr(byte)
+        if ch == ">":
+            break
+        if ch.isspace():
+            continue
+        if ch not in "0123456789abcdefABCDEF":
             return None
-    elif b"/LZWDecode" in dict_bytes:
-        early = _decode_parm(dict_bytes, b"EarlyChange", 1)
-        raw = _lzw_decode(data, early)
+        hexdigits.append(ch)
+    if len(hexdigits) % 2:
+        hexdigits.append("0")
+    return bytes.fromhex("".join(hexdigits))
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    """ASCII85Decode (ISO 32000 §7.4.3): base-85 groups of 5 chars →
+    4 bytes, 'z' = four zero bytes, '~>' terminates, partial final
+    group allowed."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        ch = data[i]
+        if ch == 0x7E:  # '~' begins the EOD marker
+            break
+        i += 1
+        if chr(ch).isspace():
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                return None  # z inside a group is illegal
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            return None
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            val = 0
+            for d in group:
+                val = val * 85 + d
+            if val > 0xFFFFFFFF:
+                return None
+            out += val.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            return None
+        k = len(group)
+        group += [84] * (5 - k)
+        val = 0
+        for d in group:
+            val = val * 85 + d
+        out += val.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes | None:
+    """RunLengthDecode (ISO 32000 §7.4.5): n<128 → copy n+1 literal
+    bytes; n>128 → repeat next byte 257-n times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+_FILTER_NAME_RE = re.compile(
+    rb"/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|RunLengthDecode"
+    rb"|DCTDecode|JPXDecode|JBIG2Decode|CCITTFaxDecode|Crypt)"
+)
+
+
+def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
+    # filters apply as a CHAIN in written order (a /Filter array like
+    # [/ASCII85Decode /FlateDecode] is a transport encoding around a
+    # compressed stream); unknown members route the stream to the gated
+    # image-codec tier
+    names = _FILTER_NAME_RE.findall(dict_bytes)
+    if not names:
+        return None if b"/Filter" in dict_bytes else data
+    raw: bytes | None = data
+    for name in names:
         if raw is None:
             return None
-    elif b"/Filter" in dict_bytes:
-        return None  # unsupported filter
-    else:
-        return data
+        if name == b"FlateDecode":
+            try:
+                raw = zlib.decompressobj().decompress(raw)
+            except zlib.error:
+                return None
+        elif name == b"LZWDecode":
+            early = _decode_parm(dict_bytes, b"EarlyChange", 1)
+            raw = _lzw_decode(raw, early)
+        elif name == b"ASCIIHexDecode":
+            raw = _asciihex_decode(raw)
+        elif name == b"ASCII85Decode":
+            raw = _ascii85_decode(raw)
+        elif name == b"RunLengthDecode":
+            raw = _runlength_decode(raw)
+        else:
+            return None  # DCT/JPX/JBIG2/CCITT/Crypt: unsupported tier
+    if raw is None:
+        return None
     pred = _decode_parm(dict_bytes, b"Predictor", 1)
     if pred >= 2:
         columns = _decode_parm(dict_bytes, b"Columns", 1)
