@@ -34,7 +34,7 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START_RE = re.compile(rb"\bstream\r?\n")
 # group(2) present ⇒ indirect length ref and group(1) is the OBJECT NUMBER.
 # A single negative-lookahead form backtracks ('/Length 123 0 R' → '12'
@@ -277,12 +277,16 @@ def _inflate(dict_bytes: bytes, data: bytes) -> bytes | None:
     return raw
 
 
-def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+def _objects(payload: bytes, decrypt=None) -> dict[int, tuple[bytes, bytes | None]]:
     """num → (object dict/body bytes, decoded stream bytes or None).
 
     Match positions inside an already-consumed object's extent are
     skipped: compressed stream bytes can contain a false 'N 0 obj' that
-    would otherwise clobber the real object N parsed earlier."""
+    would otherwise clobber the real object N parsed earlier.
+
+    `decrypt(num, gen, raw)` is applied to raw stream bytes BEFORE filter
+    decoding when the file carries the standard security handler (the
+    filters wrap the plaintext, encryption wraps the filtered bytes)."""
     int_objs = {
         int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(payload)
     }
@@ -291,7 +295,7 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     for m in _OBJ_HEAD_RE.finditer(payload):
         if m.start() < pos:
             continue  # inside the previous object's stream/body
-        num, start = int(m.group(1)), m.end()
+        num, gen, start = int(m.group(1)), int(m.group(2)), m.end()
         em = payload.find(b"endobj", start)
         sm = _STREAM_START_RE.search(payload, start, em if em != -1 else len(payload))
         if sm is None:
@@ -317,6 +321,8 @@ def _objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             data = payload[sm.end() : data_end].rstrip(b"\r\n")
         em2 = payload.find(b"endobj", data_end)
         pos = em2 + 6 if em2 != -1 else data_end
+        if decrypt is not None:
+            data = decrypt(num, gen, data)
         objs[num] = (d, _inflate(d, data))
     # expand /ObjStm so dict-only objects inside compressed streams resolve
     for d, data in list(objs.values()):
@@ -619,11 +625,111 @@ def _page_content(objs, page_body: bytes) -> bytes:
     return b"\n".join(parts)
 
 
+# standard security handler (ISO 32000 §7.6.3): the 32-byte password pad
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = byte ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _dict_hex_string(d: bytes, key: bytes) -> bytes | None:
+    """String value for /key from an object dict: <hex> or (literal)."""
+    m = re.search(rb"/" + key + rb"\s*<([0-9a-fA-F\s]*)>", d)
+    if m:
+        h = re.sub(rb"\s", b"", m.group(1))
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode())
+    m = re.search(rb"/" + key + rb"\s*\(", d)
+    if m:
+        s, _end = _scan_literal(d, m.end() - 1)
+        return s
+    return None
+
+
+def _encryption_decryptor(payload: bytes):
+    """(decrypt_fn | None, supported: bool). Standard security handler,
+    RC4 variants V1/V2 R2/R3, EMPTY user password — the ubiquitous
+    'permissions-protected' document (print/copy restrictions, no open
+    password), common in government publications. AES (V4/V5) and
+    user-password files report unsupported → caller yields no text
+    rather than garbage."""
+    import hashlib
+
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
+    if em is None:
+        return None, True
+    num = int(em.group(1))
+    om = re.search(rb"\b%d\s+\d+\s+obj\b" % num, payload)
+    if om is None:
+        return None, False
+    d = payload[om.end() : payload.find(b"endobj", om.end())]
+    if b"/Standard" not in d:
+        return None, False
+
+    def int_entry(key: bytes, default: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+        return int(m.group(1)) if m else default
+
+    v = int_entry(b"V", 1)
+    r = int_entry(b"R", 2)
+    if v not in (1, 2) or r not in (2, 3):
+        return None, False  # AES/crypt-filter tiers unsupported
+    o_entry = _dict_hex_string(d, b"O")
+    pm = re.search(rb"/P\s+(-?\d+)", d)
+    idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>", payload)
+    if o_entry is None or pm is None or idm is None:
+        return None, False
+    p_bytes = (int(pm.group(1)) & 0xFFFFFFFF).to_bytes(4, "little")
+    id0 = bytes.fromhex(idm.group(1).decode())
+    lm = re.search(rb"/Length\s+(\d+)", d)
+    n_key = (int(lm.group(1)) // 8) if (lm and r == 3) else 5
+    h = hashlib.md5(_PW_PAD + o_entry[:32] + p_bytes + id0).digest()
+    if r == 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n_key]).digest()
+    key = h[:n_key]
+
+    def decrypt(onum: int, ogen: int, raw: bytes) -> bytes:
+        ok = hashlib.md5(
+            key + onum.to_bytes(3, "little") + ogen.to_bytes(2, "little")
+        ).digest()[: min(n_key + 5, 16)]
+        return _rc4(ok, raw)
+
+    return decrypt, True
+
+
 def pdf_text(payload: bytes) -> str:
     """Text layer of a PDF, pure Python. Page-graph driven when the page
     objects resolve; otherwise falls back to scanning every inflated
-    stream that contains BT text blocks (no font decoding)."""
-    objs = _objects(payload)
+    stream that contains BT text blocks (no font decoding). Files under
+    the standard security handler (RC4, empty user password) decrypt
+    transparently; unsupported encryption yields no text, never
+    garbage."""
+    decrypt, supported = _encryption_decryptor(payload)
+    if not supported:
+        return ""
+    objs = _objects(payload, decrypt=decrypt)
     cmap_cache: dict = {}
     pages: list[str] = []
     for num in sorted(objs):

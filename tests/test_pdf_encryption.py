@@ -1,0 +1,105 @@
+"""Standard-security-handler decryption tests (ISO 32000 §7.6.3):
+mini PDFs encrypted test-side with RC4 per Algorithms 2/3 (empty owner
+and user passwords) must extract their text layer; unsupported
+encryption must yield empty text, never garbage."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+from ndl_core_data_pipeline_spark.functions import pdf as P
+from ndl_core_data_pipeline_spark.functions import udfs
+
+ID0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
+PERMS = -3904  # typical print/copy-restricted permission bits
+
+
+def _owner_entry(r: int, n_key: int) -> bytes:
+    # Algorithm 3 with empty owner+user passwords
+    h = hashlib.md5(P._PW_PAD).digest()
+    if r == 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4key = h[:n_key]
+    o = P._rc4(rc4key, P._PW_PAD)
+    if r == 3:
+        for i in range(1, 20):
+            o = P._rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _file_key(o_entry: bytes, r: int, n_key: int) -> bytes:
+    p_bytes = (PERMS & 0xFFFFFFFF).to_bytes(4, "little")
+    h = hashlib.md5(P._PW_PAD + o_entry + p_bytes + ID0).digest()
+    if r == 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n_key]).digest()
+    return h[:n_key]
+
+
+def _obj_key(key: bytes, num: int, gen: int) -> bytes:
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
+
+
+def _encrypted_pdf(content: bytes, r: int) -> bytes:
+    v, n_key, length_bits = (1, 5, 40) if r == 2 else (2, 16, 128)
+    o_entry = _owner_entry(r, n_key)
+    key = _file_key(o_entry, r, n_key)
+    u_entry = P._rc4(key, P._PW_PAD)  # Algorithm 4 (rev 2 form)
+    comp = P._rc4(_obj_key(key, 4, 0), zlib.compress(content))
+    enc_dict = (
+        b"<</Filter/Standard/V %d/R %d/Length %d/P %d/O <%s>/U <%s>>>"
+        % (v, r, length_bits, PERMS, o_entry.hex().encode(), u_entry.hex().encode())
+    )
+    objects = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 4 0 R/MediaBox[0 0 612 792]>>",
+        b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += (
+        b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R/ID[<%s><%s>]>>\n%%%%EOF"
+        % (ID0.hex().encode(), ID0.hex().encode())
+    )
+    return bytes(out)
+
+
+CONTENT = b"BT /F1 12 Tf 72 720 Td (Restricted document text) Tj ET"
+
+
+def test_rc4_40bit_rev2_decrypts():
+    text = udfs.extract_pdf_text(_encrypted_pdf(CONTENT, r=2), ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def test_rc4_128bit_rev3_decrypts():
+    text = udfs.extract_pdf_text(_encrypted_pdf(CONTENT, r=3), ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def test_unsupported_aes_yields_empty_not_garbage():
+    pdf = _encrypted_pdf(CONTENT, r=3).replace(b"/V 2/R 3", b"/V 5/R 6")
+    assert udfs.extract_pdf_text(pdf, ocr_threshold=0) == ""
+
+
+def test_unencrypted_path_unchanged():
+    # no /Encrypt: decryptor returns (None, supported) and extraction
+    # behaves exactly as before
+    decrypt, supported = P._encryption_decryptor(b"%PDF-1.4 no encryption")
+    assert decrypt is None and supported
+
+
+def test_rc4_vector():
+    # public RC4 test vector (Key/Plaintext "Key"/"Plaintext")
+    assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
