@@ -693,8 +693,13 @@ def _encryption_decryptor(payload: bytes):
 
     v = int_entry(b"V", 1)
     r = int_entry(b"R", 2)
-    if v not in (1, 2) or r not in (2, 3):
-        return None, False  # AES/crypt-filter tiers unsupported
+    if v == 4 and r == 4:
+        # crypt-filter indirection: supported iff the filter is still
+        # RC4 (/CFM/V2); AESV2 needs an AES tier
+        if b"/AESV2" in d or b"/CFM/V2" not in re.sub(rb"\s+", b"", d):
+            return None, False
+    elif v not in (1, 2) or r not in (2, 3):
+        return None, False  # AES (V5/R5-6) unsupported
     o_entry = _dict_hex_string(d, b"O")
     pm = re.search(rb"/P\s+(-?\d+)", d)
     idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>", payload)
@@ -703,9 +708,19 @@ def _encryption_decryptor(payload: bytes):
     p_bytes = (int(pm.group(1)) & 0xFFFFFFFF).to_bytes(4, "little")
     id0 = bytes.fromhex(idm.group(1).decode())
     lm = re.search(rb"/Length\s+(\d+)", d)
-    n_key = (int(lm.group(1)) // 8) if (lm and r == 3) else 5
-    h = hashlib.md5(_PW_PAD + o_entry[:32] + p_bytes + id0).digest()
-    if r == 3:
+    if lm and r >= 3:
+        # top-level /Length is in BITS (40-128); a crypt filter's
+        # /Length is in BYTES (5-16) and may match first — magnitude
+        # disambiguates
+        lval = int(lm.group(1))
+        n_key = lval // 8 if lval >= 40 else lval
+    else:
+        n_key = 5
+    meta_suffix = b""
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", d):
+        meta_suffix = b"\xff\xff\xff\xff"
+    h = hashlib.md5(_PW_PAD + o_entry[:32] + p_bytes + id0 + meta_suffix).digest()
+    if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n_key]).digest()
     key = h[:n_key]

@@ -103,3 +103,26 @@ def test_unencrypted_path_unchanged():
 def test_rc4_vector():
     # public RC4 test vector (Key/Plaintext "Key"/"Plaintext")
     assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+
+def test_v4_r4_rc4_crypt_filter_decrypts():
+    # V4/R4 with /CFM/V2 (RC4 crypt filter) uses the R3 derivation; only
+    # AESV2 should bail
+    pdf = _encrypted_pdf(CONTENT, r=3)
+    pdf = pdf.replace(
+        b"<</Filter/Standard/V 2/R 3",
+        b"<</Filter/Standard/V 4/R 4"
+        b"/CF<</StdCF<</CFM/V2/Length 16>>>>/StmF/StdCF/StrF/StdCF",
+    )
+    text = udfs.extract_pdf_text(pdf, ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def test_v4_r4_aes_yields_empty():
+    pdf = _encrypted_pdf(CONTENT, r=3)
+    pdf = pdf.replace(
+        b"<</Filter/Standard/V 2/R 3",
+        b"<</Filter/Standard/V 4/R 4"
+        b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF",
+    )
+    assert udfs.extract_pdf_text(pdf, ocr_threshold=0) == ""
