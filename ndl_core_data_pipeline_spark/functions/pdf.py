@@ -543,6 +543,18 @@ def _content_text(content: bytes, fontmap: dict[bytes, dict | None]) -> str:
         m = _OP_RE.match(content, i)
         if m:
             op = m.group()
+            if op == b"BI":
+                # inline image: raw sample bytes follow ID until EI —
+                # binary that can contain fake BT/( tokens; skip past it
+                # (EI must be whitespace-delimited per §8.9.7)
+                idm = re.compile(rb"\bID[ \r\n]").search(content, m.end())
+                if idm is None:
+                    break
+                eim = re.compile(rb"[ \r\n\t]EI\b").search(content, idm.end())
+                if eim is None:
+                    break
+                i = eim.end()
+                continue
             if op == b"BT":
                 in_text = True
             elif op == b"ET":

@@ -87,3 +87,19 @@ def test_filter_chain_pdf_text_layer():
 def test_unknown_filter_still_routes_to_none():
     assert P._inflate(b"<</Filter/DCTDecode>>", b"\xff\xd8\xff") is None
     assert P._inflate(b"<</Filter[/FlateDecode /DCTDecode]>>", b"x") is None
+
+
+def test_inline_image_binary_skipped():
+    from ndl_core_data_pipeline_spark.functions.pdf import _content_text
+
+    # the inline image's sample bytes contain fake text tokens that a
+    # naive scan would emit
+    content = (
+        b"BT /F1 12 Tf (before) Tj ET "
+        b"BI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+        b"\x00BT (fake) Tj\xff\x01 EI "
+        b"BT (after) Tj ET"
+    )
+    text = _content_text(content, {})
+    assert "before" in text and "after" in text
+    assert "fake" not in text
