@@ -679,14 +679,37 @@ def _dict_hex_string(d: bytes, key: bytes) -> bytes | None:
     return None
 
 
-def _encryption_decryptor(payload: bytes):
-    """(decrypt_fn | None, supported: bool). Standard security handler,
-    RC4 variants V1/V2 R2/R3, EMPTY user password — the ubiquitous
-    'permissions-protected' document (print/copy restrictions, no open
-    password), common in government publications. AES (V4/V5) and
-    user-password files report unsupported → caller yields no text
-    rather than garbage."""
+def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6): SHA-256 seeded,
+    then ≥64 rounds of 64×-repeated input through AES-128-CBC with the
+    digest picking SHA-256/384/512 each round."""
     import hashlib
+
+    from . import aes
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes.cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _encryption_decryptor(payload: bytes):
+    """(decrypt_fn | None, supported: bool). Standard security handler
+    with an EMPTY user password — the ubiquitous 'permissions-protected'
+    document (print/copy restrictions, no open password), common in
+    government publications. Supported: RC4 V1/V2 R2/R3, V4/R4 crypt
+    filters (RC4 and AESV2), and V5/R6 AES-256 (AESV3). Files that
+    genuinely require a user password report unsupported → caller
+    yields no text rather than garbage."""
+    import hashlib
+
+    from . import aes
 
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
     if em is None:
@@ -705,13 +728,39 @@ def _encryption_decryptor(payload: bytes):
 
     v = int_entry(b"V", 1)
     r = int_entry(b"R", 2)
+
+    if v == 5:
+        # AES-256 (AESV3): file key unwraps from UE via the hardened
+        # hash of the (empty) user password — no doc ID involved
+        if r not in (5, 6):
+            return None, False
+        u_entry = _dict_hex_string(d, b"U")
+        ue_entry = _dict_hex_string(d, b"UE")
+        if u_entry is None or len(u_entry) < 48 or ue_entry is None:
+            return None, False
+        key_salt = u_entry[40:48]
+        ikey = _r6_hash(b"", key_salt)
+        file_key = aes.cbc_decrypt_nopad(ikey, bytes(16), ue_entry[:32])
+        # validate the empty user password against the U hash
+        if _r6_hash(b"", u_entry[32:40]) != u_entry[:32]:
+            return None, False
+
+        def decrypt_v5(onum: int, ogen: int, raw: bytes) -> bytes:
+            out = aes.cbc_decrypt(file_key, raw)
+            return out if out is not None else b""
+
+        return decrypt_v5, True
+
+    use_aes = False
     if v == 4 and r == 4:
-        # crypt-filter indirection: supported iff the filter is still
-        # RC4 (/CFM/V2); AESV2 needs an AES tier
-        if b"/AESV2" in d or b"/CFM/V2" not in re.sub(rb"\s+", b"", d):
+        # crypt-filter indirection: /CFM names the cipher
+        flat = re.sub(rb"\s+", b"", d)
+        if b"/AESV2" in flat:
+            use_aes = True
+        elif b"/CFM/V2" not in flat:
             return None, False
     elif v not in (1, 2) or r not in (2, 3):
-        return None, False  # AES (V5/R5-6) unsupported
+        return None, False
     o_entry = _dict_hex_string(d, b"O")
     pm = re.search(rb"/P\s+(-?\d+)", d)
     idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>", payload)
@@ -738,9 +787,13 @@ def _encryption_decryptor(payload: bytes):
     key = h[:n_key]
 
     def decrypt(onum: int, ogen: int, raw: bytes) -> bytes:
+        salt = b"sAlT" if use_aes else b""
         ok = hashlib.md5(
-            key + onum.to_bytes(3, "little") + ogen.to_bytes(2, "little")
+            key + onum.to_bytes(3, "little") + ogen.to_bytes(2, "little") + salt
         ).digest()[: min(n_key + 5, 16)]
+        if use_aes:
+            out = aes.cbc_decrypt(ok, raw)
+            return out if out is not None else b""
         return _rc4(ok, raw)
 
     return decrypt, True

@@ -126,3 +126,101 @@ def test_v4_r4_aes_yields_empty():
         b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF",
     )
     assert udfs.extract_pdf_text(pdf, ocr_threshold=0) == ""
+
+
+def _aesv2_pdf(content: bytes) -> bytes:
+    import zlib as _zlib
+
+    from ndl_core_data_pipeline_spark.functions import aes
+
+    n_key = 16
+    o_entry = _owner_entry(3, n_key)
+    key = _file_key(o_entry, 3, n_key)
+    okey = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+    ).digest()[:16]
+    comp = aes.cbc_encrypt(okey, b"\x01" * 16, _zlib.compress(content))
+    enc_dict = (
+        b"<</Filter/Standard/V 4/R 4/Length 128"
+        b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF"
+        b"/P %d/O <%s>/U <%s>>>"
+        % (PERMS, o_entry.hex().encode(), (b"\x00" * 32).hex().encode())
+    )
+    objects = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 4 0 R/MediaBox[0 0 612 792]>>",
+        b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += (
+        b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R/ID[<%s><%s>]>>\n%%%%EOF"
+        % (ID0.hex().encode(), ID0.hex().encode())
+    )
+    return bytes(out)
+
+
+def test_aesv2_decrypts():
+    text = udfs.extract_pdf_text(_aesv2_pdf(CONTENT), ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def _aesv3_pdf(content: bytes) -> bytes:
+    import zlib as _zlib
+
+    from ndl_core_data_pipeline_spark.functions import aes
+
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"VVVVVVVV", b"KKKKKKKK"
+    u_entry = P._r6_hash(b"", vsalt) + vsalt + ksalt
+    ikey = P._r6_hash(b"", ksalt)
+    ue_entry = aes.cbc_encrypt_nopad(ikey, bytes(16), file_key)
+    comp = aes.cbc_encrypt(file_key, b"\x02" * 16, _zlib.compress(content))
+    enc_dict = (
+        b"<</Filter/Standard/V 5/R 6/Length 256"
+        b"/CF<</StdCF<</CFM/AESV3/Length 32>>>>/StmF/StdCF/StrF/StdCF"
+        b"/P %d/U <%s>/UE <%s>/O <%s>/OE <%s>>>"
+        % (
+            PERMS,
+            u_entry.hex().encode(),
+            ue_entry.hex().encode(),
+            (b"\x00" * 48).hex().encode(),
+            (b"\x00" * 32).hex().encode(),
+        )
+    )
+    objects = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 4 0 R/MediaBox[0 0 612 792]>>",
+        b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-2.0\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R>>\n%%EOF"
+    return bytes(out)
+
+
+def test_aesv3_r6_decrypts():
+    text = udfs.extract_pdf_text(_aesv3_pdf(CONTENT), ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def test_aesv3_wrong_password_hash_yields_empty():
+    pdf = _aesv3_pdf(CONTENT)
+    # corrupt the U validation hash: empty-password check must fail closed
+    u_start = pdf.find(b"/U <") + 4
+    corrupted = pdf[:u_start] + b"00" * 4 + pdf[u_start + 8 :]
+    assert udfs.extract_pdf_text(corrupted, ocr_threshold=0) == ""
