@@ -23,10 +23,15 @@ ordinary text PDFs, from public spec knowledge only:
   horizontal differencing (Predictor 2, 8-bit components);
 - /LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width 9-12 bit
   codes, clear/EOD markers, EarlyChange width switching — the filter
-  legacy-producer PDFs carry.
+  legacy-producer PDFs carry; ASCIIHex/ASCII85/RunLength transport
+  filters and /Filter array chains;
+- standard security handler decryption for files that open WITHOUT a
+  password (RC4 V1-V4, AESV2, AES-256 AESV3 R5/R6 via the from-scratch
+  FIPS-197 AES in functions/aes.py), the empty user password validated
+  against /U so wrongly-keyed output is never emitted.
 
-Out of scope (→ the PyMuPDF tier): DCT/JBIG2/CCITT filters, encrypted
-files, Type3 glyph procs, vertical writing.
+Out of scope (→ the PyMuPDF tier): DCT/JPX/JBIG2/CCITT image filters,
+password-required files, Type3 glyph procs, vertical writing.
 """
 
 from __future__ import annotations
@@ -146,6 +151,11 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     return bytes(out)
 
 
+# PDF whitespace bytes (ISO 32000 §7.2.2): NUL HT LF FF CR SP — NOT the
+# unicode set chr().isspace() would accept (0x85/0xA0 are invalid here)
+_PDF_WS = frozenset(b"\x00\t\n\x0c\r ")
+
+
 def _asciihex_decode(data: bytes) -> bytes | None:
     """ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
     '>' terminates; an odd final digit is padded with 0."""
@@ -154,7 +164,7 @@ def _asciihex_decode(data: bytes) -> bytes | None:
         ch = chr(byte)
         if ch == ">":
             break
-        if ch.isspace():
+        if byte in _PDF_WS:
             continue
         if ch not in "0123456789abcdefABCDEF":
             return None
@@ -177,7 +187,7 @@ def _ascii85_decode(data: bytes) -> bytes | None:
         if ch == 0x7E:  # '~' begins the EOD marker
             break
         i += 1
-        if chr(ch).isspace():
+        if ch in _PDF_WS:
             continue
         if ch == 0x7A:  # 'z'
             if group:
@@ -219,6 +229,8 @@ def _runlength_decode(data: bytes) -> bytes | None:
         if length == 128:
             break
         if length < 128:
+            if i + length + 1 > n:  # truncated literal run
+                return None
             out += data[i : i + length + 1]
             i += length + 1
         else:
@@ -711,15 +723,44 @@ def _encryption_decryptor(payload: bytes):
 
     from . import aes
 
-    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
-    if em is None:
+    # trailers live at the END of the file (original + incremental
+    # updates), so take the LAST /Encrypt occurrence — a content stream
+    # earlier in the file that merely mentions '/Encrypt N 0 R' then
+    # can't shadow the real trailer entry
+    refs = list(re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload))
+    direct = list(re.finditer(rb"/Encrypt\s*<<", payload))
+    if not refs and not direct:
         return None, True
-    num = int(em.group(1))
-    om = re.search(rb"\b%d\s+\d+\s+obj\b" % num, payload)
-    if om is None:
-        return None, False
-    d = payload[om.end() : payload.find(b"endobj", om.end())]
-    if b"/Standard" not in d:
+    d = None
+    if refs and (not direct or refs[-1].start() > direct[-1].start()):
+        num = int(refs[-1].group(1))
+        # an unanchored 'N G obj' can also appear inside compressed
+        # stream bytes; accept only a match whose body carries the
+        # standard handler marker
+        for om in re.finditer(rb"\b%d\s+\d+\s+obj\b" % num, payload):
+            body = payload[om.end() : payload.find(b"endobj", om.end())]
+            if b"/Standard" in body:
+                d = body
+                break
+    else:
+        # direct inline dict in the trailer: scan to the balancing >>
+        start = direct[-1].end() - 2
+        depth = 0
+        i = start
+        while i < len(payload) - 1:
+            two = payload[i : i + 2]
+            if two == b"<<":
+                depth += 1
+                i += 2
+            elif two == b">>":
+                depth -= 1
+                i += 2
+                if depth == 0:
+                    break
+            else:
+                i += 1
+        d = payload[start:i]
+    if d is None or b"/Standard" not in d:
         return None, False
 
     def int_entry(key: bytes, default: int) -> int:
@@ -730,20 +771,28 @@ def _encryption_decryptor(payload: bytes):
     r = int_entry(b"R", 2)
 
     if v == 5:
-        # AES-256 (AESV3): file key unwraps from UE via the hardened
-        # hash of the (empty) user password — no doc ID involved
+        # AES-256 (AESV3): file key unwraps from UE via a hash of the
+        # (empty) user password — no doc ID involved. R6 (ISO) uses the
+        # Algorithm 2.B hardened hash; R5 (Acrobat 9 era) plain SHA-256.
         if r not in (5, 6):
             return None, False
+        if r == 6:
+            pw_hash = _r6_hash
+        else:
+
+            def pw_hash(password: bytes, salt: bytes) -> bytes:
+                return hashlib.sha256(password + salt).digest()
+
         u_entry = _dict_hex_string(d, b"U")
         ue_entry = _dict_hex_string(d, b"UE")
         if u_entry is None or len(u_entry) < 48 or ue_entry is None:
             return None, False
-        key_salt = u_entry[40:48]
-        ikey = _r6_hash(b"", key_salt)
-        file_key = aes.cbc_decrypt_nopad(ikey, bytes(16), ue_entry[:32])
-        # validate the empty user password against the U hash
-        if _r6_hash(b"", u_entry[32:40]) != u_entry[:32]:
+        # validate the empty user password against the U hash BEFORE
+        # emitting anything — password-required files must fail closed
+        if pw_hash(b"", u_entry[32:40]) != u_entry[:32]:
             return None, False
+        ikey = pw_hash(b"", u_entry[40:48])
+        file_key = aes.cbc_decrypt_nopad(ikey, bytes(16), ue_entry[:32])
 
         def decrypt_v5(onum: int, ogen: int, raw: bytes) -> bytes:
             out = aes.cbc_decrypt(file_key, raw)
@@ -785,6 +834,29 @@ def _encryption_decryptor(payload: bytes):
         for _ in range(50):
             h = hashlib.md5(h[:n_key]).digest()
     key = h[:n_key]
+
+    # Algorithm 6: validate the empty user password against /U so a
+    # wrongly-derived key can never emit garbage text. R2 compares the
+    # full 32-byte RC4 of the pad; R3/R4 the first 16 bytes of the
+    # salted-iterated form.
+    u_entry = _dict_hex_string(d, b"U")
+    if u_entry is None:
+        return None, False
+    if r == 2:
+        if _rc4(key, _PW_PAD) != u_entry[:32]:
+            return None, False
+    else:
+        x = hashlib.md5(_PW_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        if x != u_entry[:16]:
+            return None, False
+
+    # /StmF /Identity: streams are NOT encrypted (a strings-only
+    # producer configuration) — nothing for the stream scanner to do
+    if v == 4 and re.search(rb"/StmF\s*/Identity\b", d):
+        return None, True
 
     def decrypt(onum: int, ogen: int, raw: bytes) -> bytes:
         salt = b"sAlT" if use_aes else b""

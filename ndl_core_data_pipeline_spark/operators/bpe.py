@@ -26,6 +26,8 @@ DuckDB oracle; the registry entry is rows-only.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -33,6 +35,16 @@ from pyspark.sql.types import ArrayType, StringType
 
 END_MARK = "</w>"  # word-end marker, per the original construction
 CHECKPOINT_EVERY = 8
+
+# Python-side tokenization MUST match the Spark plan's split(lower(trim(
+# text)), '\s+'): Java regex \s is ASCII-only ([ \t\n\x0B\f\r]), so the
+# encode path splits with re.ASCII — a unicode-aware str.split() would
+# break words at NBSP/ideographic spaces that training kept intact
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def tokenize_words(text: str) -> list[str]:
+    return [w for w in _WS_RE.split((text or "").lower()) if w]
 
 
 def _word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -162,7 +174,7 @@ def encode_with_merges(
 
         def one(t):
             out = []
-            for w in (t or "").lower().strip().split():
+            for w in tokenize_words(t):
                 out.extend(word_tokens(w))
             return out
 

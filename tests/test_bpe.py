@@ -8,15 +8,17 @@ from collections import Counter
 
 from ndl_core_data_pipeline_spark.operators.bpe import (
     END_MARK,
+    tokenize_words,
     train_bpe_merges,
 )
 
 
 def _ref_bpe(texts: list[str], n_merges: int):
-    """Textbook in-memory BPE (Sennrich-style) with the same tiebreak."""
+    """Textbook in-memory BPE (Sennrich-style) with the same tiebreak
+    and the same ASCII-whitespace tokenization as the Spark plan."""
     freqs = Counter()
     for t in texts:
-        for w in t.lower().strip().split():
+        for w in tokenize_words(t):
             freqs[w] += 1
     vocab = {
         w: [c if i < len(w) - 1 else c + END_MARK for i, c in enumerate(w)]
@@ -108,3 +110,16 @@ def test_encode_greedy_rank_order(spark):
     out = encode_with_merges(docs, merges).first()
     # after 2 merges on a single repeated word, tokens shrink below chars
     assert len(out["tokens"]) < 3 * 4
+
+
+def test_nbsp_tokenization_matches_spark(spark):
+    # NBSP (common in scraped HTML) is NOT whitespace to Java regex \s;
+    # train and encode must agree on keeping it inside the word
+    texts = ["low\xa0tier low\xa0tier low tier", "wide　gap wide"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = train_bpe_merges(docs, n_merges=6)
+    assert got == _ref_bpe(texts, 6)
+    # and the divergent tokenization would actually have differed here:
+    # unicode split would break 'low\xa0tier' into two words
+    assert tokenize_words("low\xa0tier") == ["low\xa0tier"]
+    assert "low\xa0tier".split() == ["low", "tier"]

@@ -44,11 +44,22 @@ def _obj_key(key: bytes, num: int, gen: int) -> bytes:
     ).digest()[: min(len(key) + 5, 16)]
 
 
+def _user_entry(key: bytes, r: int) -> bytes:
+    # Algorithm 4 (rev 2) / Algorithm 5 (rev >= 3)
+    if r == 2:
+        return P._rc4(key, P._PW_PAD)
+    x = hashlib.md5(P._PW_PAD + ID0).digest()
+    x = P._rc4(key, x)
+    for i in range(1, 20):
+        x = P._rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16
+
+
 def _encrypted_pdf(content: bytes, r: int) -> bytes:
     v, n_key, length_bits = (1, 5, 40) if r == 2 else (2, 16, 128)
     o_entry = _owner_entry(r, n_key)
     key = _file_key(o_entry, r, n_key)
-    u_entry = P._rc4(key, P._PW_PAD)  # Algorithm 4 (rev 2 form)
+    u_entry = _user_entry(key, r)
     comp = P._rc4(_obj_key(key, 4, 0), zlib.compress(content))
     enc_dict = (
         b"<</Filter/Standard/V %d/R %d/Length %d/P %d/O <%s>/U <%s>>>"
@@ -144,7 +155,7 @@ def _aesv2_pdf(content: bytes) -> bytes:
         b"<</Filter/Standard/V 4/R 4/Length 128"
         b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF"
         b"/P %d/O <%s>/U <%s>>>"
-        % (PERMS, o_entry.hex().encode(), (b"\x00" * 32).hex().encode())
+        % (PERMS, o_entry.hex().encode(), _user_entry(key, 4).hex().encode())
     )
     objects = [
         b"<</Type/Catalog/Pages 2 0 R>>",
@@ -224,3 +235,95 @@ def test_aesv3_wrong_password_hash_yields_empty():
     u_start = pdf.find(b"/U <") + 4
     corrupted = pdf[:u_start] + b"00" * 4 + pdf[u_start + 8 :]
     assert udfs.extract_pdf_text(corrupted, ocr_threshold=0) == ""
+
+
+def test_rc4_wrong_password_fails_closed():
+    # corrupt /U: the empty-password validation must reject the file
+    # (simulates a genuinely password-protected document)
+    for r in (2, 3):
+        pdf = _encrypted_pdf(CONTENT, r=r)
+        u_start = pdf.find(b"/U <") + 4
+        corrupted = pdf[:u_start] + b"ff" * 4 + pdf[u_start + 8 :]
+        assert udfs.extract_pdf_text(corrupted, ocr_threshold=0) == ""
+
+
+def test_stmf_identity_streams_stay_plaintext():
+    # strings-only encryption: /StmF/Identity means streams are NOT
+    # encrypted; the extractor must read them as-is
+    n_key = 16
+    o_entry = _owner_entry(3, n_key)
+    key = _file_key(o_entry, 3, n_key)
+    comp = zlib.compress(CONTENT)  # plaintext stream
+    enc_dict = (
+        b"<</Filter/Standard/V 4/R 4/Length 128"
+        b"/CF<</StdCF<</CFM/V2/Length 16>>>>/StmF/Identity/StrF/StdCF"
+        b"/P %d/O <%s>/U <%s>>>"
+        % (PERMS, o_entry.hex().encode(), _user_entry(key, 4).hex().encode())
+    )
+    objects = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 4 0 R/MediaBox[0 0 612 792]>>",
+        b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += (
+        b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R/ID[<%s><%s>]>>\n%%%%EOF"
+        % (ID0.hex().encode(), ID0.hex().encode())
+    )
+    text = udfs.extract_pdf_text(bytes(out), ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def test_aesv3_r5_plain_sha256_decrypts():
+    from ndl_core_data_pipeline_spark.functions import aes
+
+    file_key = bytes(range(32, 64))
+    vsalt, ksalt = b"11111111", b"22222222"
+    u_entry = hashlib.sha256(b"" + vsalt).digest() + vsalt + ksalt
+    ikey = hashlib.sha256(b"" + ksalt).digest()
+    ue_entry = aes.cbc_encrypt_nopad(ikey, bytes(16), file_key)
+    comp = aes.cbc_encrypt(file_key, b"\x03" * 16, zlib.compress(CONTENT))
+    enc_dict = (
+        b"<</Filter/Standard/V 5/R 5/Length 256"
+        b"/P %d/U <%s>/UE <%s>>>"
+        % (PERMS, u_entry.hex().encode(), ue_entry.hex().encode())
+    )
+    objects = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 4 0 R/MediaBox[0 0 612 792]>>",
+        b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.7\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R>>\n%%EOF"
+    text = udfs.extract_pdf_text(bytes(out), ocr_threshold=0)
+    assert "Restricted document text" in text
+
+
+def test_direct_encrypt_dict_in_trailer():
+    # /Encrypt as a direct inline dictionary (legal per ISO 32000) must
+    # be detected, not treated as an unencrypted file
+    pdf = _encrypted_pdf(CONTENT, r=3)
+    # inline object 6's dict directly into the trailer
+    enc_start = pdf.find(b"6 0 obj\n") + len(b"6 0 obj\n")
+    enc_end = pdf.find(b"\nendobj", enc_start)
+    enc_dict = pdf[enc_start:enc_end]
+    pdf2 = pdf[:pdf.find(b"6 0 obj\n")] + pdf[enc_end + len(b"\nendobj\n"):]
+    pdf2 = pdf2.replace(b"/Encrypt 6 0 R", b"/Encrypt" + enc_dict)
+    text = udfs.extract_pdf_text(pdf2, ocr_threshold=0)
+    assert "Restricted document text" in text
