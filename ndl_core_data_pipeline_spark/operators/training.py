@@ -53,6 +53,9 @@ CONTAM_N = 3
 HIST_W = 32
 # feature-hashing embedder dimensionality
 EMBED_DIM = 64
+# train/val/test split percentages (must sum to 100)
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5
 
 
 def _hash48(col):
@@ -386,6 +389,37 @@ SELECT vec_id,
 FROM s, UNNEST(range(0, len(v))) AS t(i)"""
 
 
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment: the split key is
+    md5(doc_id) mod 100, so membership is stable under any partitioning,
+    cluster size, or re-run — the property that keeps eval sets fixed
+    while a 100 TB corpus is reprocessed. Emitted as per-(source, split)
+    counts so the whole allocation is the checked result; the assignment
+    itself is a pure map expression that fuses into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = _hash48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _sql_split() -> str:
+    bucket = f"{_sql_hash48('CAST(doc_id AS VARCHAR)')} % 100"
+    return f"""SELECT source,
+       CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2"""
+
+
 def text_embed_hash(spark, sf_dir):
     """V2 embedding generation, model-free tier: the feature-hashing
     trick (Weinberger et al. 2009) as one declarative plan. Each word
@@ -598,6 +632,7 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
                                       '\s+', ' ', 'g'))) <> text AS BIGINT) AS changed
 FROM documents""",
     )
+    reg.add("split_train_val_test", split_train_val_test, _sql_split())
     reg.add("text_embed_hash", text_embed_hash, _sql_embed_hash())
     reg.add("vector_quantize_int8", vector_quantize_int8, _sql_quantize_int8())
     reg.add("vector_quantize_binary", vector_quantize_binary, _sql_quantize_binary())
