@@ -40,6 +40,15 @@ def _build_parser() -> argparse.ArgumentParser:
         default=None,
         help="lay the output out as a publishable sharded dataset folder",
     )
+    cp = sub.add_parser(
+        "compact", help="rewrite a fragmented parquet dir into right-sized files"
+    )
+    cp.add_argument("--input", required=True, help="fragmented parquet directory")
+    cp.add_argument("--output", required=True, help="compacted output directory")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument(
+        "--sort-col", default=None, help="range-cluster output on this column"
+    )
     return p
 
 
@@ -78,6 +87,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 prepare_dataset(out, args.output, args.publish_name)
             else:
                 out.write.mode("overwrite").parquet(args.output)
+        elif args.cmd == "compact":
+            from .sinks import compact_parquet
+
+            stats = compact_parquet(
+                spark,
+                args.input,
+                args.output,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+                sort_col=args.sort_col,
+            )
+            print(
+                f"compacted {stats['n_files_in']} files "
+                f"({stats['bytes_in']} bytes) -> {stats['n_files_out']}"
+            )
         return 0
     finally:
         if owns_session:

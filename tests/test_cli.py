@@ -41,3 +41,20 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert got.count() == 2
     assert "identifier" in got.columns and "word_count" in got.columns
     assert got.filter(F.col("language").isNull()).count() == 0
+
+
+def test_cli_compact(spark, tmp_path):
+    import glob
+
+    from ndl_core_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 2000).repartition(25).write.parquet(src)
+    out = str(tmp_path / "packed")
+    rc = main(
+        ["compact", "--input", src, "--output", out, "--target-mb", "64"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 2000
