@@ -72,6 +72,29 @@ def masked_update(spark, sf_dir):
     )
 
 
+def pii_density(spark, sf_dir):
+    """PII density scoring: per-doc entity counts + matches per 1k chars
+    — the quality signal pipelines threshold on to drop PII-heavy docs
+    before training. Pure map-side regex counting (regexp_extract_all
+    fused into the scan stage), no Python, no shuffle."""
+    d = _with_pii(load(spark, sf_dir, "documents"))
+    n_email = F.size(
+        F.regexp_extract_all(F.col("pii_text"), F.lit(EMAIL_RE), F.lit(0))
+    )
+    n_phone = F.size(
+        F.regexp_extract_all(F.col("pii_text"), F.lit(UK_PHONE_RE), F.lit(0))
+    )
+    per_kchar = F.round(
+        (n_email + n_phone) * F.lit(1000.0) / F.length("pii_text"), 6
+    )
+    return d.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_email"),
+        n_phone.cast("bigint").alias("n_phone"),
+        per_kchar.alias("pii_per_kchar"),
+    )
+
+
 def _sql_with_pii() -> str:
     return (
         "SELECT doc_id, lang, "
@@ -93,6 +116,17 @@ def register(reg):
         "pii_anonymize_regex",
         anonymize_regex,
         f"SELECT doc_id, pii_text, {_sql_mask('pii_text')} AS anon_text "
+        f"FROM ({_sql_with_pii()}) t",
+    )
+    reg.add(
+        "pii_density",
+        pii_density,
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(pii_text, '{UK_PHONE_RE}')) AS BIGINT) AS n_phone, "
+        f"ROUND((len(regexp_extract_all(pii_text, '{EMAIL_RE}')) "
+        f"+ len(regexp_extract_all(pii_text, '{UK_PHONE_RE}'))) * 1000.0 "
+        "/ length(pii_text), 6) AS pii_per_kchar "
         f"FROM ({_sql_with_pii()}) t",
     )
     reg.add(

@@ -389,6 +389,56 @@ SELECT vec_id,
 FROM s, UNNEST(range(0, len(v))) AS t(i)"""
 
 
+def mix_source_weights(spark, sf_dir):
+    """Static domain-mixing weights (Pile/DoReMi-style): given a target
+    mixture over sources (here proportional to source index + 1, a
+    deterministic stand-in for a hand-tuned mixture), compute each
+    source's keep probability min(1, target_share x total / n_docs) —
+    the map-side downsampling rate a mixing pass applies per source.
+    One tiny keyed agg (|sources| rows) + unpartitioned window sums
+    over that tiny frame; nothing corpus-sized shuffles twice."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "target_w", F.substring("source", 4, 10).cast("bigint") + 1
+        )
+    )
+    w = Window.partitionBy()
+    share = F.col("target_w") / F.sum("target_w").over(w)
+    keep = F.round(
+        F.least(
+            F.lit(1.0), share * F.sum("n_docs").over(w) / F.col("n_docs")
+        ),
+        6,
+    )
+    return counts.select(
+        "source",
+        "n_docs",
+        "target_w",
+        keep.alias("keep_prob"),
+        F.floor(keep * F.col("n_docs")).cast("bigint").alias("exp_docs"),
+    )
+
+
+def _sql_mix() -> str:
+    return """WITH c AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(substring(source, 4) AS BIGINT) + 1 AS target_w
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, target_w,
+       ROUND(LEAST(1.0, (CAST(target_w AS DOUBLE) / SUM(target_w) OVER ())
+                        * SUM(n_docs) OVER () / n_docs), 6) AS keep_prob,
+       CAST(floor(ROUND(LEAST(1.0, (CAST(target_w AS DOUBLE) / SUM(target_w) OVER ())
+                        * SUM(n_docs) OVER () / n_docs), 6) * n_docs) AS BIGINT)
+         AS exp_docs
+FROM c"""
+
+
 def split_train_val_test(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test assignment: the split key is
     md5(doc_id) mod 100, so membership is stable under any partitioning,
@@ -633,6 +683,7 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
 FROM documents""",
     )
     reg.add("split_train_val_test", split_train_val_test, _sql_split())
+    reg.add("mix_source_weights", mix_source_weights, _sql_mix())
     reg.add("text_embed_hash", text_embed_hash, _sql_embed_hash())
     reg.add("vector_quantize_int8", vector_quantize_int8, _sql_quantize_int8())
     reg.add("vector_quantize_binary", vector_quantize_binary, _sql_quantize_binary())
