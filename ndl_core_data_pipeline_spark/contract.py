@@ -88,11 +88,9 @@ def build_registry() -> Registry:
 # few rounds instead of staying green-by-assumption. Queries whose SEMANTICS
 # changed this round are forced to the front regardless of record age — their
 # old green rows attest to the old definition.
-_FORCE_FRONT = [
-    # round 5: int8 quantization switched floor -> round-to-nearest;
-    # contamination gram dedup moved to post-hash
-    "vector_quantize_int8",
-    "contamination_ngram",
+_FORCE_FRONT: list[str] = [
+    # round 6: no semantics changes carried over; new queries sort first
+    # automatically via last_green == 0.
 ]
 
 
@@ -135,10 +133,15 @@ def _prioritize(reg: Registry) -> None:
     forced = {n: i for i, n in enumerate(_FORCE_FRONT)}
 
     def key(name: str):
-        # forced-front first (list order), then ascending last-green round
-        # (0 = never green / new this round), ties by registration order
+        # forced-front first (list order), then oracle-backed queries by
+        # ascending last-green round (0 = never green / new this round), ties
+        # by registration order. Queries WITHOUT an oracle sort last: the
+        # driver can only ever record err=no_oracle for them, so they can
+        # never earn a green row and would otherwise pin themselves to the
+        # front forever, burning a verification slot every round (their
+        # correctness evidence lives in tests/, not CORRECTNESS_r*.json).
         return (
-            0 if name in forced else 1,
+            0 if name in forced else (1 if name in reg.oracles else 2),
             forced.get(name, 0),
             last_green.get(name, 0),
             reg_index[name],

@@ -18,9 +18,43 @@ def test_forced_lead_then_stalest():
     n_forced = len(contract._FORCE_FRONT)
     assert names[:n_forced] == contract._FORCE_FRONT
     last = contract._last_green_rounds()
-    # after the forced block, ordering is non-decreasing in last-green round
-    ranks = [last.get(n, 0) for n in names[n_forced:]]
+    # after the forced block, oracle-backed queries come before oracle-less
+    # ones, and each block is non-decreasing in last-green round
+    tail = names[n_forced:]
+    backed = [n for n in tail if n in reg.oracles]
+    bare = [n for n in tail if n not in reg.oracles]
+    assert tail == backed + bare
+    ranks = [last.get(n, 0) for n in backed]
     assert ranks == sorted(ranks)
+
+
+def test_driver_window_is_all_oracle_backed():
+    """The driver verifies the first 50 queries; an oracle-less query in that
+    window can only ever record err=no_oracle, wasting the slot."""
+    reg = contract.build_registry()
+    names = list(reg.queries)
+    window = names[:50]
+    assert all(n in reg.oracles for n in window)
+    # and the window is exactly the 50 stalest oracle-backed queries
+    last = contract._last_green_rounds()
+    backed = [n for n in names if n in reg.oracles]
+    worst_in_window = max(last.get(n, 0) for n in window)
+    best_outside = min(last.get(n, 0) for n in backed[50:])
+    assert worst_in_window <= best_outside
+
+
+def test_no_query_starves_while_greens_recycle():
+    """Rotation regression: no oracle-backed query may sit >3 rounds staler
+    than a query that still holds a window slot ahead of it."""
+    reg = contract.build_registry()
+    last = contract._last_green_rounds()
+    names = [n for n in reg.queries if n in reg.oracles]
+    window, outside = names[:50], names[50:]
+    if not outside:
+        return
+    freshest_inside = max(last.get(n, 0) for n in window)
+    stalest_outside = min(last.get(n, 0) for n in outside)
+    assert freshest_inside - stalest_outside <= 3
 
 
 def test_every_query_has_oracle_or_is_declared():
