@@ -691,6 +691,24 @@ def _dict_hex_string(d: bytes, key: bytes) -> bytes | None:
     return None
 
 
+def _trailer_id0(payload: bytes) -> bytes | None:
+    """First element of the trailer /ID array — either spelling: hex
+    string ``/ID [<...> <...>]`` or the equally-legal literal-string form
+    ``/ID [(...) (...)]`` (ISO 32000-1 §14.4; both are file identifiers
+    usable in encryption key derivation)."""
+    m = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F\s]+)>", payload)
+    if m:
+        h = re.sub(rb"\s", b"", m.group(1))
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode())
+    m = re.search(rb"/ID\s*\[\s*\(", payload)
+    if m:
+        s, _end = _scan_literal(payload, m.end() - 1)
+        return s
+    return None
+
+
 def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 Algorithm 2.B hardened hash (R6): SHA-256 seeded,
     then ≥64 rounds of 64×-repeated input through AES-128-CBC with the
@@ -812,11 +830,10 @@ def _encryption_decryptor(payload: bytes):
         return None, False
     o_entry = _dict_hex_string(d, b"O")
     pm = re.search(rb"/P\s+(-?\d+)", d)
-    idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>", payload)
-    if o_entry is None or pm is None or idm is None:
+    id0 = _trailer_id0(payload)
+    if o_entry is None or pm is None or id0 is None:
         return None, False
     p_bytes = (int(pm.group(1)) & 0xFFFFFFFF).to_bytes(4, "little")
-    id0 = bytes.fromhex(idm.group(1).decode())
     lm = re.search(rb"/Length\s+(\d+)", d)
     if lm and r >= 3:
         # top-level /Length is in BITS (40-128); a crypt filter's

@@ -112,7 +112,14 @@ def compact_parquet(
     listing metadata; content is never projected, so no bytes are read)
     — works on any Hadoop-compatible filesystem, not just local."""
     import math
+    import os
 
+    # overwrite-while-reading the same directory would truncate the input
+    # mid-scan and destroy it; the CLI exposes both paths freely
+    if os.path.abspath(in_path) == os.path.abspath(out_path):
+        raise ValueError(
+            f"compact_parquet: out_path must differ from in_path ({in_path!r})"
+        )
     stats = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -122,6 +129,8 @@ def compact_parquet(
     )
     total = int(stats["b"] or 0)
     n_in = int(stats["n"])
+    if n_in == 0:  # empty dir: nothing to rewrite, and schema inference
+        return {"n_files_in": 0, "n_files_out": 0, "bytes_in": 0}  # would raise
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(in_path)
     if sort_col is not None:

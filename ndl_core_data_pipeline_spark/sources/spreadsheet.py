@@ -76,6 +76,10 @@ WORKBOOK_CELLS_SCHEMA = (
     "path string, sheet string, row_idx bigint, cells array<string>"
 )
 
+# sheet-name sentinel for unreadable workbooks: the scan keeps going and
+# the caller can route these rows to a quarantine path
+ERROR_SHEET = "__error__"
+
 
 def scan_workbooks(spark: SparkSession, path: str) -> DataFrame:
     """Distributed multi-workbook scan (the at-scale S4 shape): a
@@ -106,9 +110,19 @@ def scan_workbooks(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out = {"path": [], "sheet": [], "row_idx": [], "cells": []}
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                for sheet, rows in read_workbook_bytes(
-                    fpath, bytes(content)
-                ).items():
+                # per-file fault isolation: one corrupt/truncated workbook
+                # (BadZipFile, XML ParseError, missing content.xml, ...)
+                # must not fail a million-file scan after task retries —
+                # emit a sentinel row and keep going
+                try:
+                    sheets = read_workbook_bytes(fpath, bytes(content))
+                except Exception as exc:  # noqa: BLE001 — any parse failure
+                    out["path"].append(fpath)
+                    out["sheet"].append(ERROR_SHEET)
+                    out["row_idx"].append(-1)
+                    out["cells"].append([f"{type(exc).__name__}: {exc}"])
+                    continue
+                for sheet, rows in sheets.items():
                     for i, row in enumerate(rows):
                         out["path"].append(fpath)
                         out["sheet"].append(sheet)

@@ -327,3 +327,14 @@ def test_direct_encrypt_dict_in_trailer():
     pdf2 = pdf2.replace(b"/Encrypt 6 0 R", b"/Encrypt" + enc_dict)
     text = udfs.extract_pdf_text(pdf2, ocr_threshold=0)
     assert "Restricted document text" in text
+
+
+def test_literal_string_id_form_decrypts():
+    # trailer /ID written as literal strings (...) instead of hex <...> —
+    # equally legal per ISO 32000-1 §14.4 and must not fail closed
+    pdf = _encrypted_pdf(CONTENT, r=3)
+    hex_form = b"/ID[<%s><%s>]" % (ID0.hex().encode(), ID0.hex().encode())
+    lit_form = b"/ID[(" + ID0 + b")(" + ID0 + b")]"
+    assert hex_form in pdf
+    text = udfs.extract_pdf_text(pdf.replace(hex_form, lit_form), ocr_threshold=0)
+    assert "Restricted document text" in text

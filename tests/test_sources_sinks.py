@@ -230,3 +230,22 @@ def test_compact_parquet_range_clustered(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_compact_parquet_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from ndl_core_data_pipeline_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "same")
+    spark.range(10).write.parquet(src)
+    # in-place compaction would truncate the input mid-read: refuse
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_parquet(spark, src, src)
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_parquet(spark, src, src + "/../same")
+    # empty input dir: no-op stats, no schema-inference crash
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    stats = compact_parquet(spark, str(empty), str(tmp_path / "out"))
+    assert stats == {"n_files_in": 0, "n_files_out": 0, "bytes_in": 0}

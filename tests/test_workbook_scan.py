@@ -55,3 +55,32 @@ def test_scan_workbooks_fans_out(spark, workbook_dir):
         by_sheet[("b.ods", "Awards_2017_18")], key=lambda r: r["row_idx"]
     )
     assert awards[1]["cells"] == ["MPS", "Contact", "263246", "2017-11-02", "True"]
+
+
+def test_scan_workbooks_isolates_corrupt_files(spark, tmp_path):
+    import zipfile as _zf
+
+    from ndl_core_data_pipeline_spark.sources.spreadsheet import ERROR_SHEET
+
+    d = tmp_path / "wb"
+    d.mkdir()
+    with _zf.ZipFile(d / "good.ods", "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", ODS_CONTENT)
+    # three corruption modes: not a zip, truncated zip, zip missing content.xml
+    (d / "notzip.xlsx").write_bytes(b"PK\x03\x04 truncated garbage")
+    with _zf.ZipFile(d / "empty.ods", "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+    rows = scan_workbooks(spark, str(d)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].split("/")[-1], []).append(r)
+    # the good workbook still scans fully
+    assert any(r["sheet"] == "Awards_2017_18" for r in by_file["good.ods"])
+    # the corrupt ones yield exactly one sentinel row each, not a job failure
+    for bad in ("notzip.xlsx", "empty.ods"):
+        errs = by_file[bad]
+        assert len(errs) == 1
+        assert errs[0]["sheet"] == ERROR_SHEET
+        assert errs[0]["row_idx"] == -1
+        assert errs[0]["cells"][0]  # carries the exception message
