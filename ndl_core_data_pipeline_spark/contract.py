@@ -72,6 +72,7 @@ def build_registry() -> Registry:
     textops.register_round2(reg)
     dedup.register_round2(reg)
     tpch.register_round2(reg)
+    tpch.register_round6(reg)
     from .operators import bpe, training
 
     training.register(reg)

@@ -496,6 +496,97 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: correlated scalar subquery — for each part, the
+    EUROPE-region supplier(s) offering its minimum unit cost. The
+    part-supplier relation is derived from lineitem (no partsupp table in
+    the testdata): unit cost = MIN(l_extendedprice / l_quantity) per
+    (partkey, suppkey). The correlation `cost = (SELECT MIN(cost) ...
+    WHERE partkey = p_partkey)` decorrelates to a window-min over the
+    region-restricted set — no second scan, no per-row subquery, the
+    shape that survives 100 TB.
+    """
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
+    regional = (
+        ps.join(s, ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("partkey")
+    best = regional.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_part_value_threshold(spark, sf_dir):
+    """Q11 shape: grouped aggregate filtered by an UNCORRELATED aggregate
+    subquery — per-part shipped value from NATION_3 suppliers, keeping
+    parts whose value exceeds a fraction of the nation-wide total. The
+    scalar total broadcasts; the threshold compare happens on exact
+    decimal sums so Spark and the oracle agree bitwise."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = l.join(s, l.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    per_part = national.groupBy("l_partkey").agg(dsum(value, "part_value"))
+    total = national.agg(dsum(value, "total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.002 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q20_clean_part_suppliers(spark, sf_dir):
+    """Q20 shape: double-correlated NOT EXISTS — suppliers of 'gear'
+    parts having NO return-flagged shipment OF THAT PART (the inner
+    query correlates on BOTH suppkey and partkey). Decorrelates to a
+    composite-key LEFT ANTI join of the distinct pair relation against
+    the distinct returned-pair relation — never a per-row subquery."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    pairs = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    returned = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    clean = pairs.join(returned, ["l_suppkey", "l_partkey"], "left_anti")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        clean.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_clean_parts"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "s_acctbal", "n_clean_parts")
+        .orderBy(F.desc("n_clean_parts"), "s_name")
+    )
+
+
 def register(reg):
     reg.add(
         "q1_pricing_summary",
@@ -775,4 +866,64 @@ def register_round2(reg):
         "JOIN supplier ON l_suppkey = s_suppkey "
         "WHERE per_os.has_late = 1 AND per_o.n_supps > 1 AND per_o.n_late_supps = 1 "
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+    )
+
+
+def register_round6(reg):
+    """Round-6 additions: the three classic optimizer shapes previously
+    missing — correlated scalar subquery (Q2), aggregate-threshold
+    subquery (Q11), double-correlated NOT EXISTS (Q20)."""
+    reg.add(
+        "q2_min_cost_supplier",
+        q2_min_cost_supplier,
+        "WITH ps AS ("
+        "  SELECT l_partkey AS partkey, l_suppkey AS suppkey, "
+        "  MIN(l_extendedprice / l_quantity) AS supply_cost "
+        "  FROM lineitem GROUP BY 1, 2) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost "
+        "FROM ps JOIN supplier ON suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "JOIN part ON partkey = p_partkey "
+        "WHERE r_name = 'EUROPE' AND p_size BETWEEN 1 AND 15 "
+        "AND supply_cost = ("
+        "  SELECT MIN(ps2.supply_cost) FROM ps ps2 "
+        "  JOIN supplier s2 ON ps2.suppkey = s2.s_suppkey "
+        "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+        "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+        "  WHERE r2.r_name = 'EUROPE' AND ps2.partkey = p_partkey) "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+    )
+    reg.add(
+        "q11_part_value_threshold",
+        q11_part_value_threshold,
+        "WITH national AS ("
+        "  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v "
+        "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation ON s_nationkey = n_nationkey "
+        "  WHERE n_name = 'NATION_3') "
+        "SELECT l_partkey, "
+        f"{sql_dsum('v')} AS part_value "
+        "FROM national GROUP BY l_partkey "
+        f"HAVING {sql_dsum('v')} > 0.002 * ("
+        f"  SELECT {sql_dsum('v')} FROM national) "
+        "ORDER BY part_value DESC, l_partkey",
+    )
+    reg.add(
+        "q20_clean_part_suppliers",
+        q20_clean_part_suppliers,
+        "WITH pairs AS ("
+        "  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem "
+        "  JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%gear%'), "
+        "clean AS ("
+        "  SELECT l_suppkey, COUNT(*) AS n_clean_parts FROM pairs "
+        "  WHERE NOT EXISTS ("
+        "    SELECT 1 FROM lineitem l2 "
+        "    WHERE l2.l_suppkey = pairs.l_suppkey "
+        "    AND l2.l_partkey = pairs.l_partkey "
+        "    AND l2.l_returnflag = 'R') "
+        "  GROUP BY l_suppkey) "
+        "SELECT s_name, s_acctbal, n_clean_parts "
+        "FROM clean JOIN supplier ON l_suppkey = s_suppkey "
+        "ORDER BY n_clean_parts DESC, s_name",
     )

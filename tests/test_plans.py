@@ -218,3 +218,30 @@ def test_embed_hash_pruned_scan_and_partial_agg(spark, sf_small):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     assert "partial_sum" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q2_window_min_broadcast_dims(spark, sf_small):
+    # the correlated scalar subquery decorrelates to ONE pass: window-min
+    # over the region-restricted set, dims broadcast, no second lineitem scan
+    plan = plan_of(spark, "q2_min_cost_supplier", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem scanned ONCE (5 file indexes: l/s/n/r/p), not once per subquery
+    assert plan.count("Location: InMemoryFileIndex") <= 5
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100, no global sort
+
+
+def test_q11_threshold_is_broadcast_scalar(spark, sf_small):
+    plan = plan_of(spark, "q11_part_value_threshold", sf_small)
+    # the uncorrelated total joins as a broadcast of ONE row, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine on the per-part sums
+
+
+def test_q20_not_exists_is_anti_join(spark, sf_small):
+    plan = plan_of(spark, "q20_clean_part_suppliers", sf_small)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the 'gear' part filter reaches the part scan
+    assert "StringContains(p_name,gear)" in plan or "p_name" in plan
