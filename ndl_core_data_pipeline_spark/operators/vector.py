@@ -202,11 +202,16 @@ def ivf_cell_assignments(spark, sf_dir, cents=None):
         "cell_id",
         _sq_l2(F.col("embedding"), F.col("centroid")).alias("d2"),
     )
-    w = W.partitionBy("vec_id").orderBy("d2", "cell_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id", F.round(F.col("d2"), 6).alias("dist2"))
+    # keyed argmin via lexicographic struct-min (min_by with a (d2, cell_id)
+    # tie-break): partial aggregation collapses the K-way expansion map-side,
+    # where the former row_number() window had to sort all K rows per vector
+    # after the shuffle
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cell_id")).alias("m")
+    ).select(
+        "vec_id",
+        F.col("m.cell_id").alias("cell_id"),
+        F.round(F.col("m.d2"), 6).alias("dist2"),
     )
 
 
@@ -283,42 +288,64 @@ LSH_BAND_MASK = (1 << LSH_BAND_BITS) - 1
 EMB_NEAR_DUP_MIN_COS = 0.35
 
 
-def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS):
-    """Embedding-cosine near-duplicates with LSH-banded blocking: candidate
-    pairs collide on any of 4 4-bit bands of the 16-bit hyperplane
-    signature (no external label needed), then an exact cosine verify.
-    ONE signature computation, bucket-capped pair explosion
-    (dedup._bucket_pairs), and two keyed joins to fetch the vectors for
-    the verify — the full corpus is never self-joined.
+def _band_value_structs(emb_col, planes, n_bands: int):
+    """Per-band LSH values, each computed directly from its own
+    hyperplane subset: band b's value is Σ_k bit_{b·w+k}·2^k for band
+    width w = len(planes)/n_bands. Computing bands independently (rather
+    than slicing a monolithic signature) is what lets sig_bits exceed 63
+    — a production 128-bit signature never fits a bigint, but each of
+    its 16-bit band values does."""
+    w = len(planes) // n_bands
+    out = []
+    for bnd in range(n_bands):
+        bits = []
+        for k in range(w):
+            h = F.array(*[F.lit(v) for v in planes[bnd * w + k]])
+            h_dot = F.aggregate(
+                F.zip_with(emb_col, h, lambda x, hv: x.cast("double") * hv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**k))
+        out.append(
+            F.struct(
+                F.lit(bnd).alias("band"),
+                sum(bits[1:], bits[0]).cast("bigint").alias("bval"),
+            )
+        )
+    return out
 
-    Band-width is the scale knob: candidates per band ≈ n²/2^bits, so
-    band bits must grow with log₂(n) — production near-dup (cos ≥ 0.9)
-    uses a 128-bit signature in 8×16-bit bands, giving ~n²/65536
-    candidates at ~50% recall. The 4-bit setting here matches the
-    synthetic corpus, whose pairwise-cosine ceiling (~0.47) needs
-    permissive bands to produce any verified rows; the MAX_BUCKET_MEMBERS
-    cap bounds the worst case either way."""
+
+def lsh_near_dup_pairs(
+    emb,
+    min_cos: float,
+    sig_bits: int = LSH_SIG_BITS,
+    n_bands: int = LSH_SIG_BANDS,
+):
+    """Embedding-cosine near-duplicates with LSH-banded blocking over any
+    (vec_id, embedding) DataFrame: candidate pairs collide on any band of
+    the hyperplane signature, then an exact cosine verify. ONE pass
+    computes every band value, bucket-capped pair explosion
+    (dedup._bucket_pairs), and two keyed joins fetch the vectors for the
+    verify — the full corpus is never self-joined.
+
+    (sig_bits, n_bands) is the scale knob: candidates per band ≈
+    n²/2^(sig_bits/n_bands), so band bits must grow with log₂(n) —
+    production near-dup (cos ≥ 0.9) uses 128 bits in 8×16-bit bands,
+    giving ~n²/65536 candidates at ~50% recall (both configs pinned by
+    tests/test_search.py recall tests). The registered query's 16/4
+    setting matches the synthetic corpus, whose pairwise-cosine ceiling
+    (~0.47) needs permissive bands to produce any verified rows; the
+    MAX_BUCKET_MEMBERS cap bounds the worst case either way."""
     from .dedup import _bucket_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
-    planes = hyperplane_matrix(LSH_SIG_BITS, embedding_dim(emb))
-    sigs = emb.select(
-        "vec_id", _lsh_signature(F.col("embedding"), planes).alias("sig")
-    )
-    banded = sigs.select(
+    if sig_bits % n_bands:
+        raise ValueError(f"sig_bits {sig_bits} not divisible by n_bands {n_bands}")
+    planes = hyperplane_matrix(sig_bits, embedding_dim(emb))
+    banded = emb.select(
         "vec_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", LSH_BAND_BITS * b)
-                        .bitwiseAND(F.lit(LSH_BAND_MASK))
-                        .alias("bval"),
-                    )
-                    for b in range(LSH_SIG_BANDS)
-                ]
-            )
+            F.array(*_band_value_structs(F.col("embedding"), planes, n_bands))
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.bval")
     buckets = (
@@ -341,6 +368,15 @@ def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS)
         .join(b, "vec_b")
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cos)
+    )
+
+
+def embedding_lsh_near_dup(spark, sf_dir, min_cos: float = EMB_NEAR_DUP_MIN_COS):
+    """Registered 16-bit/4-band form of lsh_near_dup_pairs over the
+    embeddings table (band values reproduce the monolithic 16-bit
+    signature's 4-bit slices exactly, so the DuckDB oracle is unchanged)."""
+    return lsh_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), min_cos, LSH_SIG_BITS, LSH_SIG_BANDS
     )
 
 

@@ -92,3 +92,67 @@ def test_ivf_persisted_probe_partition_pruned(spark, corpus, tmp_path):
     rows = hits.collect()
     assert len(rows) == 5
     assert rows[0]["cos_sim"] == pytest.approx(1.0)  # the query vector itself
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """60 base vectors each with one noisy twin (pairwise cos ~0.92) plus
+    80 unrelated fillers — the ground-truth near-dup workload for the LSH
+    recall contract. Deterministic seed: recall floors below are pinned
+    measurements, not statistical hopes."""
+    rng = np.random.default_rng(42)
+    dim, n_base, n_fill = 32, 60, 80
+    rows, truth = [], set()
+    vid = 0
+    for _ in range(n_base):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        w = v + rng.normal(0, 0.075, size=dim)
+        w /= np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        if float(v @ w) >= 0.9:
+            truth.add((vid, vid + 1))
+        vid += 2
+    for _ in range(n_fill):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    return df, truth
+
+
+def _lsh_recall(df, truth, sig_bits, n_bands):
+    from ndl_core_data_pipeline_spark.operators.vector import lsh_near_dup_pairs
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_near_dup_pairs(
+            df, min_cos=0.9, sig_bits=sig_bits, n_bands=n_bands
+        ).collect()
+    }
+    assert got <= truth  # exact verify: no false positives ever
+    return len(got & truth) / len(truth)
+
+
+def test_lsh_near_dup_recall_production_config(near_dup_corpus):
+    # 128-bit / 8×16-bit bands — the at-scale setting: ~n²/65536
+    # candidates; on ~0.92-cos twins the banded recall lands ~50-70%
+    df, truth = near_dup_corpus
+    assert len(truth) >= 40
+    assert _lsh_recall(df, truth, sig_bits=128, n_bands=8) >= 0.45
+
+
+def test_lsh_near_dup_recall_synthetic_config(near_dup_corpus):
+    # 16-bit / 4×4-bit bands — the registered-query setting: permissive
+    # bands, near-complete recall on 0.9-cos twins
+    df, truth = near_dup_corpus
+    assert _lsh_recall(df, truth, sig_bits=16, n_bands=4) >= 0.9
+
+
+def test_lsh_rejects_indivisible_bands(near_dup_corpus):
+    from ndl_core_data_pipeline_spark.operators.vector import lsh_near_dup_pairs
+
+    df, _ = near_dup_corpus
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_near_dup_pairs(df, min_cos=0.9, sig_bits=128, n_bands=7)
