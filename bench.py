@@ -50,7 +50,57 @@ BENCH_QUERIES = [
     "topk_per_group",
     "setop_union_all",
     "agg_cube",
+    # distributed BPE train (24 merge rounds over documents) — the one
+    # iterative-driver-loop headliner; regressions in the per-round keyed
+    # shuffle or the ONE-row collects show up here
+    "bpe_train_merges",
 ]
+
+
+def _bench_pdf(lines: int, seed: int) -> bytes:
+    """Minimal single-page flate-compressed PDF with `lines` text lines —
+    the bench corpus generator for the distributed PDF scan (matches the
+    shape of tests/test_pdf._mini_pdf)."""
+    import zlib
+
+    body = b" ".join(
+        b"(doc %d line %d with some words) Tj 0 -12 Td" % (seed, i)
+        for i in range(lines)
+    )
+    comp = zlib.compress(b"BT /F1 10 Tf 72 760 Td " + body + b" ET")
+    objects = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/Resources<</Font<</F1 5 0 R>>>>"
+        b"/Contents 4 0 R/MediaBox[0 0 612 792]>>",
+        b"<</Length %d/Filter/FlateDecode>>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<</Size %d/Root 1 0 R>>\n%%%%EOF" % (len(objects) + 1)
+    return bytes(out)
+
+
+def setup_pdf_scan(spark, sf_dir: str, tmp: str):
+    """PDF text-extraction micro-bench: 256 synthetic flate-compressed
+    documents written once, then the timed path is the real distributed
+    scan (binaryFile listing -> mapInPandas pure-Python extraction)."""
+    from ndl_core_data_pipeline_spark.sources.pdfs import scan_pdfs
+
+    corpus = os.path.join(tmp, "pdf_corpus")
+    os.makedirs(corpus, exist_ok=True)
+    for i in range(256):
+        with open(os.path.join(corpus, f"doc_{i:04d}.pdf"), "wb") as fh:
+            fh.write(_bench_pdf(lines=40 + (i % 7) * 10, seed=i))
+
+    def timed(spark, sf_dir):
+        return scan_pdfs(spark, corpus)
+
+    return timed
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
@@ -85,7 +135,7 @@ def setup_ivf_probe(spark, sf_dir: str, tmp: str):
 
 # build-once / probe-many entries: setup runs untimed, the returned
 # callable is what the reps measure
-SETUP_BENCH = {"vector_ivf_probe": setup_ivf_probe}
+SETUP_BENCH = {"vector_ivf_probe": setup_ivf_probe, "pdf_text_scan": setup_pdf_scan}
 
 
 def main() -> None:
