@@ -1,5 +1,8 @@
 from .jobs import (
     available_now_ingest,
+    late_data_metrics,
+    observed_tumbling_agg,
+    stream_stream_join,
     foreach_batch_writer,
     sessionized_stream,
     stateful_running_totals,
@@ -10,6 +13,9 @@ from .jobs import (
 
 __all__ = [
     "available_now_ingest",
+    "late_data_metrics",
+    "observed_tumbling_agg",
+    "stream_stream_join",
     "foreach_batch_writer",
     "sessionized_stream",
     "stateful_running_totals",

@@ -150,6 +150,87 @@ def foreach_batch_writer(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-bound correlation: each left
+    event matches right events of the same user arriving within
+    `max_delay` AFTER it (view→click attribution shape). BOTH sides carry
+    watermarks and the join condition bounds event time on both ends —
+    that pair is what lets Spark expire join state instead of buffering
+    the streams forever (the only stream-stream shape that survives an
+    unbounded feed)."""
+    l = left.select(
+        F.col("user_id"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    r = right.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            "user_id = r_user_id AND right_ts >= left_ts "
+            f"AND right_ts <= left_ts + interval {max_delay}"
+        ),
+    ).select("user_id", "left_id", "right_id", "left_ts", "right_ts")
+
+
+def observed_tumbling_agg(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """watermarked_tumbling_agg with per-micro-batch observability:
+    observe() counts input rows and event-time bounds BEFORE the stateful
+    aggregation, so every StreamingQueryProgress carries (n_input,
+    min_ts, max_ts) alongside the state operator's
+    numRowsDroppedByWatermark — together the complete late-data audit
+    (how much arrived, how late, how much the watermark discarded).
+
+    NB: the watermark a micro-batch filters with derives from data at
+    least one batch earlier, so a straggler is only guaranteed dropped
+    once a FULL batch has run after the data that advanced the watermark
+    past it (pinned in tests/test_streaming.py)."""
+    observed = stream.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("n_input"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    return watermarked_tumbling_agg(observed, window=window, watermark=watermark)
+
+
+def late_data_metrics(query) -> dict:
+    """Late-data audit extracted from a StreamingQuery's progress history:
+    total observed input rows, total rows the watermark dropped, and the
+    per-batch observed event-time bounds. Works on a finished
+    AvailableNow run or a live query."""
+    import json as _json
+
+    n_input, dropped, batches = 0, 0, []
+    for prog in query.recentProgress:
+        p = _json.loads(prog.json) if hasattr(prog, "json") else prog
+        for so in p.get("stateOperators", []):
+            dropped += int(so.get("numRowsDroppedByWatermark", 0) or 0)
+        om = (p.get("observedMetrics") or {}).get("ingest")
+        if om and om.get("n_input"):
+            n_input += int(om["n_input"])
+            batches.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "n_input": int(om["n_input"]),
+                    "min_ts": om.get("min_ts"),
+                    "max_ts": om.get("max_ts"),
+                }
+            )
+    return {"n_input": n_input, "n_late_dropped": dropped, "batches": batches}
+
+
 def sessionized_stream(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -187,3 +187,103 @@ def test_foreach_batch_writer_idempotent_layout(spark, tmp_path):
     # in-batch duplicates collapsed; batch_id partition column present
     assert got.count() == 3
     assert "batch_id" in got.columns
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.streaming import stream_stream_join
+
+    rows = [
+        # view at 10:00 → clicks at 10:10 (in window) and 11:05 (outside 30m)
+        {"event_id": 10, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T10:10:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 12, "ts": "2024-01-01T11:05:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        # other user's click in-window but wrong key: must not match
+        {"event_id": 13, "ts": "2024-01-01T10:05:00.000Z", "user_id": 2, "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    d = tmp_path / "ssj"
+    d.mkdir()
+    _write_events(d / "events.json", rows)
+
+    def src():
+        return spark.readStream.format("json").schema(EVENTS_DDL).load(str(d))
+
+    views = src().filter(F.col("event_type") == "view")
+    clicks = src().filter(F.col("event_type") == "click")
+    q = (
+        stream_stream_join(views, clicks, max_delay="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_result")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in spark.sql("SELECT * FROM ssj_result").collect()
+    }
+    assert got == {(1, 10, 11)}
+
+
+def test_late_data_metrics_counts_watermark_drops(spark, tmp_path):
+    import time
+
+    from ndl_core_data_pipeline_spark.streaming import (
+        late_data_metrics,
+        observed_tumbling_agg,
+    )
+
+    d = tmp_path / "late"
+    d.mkdir()
+    # the watermark a batch FILTERS with is the one derived from data at
+    # least one batch earlier (progress reports the advanced value a batch
+    # before the filter applies it) — so the straggler goes in file 3:
+    # file 1 advances event time to 12:00, file 2 to 12:30, and by file
+    # 3's batch the 11:50+ watermark is in force and drops the 09:00 row
+    _write_events(
+        d / "a_first.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T12:00:00.000Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        ],
+    )
+    time.sleep(1.1)  # distinct mtimes: the file source orders batches by mtime
+    _write_events(
+        d / "b_second.json",
+        [
+            {"event_id": 2, "ts": "2024-01-01T12:30:00.000Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        ],
+    )
+    time.sleep(1.1)
+    _write_events(
+        d / "c_third.json",
+        [
+            {"event_id": 3, "ts": "2024-01-01T09:00:00.000Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        ],
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    # update mode: late rows behind the watermark are DROPPED (complete
+    # mode keeps all state and never drops — no late-data semantics there)
+    q = (
+        observed_tumbling_agg(stream, watermark="10 minutes")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_result")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = late_data_metrics(q)
+    assert m["n_input"] == 3  # observe() sees every arriving row
+    assert m["n_late_dropped"] >= 1  # the 09:00 straggler died at the watermark
+    assert len(m["batches"]) >= 3
+    # the dropped row never reached the state: no 09:00 window exists
+    starts = {
+        r["window_start"].isoformat()
+        for r in spark.sql("SELECT * FROM late_result").collect()
+    }
+    assert "2024-01-01T09:00:00" not in starts
