@@ -77,6 +77,8 @@ def build_registry() -> Registry:
 
     training.register(reg)
     bpe.register(reg)
+    textops.register_round6(reg)
+    training.register_round6(reg)
     _prioritize(reg)
     return reg
 

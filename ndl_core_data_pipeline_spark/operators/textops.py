@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import rebalance_narrow_scan
+from ._util import davg, rebalance_narrow_scan
 
 # reference license map (assets/processing/assets.py:299-315): lowercase
 # lookup with default "OGL-UK-3.0"
@@ -708,4 +708,156 @@ FROM events""",
  CAST(p_size AS VARCHAR) || '.25 %' AS dirty_pct,
  CAST(regexp_replace(CAST(p_size AS VARCHAR) || '.25 %', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_pct
 FROM part""",
+    )
+
+
+# --------------------------------------------------- corpus statistics (r6)
+
+TFIDF_TOPK = 3  # keywords emitted per document
+
+
+def tfidf_topk(spark, sf_dir):
+    """TF-IDF keyword extraction: per-document top-3 terms by
+    tf · ln((N+1)/(df+1)) (smoothed idf). The corpus pass is two keyed
+    aggregations (term frequency per doc, document frequency per term)
+    joined on the term key, with the N scalar broadcast — tf-idf at
+    100 TB is exactly this shape, no collect, no cross join. Ties break
+    alphabetically for determinism."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        words.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+    )
+
+
+BIGRAM_SMOOTH_K = 0.5  # add-k smoothing mass
+
+
+def bigram_nll(spark, sf_dir):
+    """CCNet-style n-gram LM quality scoring, fully in-engine: train an
+    add-k-smoothed word-bigram model on the corpus itself, then score
+    every document by its average negative log-likelihood
+    -ln((C(w1,w2)+k)/(C(w1)+k·V)) — high avg_nll = text the corpus LM
+    finds improbable (the perplexity-filter signal, reference-free).
+    Plan shape at 100 TB: bigram and unigram count tables are keyed
+    aggregations; scoring joins the document bigrams back on those keys
+    (equi-joins, broadcast V scalar) — the model IS a DataFrame, never
+    driver-side state. Per-bigram nll is rounded to 4 dp BEFORE the
+    decimal-cast average so sub-ulp libm differences between engines
+    can't flip the order-independent sum."""
+    docs = load(spark, sf_dir, "documents")
+    words_col = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", words_col.alias("ws")).filter(F.size("ws") >= 2)
+    uni = toks.select(F.explode("ws").alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("c1")
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    k = BIGRAM_SMOOTH_K
+    nll = F.round(
+        -F.log((F.col("c12") + k) / (F.col("c1") + k * F.col("v"))), 4
+    )
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    # NO final rounding: the decimal sum is exact and the double division
+    # bit-identical in both engines, but ROUND of a result that lands
+    # exactly on a 4-dp tie resolves differently (Spark HALF_UP vs
+    # DuckDB's double rounding) — emitting the raw quotient sidesteps it
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        davg(F.col("nll"), "avg_nll", dec="decimal(25,4)"),
+    )
+
+
+def register_round6(reg):
+    """Round-6 additions: corpus-statistics quality scoring."""
+    reg.add(
+        "text_tfidf_topk",
+        tfidf_topk,
+        r"""WITH words AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln((n_docs + 1) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tf, df, tfidf FROM ranked WHERE rnk <= 3""",
+    )
+    reg.add(
+        "text_bigram_nll",
+        bigram_nll,
+        rf"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+),
+uni AS (
+  SELECT t.w1, COUNT(*) AS c1
+  FROM toks, UNNEST(toks.ws) AS t(w1) GROUP BY t.w1
+),
+bi AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+scored AS (
+  SELECT doc_id,
+         ROUND(-ln((c12 + {BIGRAM_SMOOTH_K}) / (c1 + {BIGRAM_SMOOTH_K} * v)), 4) AS nll
+  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1), vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(nll AS DECIMAL(25,4))) AS DOUBLE) / COUNT(nll) AS avg_nll
+FROM scored GROUP BY doc_id""",
     )

@@ -696,3 +696,114 @@ FROM documents""",
        ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS share
 FROM documents GROUP BY 1 ORDER BY bucket""",
     )
+
+
+# ------------------------------------------------- block-rewrite dedup (r6)
+
+
+def dedup_block_rewrite(spark, sf_dir):
+    """Exact-substring deduplication WITH document rewriting (the Lee
+    et al. deduplicate-text-datasets semantics at BLOCK_W-word
+    granularity): every duplicated 10-word block keeps only its first
+    global occurrence (ordered by doc_id, then block position); all
+    later occurrences are cut and the surviving blocks plus the <10-word
+    tail reassemble into the cleaned text.
+
+    Plan shape for 100 TB: map-only block split, ONE shuffle keyed on
+    the 48-bit block hash for the first-occurrence rank, one keyed
+    re-aggregation per doc to reassemble — text travels exactly twice
+    (to the rank, back to the doc), never through a self-join."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_blocks = F.floor(F.size(words) / BLOCK_W).cast("int")
+    tail = F.concat_ws(
+        " ", F.slice(words, n_blocks * BLOCK_W + 1, F.size(words) - n_blocks * BLOCK_W)
+    )
+    base = docs.select(
+        "doc_id", words.alias("ws"), n_blocks.alias("nb"), tail.alias("tail")
+    )
+    blocks = base.filter(F.col("nb") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nb") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i * BLOCK_W + 1, BLOCK_W)),
+            )
+        ).alias("idx", "block"),
+    ).withColumn("block_hash", _hash48(F.col("block")))
+    w = W.partitionBy("block_hash").orderBy("doc_id", "idx")
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("idx", "block"))).alias("kb"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.concat_ws(" ", F.transform("kb", lambda s: s["block"])).alias("kept_text"),
+        )
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nb").cast("bigint").alias("n_blocks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.array(F.col("kept_text"), F.col("tail")),
+                    lambda x: x.isNotNull() & (x != ""),
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+def register_round6(reg):
+    """Round-6 additions: rewriting exact-substring dedup."""
+    reg.add(
+        "dedup_block_rewrite",
+        dedup_block_rewrite,
+        rf"""WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws,
+         CAST(floor(len(string_split_regex(lower(trim(text)), '\s+'))
+              / {BLOCK_W}) AS INT) AS nb
+  FROM documents
+),
+based AS (
+  SELECT doc_id, ws, nb,
+         COALESCE(array_to_string(ws[nb * {BLOCK_W} + 1 : len(ws)], ' '), '') AS tail
+  FROM base
+),
+blocks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[i * {BLOCK_W} + 1 : (i + 1) * {BLOCK_W}], ' ') AS block
+  FROM based, UNNEST(range(0, nb)) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, idx, block,
+         ROW_NUMBER() OVER (PARTITION BY {_sql_hash48('block')}
+                            ORDER BY doc_id, idx) AS rn
+  FROM blocks
+),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(block, ' ' ORDER BY idx) AS kept_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CASE
+         WHEN k.kept_text IS NOT NULL AND b.tail <> ''
+           THEN k.kept_text || ' ' || b.tail
+         WHEN k.kept_text IS NOT NULL THEN k.kept_text
+         ELSE b.tail
+       END AS clean_text
+FROM based b LEFT JOIN kept k ON b.doc_id = k.doc_id""",
+    )

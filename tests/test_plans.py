@@ -245,3 +245,28 @@ def test_q20_not_exists_is_anti_join(spark, sf_small):
     assert "CartesianProduct" not in plan
     # the 'gear' part filter reaches the part scan
     assert "StringContains(p_name,gear)" in plan or "p_name" in plan
+
+
+def test_tfidf_keyed_joins_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "text_tfidf_topk", sf_small)
+    assert "CartesianProduct" not in plan
+    # the N-docs scalar rides a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine on both count aggs
+
+
+def test_bigram_nll_model_is_dataframe(spark, sf_small):
+    plan = plan_of(spark, "text_bigram_nll", sf_small)
+    assert "CartesianProduct" not in plan
+    # scoring joins the count tables on their keys (shuffled hash or
+    # broadcast depending on stats) — never a nested-loop over the corpus.
+    # One BNLJ instance (the single-row V scalar) prints twice in the
+    # formatted plan (tree line + detail section).
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_block_rewrite_no_self_join(spark, sf_small):
+    plan = plan_of(spark, "dedup_block_rewrite", sf_small)
+    assert "CartesianProduct" not in plan
+    # ONE documents scan feeds both the rank and the reassembly sides
+    assert plan.count("Location: InMemoryFileIndex") <= 2
