@@ -79,6 +79,8 @@ def build_registry() -> Registry:
     bpe.register(reg)
     textops.register_round6(reg)
     training.register_round6(reg)
+    joins.register_round6(reg)
+    aggregates.register_round6(reg)
     _prioritize(reg)
     return reg
 

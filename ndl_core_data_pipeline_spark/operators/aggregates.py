@@ -248,3 +248,79 @@ def register(reg):
         f"{filled_case} AS qty_filled "
         "FROM lineitem GROUP BY l_returnflag",
     )
+
+
+def mode_per_group(spark, sf_dir):
+    """Deterministic per-group mode: most frequent c_nationkey per market
+    segment, ties broken by smallest key. Built-in `F.mode` is
+    tie-nondeterministic, so the operator is expressed as the two-level
+    plan a 100 TB engine wants anyway: keyed count (map-side partial agg
+    collapses the fact table) then a per-group argmax via max_by over a
+    (count, -key) struct — no window sort over the full count table."""
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("c_mktsegment").agg(
+        F.max_by(
+            F.struct(F.col("c_nationkey").alias("k"), F.col("cnt").alias("c")),
+            F.struct(F.col("cnt"), -F.col("c_nationkey")),
+        ).alias("m")
+    ).select(
+        "c_mktsegment",
+        F.col("m.k").alias("mode_nationkey"),
+        F.col("m.c").alias("mode_count"),
+    )
+
+
+HIST_WIDTH = 25.0  # events.value spans ~0..500; 20 fixed-width buckets
+HIST_BUCKETS = 20
+
+
+def value_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram over events.value — the profiling
+    primitive behind range-partition planning and outlier triage. Bucket
+    index is pure map-side arithmetic (floor(value/width), clamped to the
+    top bucket), so the plan is scan → partial agg → 20-row final agg;
+    at 100 TB nothing but 20-row partials ever shuffles."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+    ).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("bucket_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n",
+            "bucket_value",
+        )
+    )
+
+
+def register_round6(reg):
+    """Round-6 aggregate additions: deterministic mode, fixed-width
+    histogram."""
+    reg.add(
+        "agg_mode_per_group",
+        mode_per_group,
+        "WITH counts AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt "
+        "FROM customer GROUP BY c_mktsegment, c_nationkey), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY cnt DESC, c_nationkey ASC) AS rnk FROM counts) "
+        "SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count "
+        "FROM ranked WHERE rnk = 1",
+    )
+    reg.add(
+        "agg_value_histogram",
+        value_histogram,
+        "SELECT bucket, bucket * 25.0 AS lo, (bucket + 1) * 25.0 AS hi, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS bucket_value "
+        "FROM (SELECT LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bucket, "
+        "value FROM events) GROUP BY bucket",
+    )

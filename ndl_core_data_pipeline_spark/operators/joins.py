@@ -136,6 +136,129 @@ def asof_join_last_view(spark, sf_dir):
     )
 
 
+RANGE_BIN_US = 3600 * 1_000_000  # 1-hour bins = the join radius
+
+
+def range_join_binned(spark, sf_dir):
+    """Binned time-range join — the fact×fact scale path the broadcast
+    nested-loop `join_theta_range` can't take. For each purchase event,
+    count/total the view events (any user) within ±1 h. Naive form is an
+    O(n·m) interval predicate; here each side is hashed into 1-hour epoch
+    bins, the purchase side explodes into its 3 candidate bins
+    (bin−1, bin, bin+1), and the join is a plain EQUI-join on the bin key
+    followed by the exact |Δt| ≤ 1 h filter. A given (purchase, view) pair
+    can match on at most one exploded bin (the view's own), so no dedup
+    step is needed. At 100 TB this is a shuffle-partitioned hash join on
+    the bin key — candidate pairs scale with true temporal density, never
+    n·m. Engine surface beyond the reference's J-rows (SURVEY §2.4)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"),
+        us.alias("v_us"),
+        F.floor(us / RANGE_BIN_US).alias("bin"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", us.alias("p_us"), F.floor(us / RANGE_BIN_US).alias("p_bin"))
+        .withColumn("bin", F.explode(F.array(F.col("p_bin") - 1, F.col("p_bin"), F.col("p_bin") + 1)))
+    )
+    joined = purchases.join(
+        views,
+        (purchases.bin == views.bin)
+        & (F.abs(purchases.p_us - views.v_us) <= RANGE_BIN_US),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("v_id").alias("n_views_1h"),
+        F.coalesce(
+            F.sum(F.col("v_value").cast("decimal(25,6)")).cast("double"), F.lit(0.0)
+        ).alias("view_value_1h"),
+    )
+
+
+N_SALTS = 8  # skew fan-out: hottest key splits across 8 reducers
+
+
+def salted_skew_join(spark, sf_dir):
+    """Salt-split skewed equi-join: events (big, user_id possibly skewed —
+    one bot user can be 10% of a 100 TB log) joined to a per-user profile
+    (also keyed on user_id, too big to broadcast at scale). A plain
+    shuffle join puts every row of a hot key on ONE reducer; salting
+    appends `event_id % N_SALTS` to the big side's key and explodes the
+    profile side ×N_SALTS, so each hot key spreads over N_SALTS reducers.
+    Results are identical to the unsalted join — the oracle IS the plain
+    join. (AQE skew-join does this adaptively; the explicit form works in
+    any deployment and for first-shuffle skew AQE can't see.)"""
+    ev = load(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("user_value"),
+    )
+    exploded = profile.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)]))
+    )
+    big = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "salt", (F.col("event_id") % N_SALTS).cast("int")
+    )
+    return (
+        big.join(exploded, ["user_id", "salt"])
+        .select("event_id", "user_id", "n_events", "user_value")
+    )
+
+
+def merge_upsert_latest(spark, sf_dir):
+    """MERGE / upsert (latest-wins): apply a change set (updates to
+    existing keys + brand-new keys) onto a base table in one pass — the
+    lakehouse MERGE INTO shape, expressed engine-level as a single
+    full-outer shuffle join on the key with COALESCE(update, base) per
+    column and a row-op tag. Both sides shuffle once on o_orderkey; at
+    100 TB the base would be bucketed on the key so only the (much
+    smaller) change set moves. Change set here is synthesized
+    deterministically from orders: keys %7==0 get a price+10% restatement,
+    keys %97==0 arrive as new (negated-key) rows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    updates = (
+        o.filter(F.col("key") % 7 == 0)
+        .select(
+            "key",
+            F.lit("U").alias("u_status"),
+            # exact decimal restatement: double×double then round ties
+            # differently across engines; decimal(18,2)×decimal(3,2) is
+            # exact and rounds identically in Spark and DuckDB
+            F.round(
+                F.col("totalprice").cast("decimal(18,2)")
+                * F.lit(1.10).cast("decimal(3,2)"),
+                2,
+            )
+            .cast("double")
+            .alias("u_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("key") % 97 == 0).select(
+                (-F.col("key")).alias("key"),
+                F.lit("N").alias("u_status"),
+                F.col("totalprice").alias("u_totalprice"),
+            )
+        )
+    )
+    merged = o.join(updates, "key", "full_outer")
+    return merged.select(
+        "key",
+        F.coalesce(F.col("u_status"), F.col("status")).alias("status"),
+        F.coalesce(F.col("u_totalprice"), F.col("totalprice")).alias("totalprice"),
+        F.when(F.col("u_status").isNull(), "keep")
+        .when(F.col("status").isNull(), "insert")
+        .otherwise("update")
+        .alias("row_op"),
+    )
+
+
 def register(reg):
     reg.add(
         "join_inner_equi",
@@ -200,4 +323,49 @@ def register(reg):
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
         ") t WHERE event_type = 'purchase'",
+    )
+
+
+def register_round6(reg):
+    """Round-6 join-family additions: the three shuffle-strategy shapes a
+    100 TB deployment leans on (binned range join, salt-split skew join,
+    full-outer MERGE)."""
+    reg.add(
+        "join_range_binned",
+        range_join_binned,
+        "SELECT p.event_id, p.user_id, COUNT(v.event_id) AS n_views_1h, "
+        "COALESCE(CAST(SUM(CAST(v.value AS DECIMAL(25,6))) AS DOUBLE), 0.0)"
+        " AS view_value_1h "
+        "FROM events p LEFT JOIN events v ON v.event_type = 'view' "
+        "AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 3600000000 "
+        "WHERE p.event_type = 'purchase' "
+        "GROUP BY p.event_id, p.user_id",
+    )
+    reg.add(
+        "join_skew_salted",
+        salted_skew_join,
+        "SELECT e.event_id, e.user_id, p.n_events, p.user_value "
+        "FROM events e JOIN (SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS user_value "
+        "FROM events GROUP BY user_id) p USING (user_id) "
+        "WHERE e.event_type = 'purchase'",
+    )
+    reg.add(
+        "merge_upsert_latest",
+        merge_upsert_latest,
+        "WITH o AS (SELECT o_orderkey AS key, o_orderstatus AS status, "
+        "o_totalprice AS totalprice FROM orders), "
+        "updates AS ("
+        "  SELECT key, 'U' AS u_status, CAST(ROUND(CAST(totalprice AS DECIMAL(18,2))"
+        " * CAST(1.10 AS DECIMAL(3,2)), 2) AS DOUBLE) AS u_totalprice"
+        "  FROM o WHERE key % 7 = 0"
+        "  UNION ALL"
+        "  SELECT -key AS key, 'N' AS u_status, totalprice AS u_totalprice"
+        "  FROM o WHERE key % 97 = 0) "
+        "SELECT COALESCE(o.key, u.key) AS key, "
+        "COALESCE(u.u_status, o.status) AS status, "
+        "COALESCE(u.u_totalprice, o.totalprice) AS totalprice, "
+        "CASE WHEN u.u_status IS NULL THEN 'keep' "
+        "WHEN o.status IS NULL THEN 'insert' ELSE 'update' END AS row_op "
+        "FROM o FULL OUTER JOIN updates u ON o.key = u.key",
     )

@@ -861,3 +861,50 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
        CAST(SUM(CAST(nll AS DECIMAL(25,4))) AS DOUBLE) / COUNT(nll) AS avg_nll
 FROM scored GROUP BY doc_id""",
     )
+    reg.add(
+        "text_token_entropy",
+        token_entropy,
+        r"""WITH words AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+),
+counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM words GROUP BY doc_id, term)
+SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(ln(SUM(cnt)) -
+             CAST(SUM(CAST(ROUND(cnt * ln(cnt), 6) AS DECIMAL(25,6))) AS DOUBLE)
+             / SUM(cnt), 6) AS token_entropy
+FROM counts GROUP BY doc_id""",
+    )
+
+
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    low-entropy tail is boilerplate/template/keyword-stuffed text that
+    every pretraining-quality filter cuts. Uses the identity
+    H = ln(n) − (Σ c·ln c)/n over per-token counts c, so the corpus pass
+    is explode → keyed count → per-doc sum: all JVM-side, partial-agg
+    friendly, nothing wider than (doc_id, token, count) ever shuffles.
+    Per-token ln contributions round to 6 dp and sum as decimals so the
+    hash is order-independent across engines (_util.py rationale)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    counts = words.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    clnc = F.round(F.col("cnt") * F.log(F.col("cnt")), 6).cast("decimal(25,6)")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(clnc).cast("double").alias("sum_clnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("sum_clnc") / F.col("n_tokens"), 6
+        ).alias("token_entropy"),
+    )

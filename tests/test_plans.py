@@ -270,3 +270,53 @@ def test_block_rewrite_no_self_join(spark, sf_small):
     assert "CartesianProduct" not in plan
     # ONE documents scan feeds both the rank and the reassembly sides
     assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_range_binned_is_equi_join(spark, sf_small):
+    # the ±1 h interval join must ride the exploded bin EQUI-key — a plan
+    # that falls back to nested-loop over the interval predicate is the
+    # O(n·m) shape this operator exists to avoid
+    plan = plan_of(spark, "join_range_binned", sf_small)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine under the final agg
+
+
+def test_salted_join_spreads_key(spark, sf_small):
+    plan = plan_of(spark, "join_skew_salted", sf_small)
+    assert "CartesianProduct" not in plan
+    # salt explode on the profile side (Generate) + equi-join on the
+    # composite (user_id, salt) key
+    assert "explode(" in plan
+    assert "salt" in plan
+
+
+def test_merge_upsert_single_shuffle_join(spark, sf_small):
+    plan = plan_of(spark, "merge_upsert_latest", sf_small)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # base and change-set must co-partition on the key: exactly one join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+
+
+def test_histogram_reads_one_column(spark, sf_small):
+    plan = plan_of(spark, "agg_value_histogram", sf_small)
+    # bucket is derived from value — the scan must read ONLY value
+    assert "ReadSchema: struct<value:double>" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_mode_two_level_agg_no_window(spark, sf_small):
+    plan = plan_of(spark, "agg_mode_per_group", sf_small)
+    # counts collapse map-side; the argmax is max_by aggregation, not a
+    # row_number window over the count table
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "ReadSchema: struct<c_nationkey:int,c_mktsegment:string>" in plan
+
+
+def test_token_entropy_partial_aggs(spark, sf_small):
+    plan = plan_of(spark, "text_token_entropy", sf_small)
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
