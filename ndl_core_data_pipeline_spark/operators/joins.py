@@ -240,7 +240,9 @@ def merge_upsert_latest(spark, sf_dir):
             .alias("u_totalprice"),
         )
         .unionAll(
-            o.filter(F.col("key") % 97 == 0).select(
+            # key > 0: -0 == 0 would collide the synthetic insert with the
+            # real key-0 base row (and its %7 update), duplicating the key
+            o.filter((F.col("key") % 97 == 0) & (F.col("key") > 0)).select(
                 (-F.col("key")).alias("key"),
                 F.lit("N").alias("u_status"),
                 F.col("totalprice").alias("u_totalprice"),
@@ -361,7 +363,7 @@ def register_round6(reg):
         "  FROM o WHERE key % 7 = 0"
         "  UNION ALL"
         "  SELECT -key AS key, 'N' AS u_status, totalprice AS u_totalprice"
-        "  FROM o WHERE key % 97 = 0) "
+        "  FROM o WHERE key % 97 = 0 AND key > 0) "
         "SELECT COALESCE(o.key, u.key) AS key, "
         "COALESCE(u.u_status, o.status) AS status, "
         "COALESCE(u.u_totalprice, o.totalprice) AS totalprice, "

@@ -1,0 +1,153 @@
+"""Independent semantic checks for the round-6 operators.
+
+Oracle parity (tests/test_oracle_parity.py) already pins each query
+against DuckDB; these tests pin them against NAIVE Spark formulations
+instead — the salted join against the plain join, the binned range join
+against the O(n·m) crossJoin it exists to avoid — so a bug that slipped
+into BOTH the query and its SQL oracle (shared misunderstanding of the
+semantics) still gets caught.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+
+QUERIES = contract.queries()
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+
+    ev = load(spark, sf_small, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("user_value"),
+    )
+    plain = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(profile, "user_id")
+        .select("event_id", "user_id", "n_events", "user_value")
+    )
+    salted = QUERIES["join_skew_salted"](spark, sf_small)
+    assert rows_set(salted) == rows_set(plain)
+
+
+def test_range_binned_equals_naive_interval_join(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.joins import RANGE_BIN_US
+
+    ev = load(spark, sf_small, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_us")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("value").alias("v_value"), us.alias("v_us")
+    )
+    naive = (
+        p.join(v, F.abs(p.p_us - v.v_us) <= RANGE_BIN_US, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("v_id").alias("n_views_1h"),
+            F.coalesce(
+                F.sum(F.col("v_value").cast("decimal(25,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("view_value_1h"),
+        )
+    )
+    binned = QUERIES["join_range_binned"](spark, sf_small)
+    assert rows_set(binned) == rows_set(naive)
+
+
+def test_merge_upsert_semantics(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+
+    merged = QUERIES["merge_upsert_latest"](spark, sf_small)
+    rows = {r["key"]: r for r in merged.collect()}
+    base = {
+        r["o_orderkey"]: r
+        for r in load(spark, sf_small, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    }
+    assert set(k for k in rows if k >= 0) == set(base)
+    n_ins = n_upd = 0
+    for key, r in rows.items():
+        if key < 0:
+            assert r["row_op"] == "insert" and r["status"] == "N"
+            assert (-key) % 97 == 0 and (-key) in base
+            n_ins += 1
+        elif key % 7 == 0:
+            assert r["row_op"] == "update" and r["status"] == "U"
+            restated = round(
+                float(base[key]["o_totalprice"]) * 1.10, 2
+            )
+            assert abs(r["totalprice"] - restated) < 0.02  # decimal vs float tie
+            n_upd += 1
+        else:
+            assert r["row_op"] == "keep"
+            assert r["status"] == base[key]["o_orderstatus"]
+            assert r["totalprice"] == base[key]["o_totalprice"]
+    assert n_ins > 0 and n_upd > 0
+
+
+def test_token_entropy_bounds_and_exact_cases(spark, sf_small):
+    out = {r["doc_id"]: r for r in QUERIES["text_token_entropy"](spark, sf_small).collect()}
+    assert out
+    for r in out.values():
+        assert r["n_tokens"] >= r["n_distinct"] >= 1
+        # 0 <= H <= ln(n_distinct), with rounding slack
+        assert -1e-6 <= r["token_entropy"] <= math.log(r["n_distinct"]) + 1e-6
+    # crafted exact cases through the same operator
+    from ndl_core_data_pipeline_spark.operators.textops import token_entropy
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a", "en", "s", 7),  # uniform single token: H = 0
+                (2, "a b c d", "en", "s", 7),  # uniform 4 tokens: H = ln 4
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r["token_entropy"] for r in token_entropy(spark, d).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(4), 6)) < 1e-6
+
+
+def test_histogram_partitions_all_rows(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+
+    hist = QUERIES["agg_value_histogram"](spark, sf_small).collect()
+    total = load(spark, sf_small, "events").count()
+    assert sum(r["n"] for r in hist) == total
+    for r in hist:
+        assert 0 <= r["bucket"] <= 19
+        assert r["hi"] - r["lo"] == 25.0
+
+
+def test_mode_matches_collected_counts(spark, sf_small):
+    from collections import Counter
+
+    from ndl_core_data_pipeline_spark.io import load
+
+    got = {
+        r["c_mktsegment"]: (r["mode_nationkey"], r["mode_count"])
+        for r in QUERIES["agg_mode_per_group"](spark, sf_small).collect()
+    }
+    rows = load(spark, sf_small, "customer").select("c_mktsegment", "c_nationkey").collect()
+    by_seg: dict[str, Counter] = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], Counter())[r["c_nationkey"]] += 1
+    for seg, counts in by_seg.items():
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[seg] == best
