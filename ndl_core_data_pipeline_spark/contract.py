@@ -81,6 +81,7 @@ def build_registry() -> Registry:
     training.register_round6(reg)
     joins.register_round6(reg)
     aggregates.register_round6(reg)
+    vector.register_round6(reg)
     _prioritize(reg)
     return reg
 

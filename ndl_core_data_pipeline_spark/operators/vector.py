@@ -562,3 +562,169 @@ JOIN embeddings ea ON ea.vec_id = vec_a
 JOIN embeddings eb ON eb.vec_id = vec_b
 WHERE ROUND({pc}, 6) >= {EMB_NEAR_DUP_MIN_COS}""",
     )
+
+
+# ------------------------------------------------------- product quantization
+
+PQ_M = 8  # subvectors per vector (64-dim → 8 subvectors of 8 dims)
+PQ_SUBDIM = 8
+
+
+def _pq_codebooks(emb):
+    """Per-subvector codebooks: codeword `code` of subquantizer `m` is the
+    per-label mean of that subvector (deterministic analog of the k-means
+    codebooks in IVF-PQ — same substitution `_centroid_arrays` makes for
+    the coarse quantizer). Rounded to 6 dp so the codebook is an EXACT
+    shared input for both engines. Size M×K×subdim — always broadcastable
+    (a real 100 TB PQ: M=16..64, K=256 → a few MB)."""
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cb = exploded.groupBy(
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+        F.col("label").alias("code"),
+        (F.col("pos") % PQ_SUBDIM).alias("spos"),
+    ).agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+    return (
+        cb.groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("spos", "cval"))).alias("pc"))
+        .select("m", "code", F.transform("pc", lambda s: s["cval"]).alias("subcent"))
+    )
+
+
+def _subvectors(emb):
+    """Explode each vector into its M subvector slices — pure map-side
+    (slice + explode), no shuffle: the encode path ships (vec_id, m,
+    8 floats), never the full vector twice."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "subvec"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+
+
+def _pq_scored(emb):
+    """(vec_id, label, m, code, d2): L2² of every subvector against every
+    codeword of its subquantizer. Broadcast codebook join keyed on m."""
+    subs = _subvectors(emb)
+    cb = _pq_codebooks(emb)
+    return subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "label",
+        "m",
+        "code",
+        _sq_l2(F.col("subvec"), F.col("subcent")).alias("d2"),
+    )
+
+
+def pq_codes(spark, sf_dir):
+    """PQ encode: each vector compresses to M one-byte-ish codes — the
+    argmin codeword per subquantizer (ties to the smallest code). The
+    keyed struct-min collapses the K-way expansion map-side (same plan
+    shape as `ivf_cell_assignments`); at 100 TB the output is M small
+    ints per vector, a ~32× compression of a 64-dim float vector.
+    Reference ANN analog: LanceDB IVF-PQ (create_lancedb_index.py:143-148)
+    — this is the PQ half, the IVF half is `vector_ivf_assignments`."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        _pq_scored(emb)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.code").alias("code"),
+            F.round(F.col("b.d2"), 6).alias("dist2"),
+        )
+    )
+
+
+def pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k: the query stays UNquantized;
+    its distance to every codeword is a tiny M×K lookup table (broadcast),
+    and each database vector's approximate distance is the sum of M table
+    lookups keyed by its stored codes — the scan never touches the
+    original vectors. Per-subquantizer distances round to 6 dp and sum as
+    decimals so the ranking hashes identically across engines. At 100 TB
+    this is the memory-bound ANN scan shape: codes table + broadcast LUT,
+    no float vectors in the hot loop."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = _pq_scored(emb)
+    codes = (
+        scored.groupBy("vec_id", "label", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("vec_id", "label", "m", F.col("b.code").alias("code"))
+    )
+    lut = (
+        scored.filter(F.col("vec_id") == 0)
+        .select("m", "code", F.round("d2", 6).alias("qd2"))
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("qd2").cast("decimal(25,6)")).cast("double").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+    )
+
+
+def register_round6(reg):
+    """Round-6 vector additions: product quantization (encode + ADC scan)."""
+    sq_l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
+    )
+    pq_cte = (
+        "cb AS ("
+        "  SELECT CAST((i - 1) // 8 AS INT) AS m, label AS code, "
+        "  CAST((i - 1) % 8 AS BIGINT) AS spos, "
+        "  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cval "
+        "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i) "
+        "  GROUP BY m, code, spos), "
+        "cb_arr AS ("
+        "  SELECT m, code, list(cval ORDER BY spos) AS subcent "
+        "  FROM cb GROUP BY m, code), "
+        "sub AS ("
+        "  SELECT vec_id, label, CAST((i - 1) // 8 AS INT) AS m, "
+        "  list(CAST(embedding[i] AS DOUBLE) ORDER BY i) AS subvec "
+        "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i) "
+        "  GROUP BY vec_id, label, m), "
+        "scored AS ("
+        "  SELECT vec_id, label, s.m AS m, code, "
+        + sq_l2.format(a="s.subvec", b="c.subcent")
+        + "  AS d2 FROM sub s JOIN cb_arr c ON s.m = c.m), "
+        "best AS ("
+        "  SELECT vec_id, label, m, code, d2, "
+        "  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn "
+        "  FROM scored)"
+    )
+    reg.add(
+        "vector_pq_codes",
+        pq_codes,
+        "WITH " + pq_cte + " "
+        "SELECT vec_id, m, code, ROUND(d2, 6) AS dist2 FROM best WHERE rn = 1",
+    )
+    reg.add(
+        "vector_pq_adc_topk",
+        pq_adc_topk,
+        "WITH " + pq_cte + ", "
+        "lut AS (SELECT m, code, ROUND(d2, 6) AS qd2 "
+        "        FROM scored WHERE vec_id = 0) "
+        "SELECT b.vec_id, b.label, "
+        "CAST(SUM(CAST(l.qd2 AS DECIMAL(25,6))) AS DOUBLE) AS adc_d2 "
+        "FROM best b JOIN lut l ON b.m = l.m AND b.code = l.code "
+        "WHERE b.rn = 1 AND b.vec_id <> 0 "
+        "GROUP BY b.vec_id, b.label "
+        "ORDER BY adc_d2, vec_id LIMIT 10",
+    )

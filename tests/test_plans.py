@@ -320,3 +320,11 @@ def test_token_entropy_partial_aggs(spark, sf_small):
     plan = plan_of(spark, "text_token_entropy", sf_small)
     assert "partial_count" in plan and "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_lut_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "vector_pq_adc_topk", sf_small)
+    assert "CartesianProduct" not in plan
+    # the M×K query lookup table and the codebook both ride broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
