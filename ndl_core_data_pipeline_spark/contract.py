@@ -82,6 +82,7 @@ def build_registry() -> Registry:
     joins.register_round6(reg)
     aggregates.register_round6(reg)
     vector.register_round6(reg)
+    eventwindows.register_round6(reg)
     _prioritize(reg)
     return reg
 

@@ -105,3 +105,101 @@ def register(reg):
         watermark_dedup_projection,
         "SELECT DISTINCT user_id, event_type FROM events",
     )
+
+
+def funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: for each user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly AFTER that click (the MATCH_RECOGNIZE /
+    event-analytics funnel primitive). Three keyed min-aggregations
+    chained by user_id-keyed joins — every stage shuffles on the same
+    user_id key, so at scale the exchanges collapse to one co-partitioned
+    pipeline; nothing holds per-user state in memory."""
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("funnel_stage"),
+        )
+    )
+
+
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day, then
+    distinct active users per (cohort_day, day_offset) — the standard
+    retention triangle. Two keyed aggregations joined on user_id; the
+    distinct-user count shuffles (cohort, offset, user) tuples once. At
+    100 TB the first-activity table is the only state and it's one row
+    per user."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def register_round6(reg):
+    """Round-6 event-analytics additions: conversion funnel, cohort
+    retention."""
+    reg.add(
+        "events_funnel_steps",
+        funnel_steps,
+        "WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, MIN(e.ts) AS click_ts FROM events e "
+        "JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts FROM events e "
+        "JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT v.user_id, view_ts, click_ts, purchase_ts, "
+        "1 + CAST(click_ts IS NOT NULL AS INT) "
+        "+ CAST(purchase_ts IS NOT NULL AS INT) AS funnel_stage "
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)",
+    )
+    reg.add(
+        "events_cohort_retention",
+        cohort_retention,
+        "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day "
+        "FROM events GROUP BY user_id) "
+        "SELECT cohort_day, "
+        "datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset, "
+        "COUNT(DISTINCT e.user_id) AS n_users "
+        "FROM events e JOIN f USING (user_id) "
+        "GROUP BY cohort_day, day_offset",
+    )

@@ -877,6 +877,48 @@ SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
              / SUM(cnt), 6) AS token_entropy
 FROM counts GROUP BY doc_id""",
     )
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    reg.add(
+        "text_bm25_topk",
+        bm25_topk,
+        rf"""WITH words AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
+       WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+    ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+          * (tf * ({BM25_K1} + 1))
+          / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+          6) AS s
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id), stats, n
+)
+SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) AS bm25,
+       COUNT(*) AS n_terms_matched
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}""",
+    )
+    reg.add(
+        "search_inverted_postings",
+        inverted_postings,
+        rf"""WITH words AS (
+  SELECT DISTINCT doc_id, t.term FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+)
+SELECT term, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
+    )
 
 
 def token_entropy(spark, sf_dir):
@@ -907,4 +949,93 @@ def token_entropy(spark, sf_dir):
         F.round(
             F.log(F.col("n_tokens")) - F.col("sum_clnc") / F.col("n_tokens"), 6
         ).alias("token_entropy"),
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("window", "merge")  # fixed query; any term set works
+BM25_TOPK = 15
+
+
+def bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term query — the IR scoring
+    standard (Robertson/Sparck Jones; the `rank_bm25` default in the
+    reference's RAG stack family). Corpus statistics (doc length, df,
+    avgdl, N) are the same two keyed aggregations TF-IDF uses; the
+    query-term tf table is tiny after the term filter, so the scoring
+    join broadcasts df and the (avgdl, N) scalar while doc length joins
+    keyed on doc_id — at 100 TB nothing but (doc_id, term, tf) rows
+    shuffle. Per-term scores round to 6 dp and sum as decimals
+    (_util.py discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+    tf = (
+        words.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_t = F.round(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        joined.select("doc_id", score_t.cast("decimal(25,6)").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("double").alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+POSTINGS_MAX_DF = 50  # emit postings only for selective terms
+
+
+def inverted_postings(spark, sf_dir):
+    """Inverted-index build: term → sorted doc_id posting list (emitted as
+    a comma string) for selective terms (df ≤ POSTINGS_MAX_DF — stop-word
+    postings are the skew hazard of index builds; the cap is the same
+    degenerate-bucket guard the dedup family uses). One explode → one
+    distinct → one keyed collect; postings ship as compact sorted lists,
+    and at 100 TB the term key partitions the index naturally."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") <= POSTINGS_MAX_DF)
     )

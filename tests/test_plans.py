@@ -328,3 +328,26 @@ def test_pq_adc_broadcasts_lut_no_cartesian(spark, sf_small):
     # the M×K query lookup table and the codebook both ride broadcasts
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_bm25_broadcast_stats_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "text_bm25_topk", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_funnel_shuffles_on_user_only(spark, sf_small):
+    plan = plan_of(spark, "events_funnel_steps", sf_small)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # every exchange is keyed on user_id — no other shuffle key appears
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^,]+),", plan):
+        assert args.strip().startswith("user_id"), args
+
+
+def test_cohort_partial_distinct(spark, sf_small):
+    plan = plan_of(spark, "events_cohort_retention", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial_count(distinct " in plan or "partial_count" in plan

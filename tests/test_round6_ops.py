@@ -220,3 +220,69 @@ def test_pq_adc_candidates_are_plausible(spark, sf_small):
     }
     adc = {r["vec_id"] for r in QUERIES["vector_pq_adc_topk"](spark, sf_small).collect()}
     assert len(adc & exact50) >= 5
+
+
+def test_funnel_ordering_invariants(spark, sf_small):
+    rows = QUERIES["events_funnel_steps"](spark, sf_small).collect()
+    assert rows
+    stages = {1: 0, 2: 0, 3: 0}
+    for r in rows:
+        stages[r["funnel_stage"]] += 1
+        if r["click_ts"] is not None:
+            assert r["click_ts"] > r["view_ts"]
+        if r["purchase_ts"] is not None:
+            assert r["click_ts"] is not None
+            assert r["purchase_ts"] > r["click_ts"]
+        assert r["funnel_stage"] == 1 + (r["click_ts"] is not None) + (
+            r["purchase_ts"] is not None
+        )
+    assert stages[3] > 0  # at sf0.001 some user completes the funnel
+
+
+def test_cohort_day_zero_counts_all_users(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+
+    rows = QUERIES["events_cohort_retention"](spark, sf_small).collect()
+    day0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
+    n_users = load(spark, sf_small, "events").select("user_id").distinct().count()
+    assert day0 == n_users  # every user is active on their cohort day
+    assert all(r["day_offset"] >= 0 for r in rows)
+
+
+def test_bm25_matches_pure_python(spark, sf_small):
+    """Recompute BM25 in plain Python from the collected corpus."""
+    import math as _m
+
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: [w for w in r["text"].lower().strip().split() if w] for r in docs}
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    avgdl = sum(dl.values()) / len(dl)
+    n_docs = len(docs)
+    tf = {}
+    for d, ws in toks.items():
+        for t in BM25_TERMS:
+            c = ws.count(t)
+            if c:
+                tf[(d, t)] = c
+    df = {t: sum(1 for (d2, t2) in tf if t2 == t) for t in BM25_TERMS}
+    scores = {}
+    for (d, t), c in tf.items():
+        idf = _m.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        s = round(idf * (c * (BM25_K1 + 1)) / (c + BM25_K1 * (1 - BM25_B + BM25_B * dl[d] / avgdl)), 6)
+        scores[d] = scores.get(d, 0.0) + s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in QUERIES["text_bm25_topk"](spark, sf_small).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-6
