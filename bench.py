@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # iterative-driver-loop headliner; regressions in the per-round keyed
     # shuffle or the ONE-row collects show up here
     "bpe_train_merges",
+    # round-6 families: binned fact×fact range join, PQ ADC scan, BM25
+    "join_range_binned",
+    "vector_pq_adc_topk",
+    "text_bm25_topk",
 ]
 
 

@@ -961,52 +961,61 @@ BM25_TOPK = 15
 def bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval for a fixed term query — the IR scoring
     standard (Robertson/Sparck Jones; the `rank_bm25` default in the
-    reference's RAG stack family). Corpus statistics (doc length, df,
-    avgdl, N) are the same two keyed aggregations TF-IDF uses; the
-    query-term tf table is tiny after the term filter, so the scoring
-    join broadcasts df and the (avgdl, N) scalar while doc length joins
-    keyed on doc_id — at 100 TB nothing but (doc_id, term, tf) rows
-    shuffle. Per-term scores round to 6 dp and sum as decimals
-    (_util.py discipline)."""
+    reference's RAG stack family). Because the query-term set is small
+    and fixed, the whole corpus pass collapses to ONE explode and ONE
+    per-doc conditional aggregation (dl plus a tf column per query term);
+    df/avgdl reduce that table to a single broadcast row. The first
+    formulation derived doclen/stats/tf from a shared `words` subtree —
+    Catalyst re-executes an uncached subtree per consumer, so the corpus
+    was exploded three times (27 s vs ~2 s at sf0.1). Per-term scores
+    round to 6 dp and sum as decimals (_util.py discipline)."""
     docs = load(spark, sf_dir, "documents")
+    docs = rebalance_narrow_scan(docs, spark)
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
-    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = doclen.agg(
+    tf_cols = [
+        F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    per_doc = words.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
+    stats_aggs = [
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
-    tf = (
-        words.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    joined = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    score_t = F.round(
-        idf
-        * (F.col("tf") * (BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        ),
-        6,
+        F.count("*").alias("n_docs"),
+    ] + [
+        F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+        for i in range(len(BM25_TERMS))
+    ]
+    stats = per_doc.agg(*stats_aggs)
+    joined = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(1.0 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        s = F.round(
+            idf
+            * (tf * (BM25_K1 + 1))
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+            6,
+        )
+        return F.when(tf > 0, s.cast("decimal(25,6)")).otherwise(
+            F.lit(0).cast("decimal(25,6)")
+        )
+
+    total = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        total = total + term_score(i)
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("bigint") for i in range(len(BM25_TERMS))
     )
     return (
-        joined.select("doc_id", score_t.cast("decimal(25,6)").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("s").cast("double").alias("bm25"),
-            F.count("*").alias("n_terms_matched"),
+        joined.select(
+            "doc_id",
+            total.cast("double").alias("bm25"),
+            matched.alias("n_terms_matched"),
         )
+        .filter(F.col("n_terms_matched") > 0)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
     )
