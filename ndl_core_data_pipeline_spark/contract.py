@@ -83,6 +83,7 @@ def build_registry() -> Registry:
     aggregates.register_round6(reg)
     vector.register_round6(reg)
     eventwindows.register_round6(reg)
+    dedup.register_round6(reg)
     _prioritize(reg)
     return reg
 

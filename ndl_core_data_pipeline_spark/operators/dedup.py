@@ -12,7 +12,7 @@ shape is identical).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from ..io import load
 from ._util import rebalance_narrow_scan
@@ -640,4 +640,110 @@ reach(node, lbl) AS (
   SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
 )
 SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""",
+    )
+
+
+# --------------------------------------------- exact-substring span dedup
+
+SPAN_W = 10  # gram width (words); Lee et al. 2021 use 50 BPE tokens
+
+
+def substring_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (the "Deduplicating Training Data
+    Makes Language Models Better" operator, Lee et al. 2021, expressed
+    relationally instead of via a suffix array): hash every SLIDING
+    SPAN_W-word gram with its position, keep grams whose corpus-wide
+    count > 1, then merge each document's overlapping duplicated-gram
+    intervals into maximal spans [span_start, span_end] (word offsets) —
+    the byte ranges a rewrite pass would cut. Finer than
+    `dedup_block_exact` (non-overlapping tiles): sliding grams catch
+    duplicated text at ANY alignment, and the interval merge recovers
+    full duplicated regions, not just tile-aligned ones.
+
+    Scale shape: map-only gram hashing (per-row array expressions) → one
+    explode → keyed count on the gram hash (the shuffle ships 16-byte
+    hashes + positions, never text) → semi-join back on the hash → one
+    user-keyed window pass for the interval merge. The gram-hash
+    aggregation is exactly the Lee et al. distributed substep; a suffix
+    automaton would find arbitrary-length repeats but cannot shard, the
+    gram relaxation shards on the hash key."""
+    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_narrow_scan(docs, spark)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(words) >= SPAN_W,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - SPAN_W),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(words, i + 1, SPAN_W))).alias("gh"),
+            ),
+        ),
+    )
+    pos = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    )
+    dup = pos.groupBy("gh").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    hits = pos.join(dup.select("gh"), "gh", "left_semi").select(
+        "doc_id", "start", (F.col("start") + SPAN_W - 1).alias("end")
+    )
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("start").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("start").rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(
+            F.max("end").over(w_prev).isNull()
+            | (F.col("start") > F.max("end").over(w_prev)),
+            1,
+        ).otherwise(0),
+    )
+    spans = flagged.withColumn("span_id", F.sum("is_new").over(w_run))
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+    )
+
+
+def register_round6(reg):
+    """Round-6 dedup addition: exact-substring duplicate spans."""
+    reg.add(
+        "dedup_substring_spans",
+        substring_dup_spans,
+        rf"""WITH pos AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(ws[i + 1 : i + {SPAN_W}], ' ')) AS gh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents) d,
+       UNNEST(range(0, len(ws) - {SPAN_W} + 1)) AS t(i)
+  WHERE len(ws) >= {SPAN_W}
+),
+dup AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) > 1),
+hits AS (
+  SELECT doc_id, start, start + {SPAN_W} - 1 AS "end"
+  FROM pos WHERE gh IN (SELECT gh FROM dup)
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN MAX("end") OVER w IS NULL
+              OR start > MAX("end") OVER w THEN 1 ELSE 0 END AS is_new
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+spans AS (
+  SELECT doc_id, start, "end",
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM flagged
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       MIN(start) AS span_start, MAX("end") AS span_end,
+       COUNT(*) AS n_dup_grams
+FROM spans GROUP BY doc_id, span_id""",
     )

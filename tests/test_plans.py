@@ -351,3 +351,54 @@ def test_cohort_partial_distinct(spark, sf_small):
     plan = plan_of(spark, "events_cohort_retention", sf_small)
     assert "CartesianProduct" not in plan
     assert "partial_count(distinct " in plan or "partial_count" in plan
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_small):
+    # runtime re-plan: a keyed agg launched with an oversized partition
+    # count must come back coalesced by AQE after execution — the runtime
+    # guard against the fixed shuffle.partitions being wrong at any given
+    # scale factor
+    from ndl_core_data_pipeline_spark.io import load
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = (
+            load(spark, sf_small, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q"))
+        )
+        df.collect()  # AQE finalizes only on execution
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert "AQEShuffleRead" in executed and "coalesced" in executed
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_small):
+    # one hot key (90%+ of the left side) with thresholds forced low: AQE
+    # must mark the sort-merge join skew-handled ("skew=true") instead of
+    # leaving the hot key on one reducer
+    left = spark.range(0, 40_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("x"), F.col("id")).alias("payload"),
+    )
+    right = spark.range(0, 40_000).select(F.col("id").alias("k"), F.lit(1).alias("r"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = left.join(right, "k")
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert "skew=true" in executed

@@ -286,3 +286,37 @@ def test_bm25_matches_pure_python(spark, sf_small):
     assert [d for d, _ in got] == [d for d, _ in expect]
     for (gd, gs), (ed, es) in zip(got, expect):
         assert abs(gs - es) < 1e-6
+
+
+def test_substring_spans_crafted(spark, tmp_path):
+    """Two docs sharing an exact 15-word run → ONE merged span in each
+    covering exactly that run; a doc with no duplicated gram → no rows."""
+    import os
+
+    from ndl_core_data_pipeline_spark.operators.dedup import (
+        SPAN_W,
+        substring_dup_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(15))  # 15 words, positions vary
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta", "en", "s", 0),
+            (2, f"{shared} omega", "en", "s", 0),
+            (3, "unique words only here nothing repeats at all in this document ever", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    rows = substring_dup_spans(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    # doc 1: shared run occupies words 2..16 → grams start 2..7 (15-10+1=6
+    # grams), merged into one span [2, 16]
+    (s1,) = by_doc[1]
+    assert (s1["span_start"], s1["span_end"], s1["n_dup_grams"]) == (2, 16, 15 - SPAN_W + 1)
+    # doc 2: same run at offset 0 → span [0, 14]
+    (s2,) = by_doc[2]
+    assert (s2["span_start"], s2["span_end"], s2["n_dup_grams"]) == (0, 14, 15 - SPAN_W + 1)
