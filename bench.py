@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "join_range_binned",
     "vector_pq_adc_topk",
     "text_bm25_topk",
+    "dedup_substring_spans",
 ]
 
 
