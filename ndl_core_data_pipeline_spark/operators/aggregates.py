@@ -324,3 +324,79 @@ def register_round6(reg):
         "FROM (SELECT LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bucket, "
         "value FROM events) GROUP BY bucket",
     )
+    corr_num = (
+        "(CAST(n AS DOUBLE) * CAST(s{a}{b} AS DOUBLE)"
+        " - CAST(s{a} AS DOUBLE) * CAST(s{b} AS DOUBLE))"
+    )
+    corr_var = (
+        "(CAST(n AS DOUBLE) * CAST(s{a}{a} AS DOUBLE)"
+        " - CAST(s{a} AS DOUBLE) * CAST(s{a} AS DOUBLE))"
+    )
+
+    def corr_sql(a: str, b: str) -> str:
+        return (
+            f"ROUND({corr_num.format(a=a, b=b)} / "
+            f"sqrt({corr_var.format(a=a)} * {corr_var.format(a=b)}), 6)"
+        )
+
+    reg.add(
+        "agg_corr_pairs",
+        corr_pairs,
+        "WITH g AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx, "
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy, "
+        "SUM(CAST(l_discount AS DECIMAL(18,4))) AS sz, "
+        "SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS sxy, "
+        "SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_discount AS DECIMAL(25,4))) AS syz, "
+        "SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS sxx, "
+        "SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS syy, "
+        "SUM(CAST(l_discount AS DECIMAL(25,4)) * CAST(l_discount AS DECIMAL(25,4))) AS szz "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        + corr_sql("x", "y")
+        + " AS corr_qty_price, "
+        + corr_sql("y", "z")
+        + " AS corr_price_disc FROM g",
+    )
+
+
+def corr_pairs(spark, sf_dir):
+    """Pearson correlation per group, numerically disciplined: built-in
+    `corr` accumulates double co-moments in shuffle order, so Spark and
+    any other engine disagree in the last ulps. Here the five co-moments
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimals (inputs have
+    ≤ 2 true decimal places, so decimal(18,4) products at scale 8 are
+    exact), then the textbook formula runs once per group on doubles —
+    identical bits in every engine, still one map-side-combined
+    aggregation pass."""
+    l = load(spark, sf_dir, "lineitem")
+
+    def dm(c):  # exact decimal view of a money/qty column
+        return F.col(c).cast("decimal(18,4)")
+
+    grouped = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dm("l_quantity")).alias("sx"),
+        F.sum(dm("l_extendedprice")).alias("sy"),
+        F.sum(dm("l_discount")).alias("sz"),
+        F.sum(dm("l_quantity") * dm("l_extendedprice")).alias("sxy"),
+        F.sum(dm("l_extendedprice") * dm("l_discount")).alias("syz"),
+        F.sum(dm("l_quantity") * dm("l_quantity")).alias("sxx"),
+        F.sum(dm("l_extendedprice") * dm("l_extendedprice")).alias("syy"),
+        F.sum(dm("l_discount") * dm("l_discount")).alias("szz"),
+    )
+
+    def corr_of(sa, sb, sab, saa, sbb):
+        n = F.col("n").cast("double")
+        a, b, ab = F.col(sa).cast("double"), F.col(sb).cast("double"), F.col(sab).cast("double")
+        aa, bb = F.col(saa).cast("double"), F.col(sbb).cast("double")
+        num = n * ab - a * b
+        den = F.sqrt((n * aa - a * a) * (n * bb - b * b))
+        return F.round(num / den, 6)
+
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        corr_of("sx", "sy", "sxy", "sxx", "syy").alias("corr_qty_price"),
+        corr_of("sy", "sz", "syz", "syy", "szz").alias("corr_price_disc"),
+    )

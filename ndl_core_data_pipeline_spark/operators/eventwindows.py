@@ -203,3 +203,48 @@ def register_round6(reg):
         "FROM events e JOIN f USING (user_id) "
         "GROUP BY cohort_day, day_offset",
     )
+    reg.add(
+        "events_pattern_match",
+        sequence_pattern_match,
+        "WITH seqs AS (SELECT user_id, "
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
+        "FROM events GROUP BY user_id) "
+        "SELECT user_id, CAST(LENGTH(seq) AS BIGINT) AS n_events, "
+        "CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'vcp', ''))) / 3 AS BIGINT) "
+        "AS n_strict_funnels FROM seqs",
+    )
+
+
+FUNNEL_PATTERN = "vcp"  # strict-adjacency view→click→purchase
+
+
+def sequence_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: each user's event stream collapses to an
+    ordered initial string (v/c/p/s/e), and the operator counts strict
+    consecutive view→click→purchase runs — the adjacency-sensitive
+    pattern the funnel operator (first-occurrence semantics) cannot see.
+    One user-keyed aggregation; the sequence string is bounded by
+    per-user activity (sessionize first when users are unbounded).
+    Non-overlapping occurrence count via length arithmetic — identical
+    left-to-right replace semantics in both engines."""
+    ev = load(spark, sf_dir, "events")
+    seq_col = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    per_user = ev.groupBy("user_id").agg(seq_col.alias("seq"))
+    n_hits = (
+        (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(FUNNEL_PATTERN)))) / 3
+    ).cast("bigint")
+    return per_user.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        n_hits.alias("n_strict_funnels"),
+    )
