@@ -84,6 +84,7 @@ def build_registry() -> Registry:
     vector.register_round6(reg)
     eventwindows.register_round6(reg)
     dedup.register_round6(reg)
+    training.register_round6b(reg)
     _prioritize(reg)
     return reg
 

@@ -807,3 +807,70 @@ SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
        END AS clean_text
 FROM based b LEFT JOIN kept k ON b.doc_id = k.doc_id""",
     )
+
+
+MIN_KEEP_CHARS = 200  # quality floor shared with the filter family
+
+
+def corpus_pipeline_summary(spark, sf_dir):
+    """The training-corpus pipeline as ONE declarative plan — exact dedup
+    (keep-first by content fingerprint) → quality floor → deterministic
+    train/val/test assignment → per-split accounting. Each stage is an
+    operator the registry also exposes standalone; composed, Catalyst
+    fuses the fingerprint, the quality predicate, and the split key into
+    a single scan projection, and the only shuffles are the dedup
+    groupBy(fingerprint) and the final 3-row rollup. This is the shape a
+    100 TB curation run actually executes: content hashes and doc ids
+    shuffle, text never moves after the scan."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    with_fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_words"),
+        F.md5(norm).alias("fp"),
+    )
+    keep_first = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = with_fp.join(keep_first, ["fp", "doc_id"], "left_semi")
+    kept = deduped.filter(F.col("n_chars") >= MIN_KEEP_CHARS)
+    bucket = _hash48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select(split.alias("split"), "n_chars", "n_words")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
+
+
+def register_round6b(reg):
+    """Round-6 composed-pipeline addition."""
+    bucket = f"{_sql_hash48('CAST(doc_id AS VARCHAR)')} % 100"
+    reg.add(
+        "pipeline_corpus_summary",
+        corpus_pipeline_summary,
+        rf"""WITH with_fp AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+keep_first AS (SELECT fp, MIN(doc_id) AS doc_id FROM with_fp GROUP BY fp),
+deduped AS (SELECT w.* FROM with_fp w
+            JOIN keep_first k ON w.fp = k.fp AND w.doc_id = k.doc_id),
+kept AS (SELECT * FROM deduped WHERE n_chars >= {MIN_KEEP_CHARS})
+SELECT CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(n_words) AS total_words
+FROM kept GROUP BY 1""",
+    )

@@ -402,3 +402,20 @@ def test_aqe_splits_skewed_join_partition(spark, sf_small):
             if v is not None:
                 spark.conf.set(k, v)
     assert "skew=true" in executed
+
+
+def test_substring_spans_ship_hashes_not_text(spark, sf_small):
+    plan = plan_of(spark, "dedup_substring_spans", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # duplicated-gram filter is a semi join
+    assert "partial_count" in plan  # gram count map-side combined
+
+
+def test_pipeline_summary_two_shuffles_only(spark, sf_small):
+    # dedup groupBy(fp) + the final split rollup (plus their AQE reads):
+    # the composed pipeline must not introduce extra exchanges, and the
+    # only join is the keep-first semi join
+    plan = plan_of(spark, "pipeline_corpus_summary", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # fp, semi-join key, split
