@@ -246,3 +246,62 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def stateful_funnel(stream: DataFrame) -> DataFrame:
+    """Streaming form of the batch `events_funnel_steps` operator: a
+    per-user view→click→purchase stage machine carried across
+    micro-batches in explicit GroupState. Each batch's rows are applied
+    in event-time order; transitions only move forward (a click counts
+    only strictly after the recorded first view, a purchase only strictly
+    after the recorded first click), so the emitted stage is monotone per
+    user and — for in-order streams — equals the batch operator's
+    funnel_stage. Timestamps live in state as epoch micros (plain
+    bigints survive state serialization everywhere). Out-of-order
+    arrivals older than a recorded step are ignored, matching
+    first-occurrence semantics; production hardening would add an
+    event-time timeout to expire idle users."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        view_us, click_us, purchase_us = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if etype == "view" and view_us is None:
+                    view_us = us
+                elif (
+                    etype == "click"
+                    and click_us is None
+                    and view_us is not None
+                    and us > view_us
+                ):
+                    click_us = us
+                elif (
+                    etype == "purchase"
+                    and purchase_us is None
+                    and click_us is not None
+                    and us > click_us
+                ):
+                    purchase_us = us
+        state.update((view_us, click_us, purchase_us))
+        stage = (
+            1 if view_us is not None else 0
+        ) + (1 if click_us is not None else 0) + (1 if purchase_us is not None else 0)
+        if view_us is not None:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "funnel_stage": [stage]}
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, funnel_stage BIGINT",
+        stateStructType="view_us BIGINT, click_us BIGINT, purchase_us BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

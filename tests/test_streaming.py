@@ -287,3 +287,45 @@ def test_late_data_metrics_counts_watermark_drops(spark, tmp_path):
         for r in spark.sql("SELECT * FROM late_result").collect()
     }
     assert "2024-01-01T09:00:00" not in starts
+
+
+def test_stateful_funnel_across_batches(spark, tmp_path):
+    """Stage machine accumulates across micro-batches and agrees with the
+    batch funnel operator's stage semantics."""
+    from ndl_core_data_pipeline_spark.streaming.jobs import stateful_funnel
+
+    a = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T10:05:00.000Z", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T10:00:00.000Z", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},
+    ]
+    b = [
+        {"event_id": 4, "ts": "2024-01-01T10:30:00.000Z", "user_id": 1, "event_type": "purchase", "value": 0.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T10:40:00.000Z", "user_id": 2, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 6, "ts": "2024-01-01T10:41:00.000Z", "user_id": 2, "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ]
+    d = tmp_path / "funnel"
+    d.mkdir()
+    _write_events(d / "a.json", a)
+    stream = spark.readStream.format("json").schema(EVENTS_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).load(str(d))
+    _write_events(d / "b.json", b)
+    q = (
+        stateful_funnel(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, MAX(funnel_stage) AS stage FROM funnel_stream GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: r["stage"] for r in rows}
+    # user 1: view+click in batch A, purchase in batch B → stage 3 across batches
+    assert got[1] == 3
+    # user 2: click BEFORE any view is ignored; view then purchase WITHOUT a
+    # click afterward → stage stays 1 (strict ordering semantics)
+    assert got[2] == 1

@@ -90,3 +90,33 @@ def test_session_stream_matches_batch(spark, sf_small, events_landing):
     finally:
         q.stop()
     assert streamed == batch and len(batch) > 0
+
+
+def test_funnel_batch_stream_parity(spark, sf_small, events_landing):
+    """The streaming stage machine over the real (in-order-per-batch)
+    events table must reach exactly the batch operator's funnel_stage for
+    every user that entered the funnel."""
+    from ndl_core_data_pipeline_spark.operators.eventwindows import funnel_steps
+    from ndl_core_data_pipeline_spark.streaming.jobs import stateful_funnel
+
+    batch = {
+        r["user_id"]: r["funnel_stage"]
+        for r in funnel_steps(spark, sf_small).collect()
+    }
+    q = (
+        stateful_funnel(_events_stream(spark, events_landing))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        r["user_id"]: r["stage"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(funnel_stage) AS stage FROM funnel_parity "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    assert stream == batch
