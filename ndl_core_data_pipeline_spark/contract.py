@@ -85,6 +85,8 @@ def build_registry() -> Registry:
     eventwindows.register_round6(reg)
     dedup.register_round6(reg)
     training.register_round6b(reg)
+    groupedmap.register_round6(reg)
+    windows.register_round6(reg)
     _prioritize(reg)
     return reg
 

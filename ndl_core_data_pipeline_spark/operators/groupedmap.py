@@ -54,3 +54,53 @@ def register(reg):
         "ELSE 0.0 END, 6) AS zscore "
         "FROM documents WINDOW w AS (PARTITION BY source)",
     )
+
+
+UDTF_CHUNK_WORDS = 40  # words per emitted chunk
+
+
+def udtf_word_chunks(spark, sf_dir):
+    """Real Python UDTF (Spark 4 `@udtf`, §2.13 surface beyond the
+    posexplode analog): one input row fans out to N (chunk_idx,
+    chunk_text) rows via a generator — the table-function form of the V1
+    chunker. Arrow-batched like pandas UDFs; LATERAL-joined so the fan-out
+    runs map-side with no shuffle. Tokenization reuses bpe.tokenize_words
+    (ASCII \\s+, parity with the JVM split and the DuckDB oracle)."""
+    from pyspark.sql.functions import udtf
+
+    from .bpe import tokenize_words
+
+    @udtf(returnType="chunk_idx BIGINT, chunk_text STRING")
+    class WordChunks:
+        def eval(self, text: str):
+            ws = tokenize_words(text)
+            for i in range(0, len(ws), UDTF_CHUNK_WORDS):
+                yield (
+                    i // UDTF_CHUNK_WORDS,
+                    " ".join(ws[i : i + UDTF_CHUNK_WORDS]),
+                )
+
+    spark.udtf.register("word_chunks", WordChunks)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk_text "
+        "FROM docs_udtf_v, LATERAL word_chunks(text) AS c "
+        "WHERE trim(text) <> ''"
+    )
+
+
+def register_round6(reg):
+    """Round-6 §2.13 addition: Python UDTF chunker."""
+    reg.add(
+        "udtf_word_chunks",
+        udtf_word_chunks,
+        rf"""WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(ws[i * {UDTF_CHUNK_WORDS} + 1 :
+                          (i + 1) * {UDTF_CHUNK_WORDS}], ' ') AS chunk_text
+FROM t, UNNEST(range(0, CAST(ceil(len(ws) / {UDTF_CHUNK_WORDS}.0) AS BIGINT)))
+     AS u(i)""",
+    )

@@ -206,3 +206,31 @@ def register(reg):
         "(PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
         f"RANGE BETWEEN {30 * 86400} PRECEDING AND CURRENT ROW)",
     )
+
+
+def distribution_family(spark, sf_dir):
+    """Engine surface: percent_rank / cume_dist per nation — the relative-
+    position companions to `window_ranking_family`. Integer-ratio doubles
+    are bit-identical across engines (same IEEE division), no rounding
+    needed."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def register_round6(reg):
+    """Round-6 window addition: distribution functions."""
+    reg.add(
+        "window_distribution_family",
+        distribution_family,
+        "SELECT c_custkey, c_nationkey, "
+        "percent_rank() OVER w AS pct_rank, "
+        "cume_dist() OVER w AS cume "
+        "FROM customer WINDOW w AS (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey)",
+    )
