@@ -139,3 +139,16 @@ def compact_parquet(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(out_path)
     return {"n_files_in": n_in, "n_files_out": n_out, "bytes_in": total}
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format (native Spark datasource, same
+    task-commit atomicity as parquet). ORC scans support the same
+    predicate pushdown / column pruning; tests/test_sources_sinks.py pins
+    PushedFilters on the read-back path so format choice never silently
+    costs the 100 TB scan optimizations."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)

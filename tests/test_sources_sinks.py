@@ -249,3 +249,29 @@ def test_compact_parquet_guards(spark, tmp_path):
     empty.mkdir()
     stats = compact_parquet(spark, str(empty), str(tmp_path / "out"))
     assert stats == {"n_files_in": 0, "n_files_out": 0, "bytes_in": 0}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    """ORC round-trip preserves rows AND the scan-level optimizations:
+    filters and column pruning must reach the ORC reader just like
+    parquet (PushedFilters + narrow ReadSchema in the plan)."""
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.plans.audit import explain_formatted
+    from ndl_core_data_pipeline_spark.sinks import read_orc, write_orc
+
+    src = load(spark, sf_small, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    q = back.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = explain_formatted(q)
+    assert "PushedFilters" in plan and "o_orderpriority,1-URGENT" in plan
+    assert "ReadSchema: struct<o_orderkey:" in plan  # pruned to 3 cols
+    n_urgent_orc = q.count()
+    n_urgent_pq = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert n_urgent_orc == n_urgent_pq
