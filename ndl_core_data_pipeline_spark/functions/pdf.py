@@ -699,9 +699,13 @@ def _trailer_id0(payload: bytes) -> bytes | None:
     m = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F\s]+)>", payload)
     if m:
         h = re.sub(rb"\s", b"", m.group(1))
-        if len(h) % 2:
-            h += b"0"
-        return bytes.fromhex(h.decode())
+        # a whitespace-only hex string would yield b'' here and an empty
+        # file ID would silently derive a garbage decryption key — treat
+        # it as absent and fall through to the literal form instead
+        if h:
+            if len(h) % 2:
+                h += b"0"
+            return bytes.fromhex(h.decode())
     m = re.search(rb"/ID\s*\[\s*\(", payload)
     if m:
         s, _end = _scan_literal(payload, m.end() - 1)

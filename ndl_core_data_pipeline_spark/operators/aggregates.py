@@ -281,9 +281,13 @@ def value_histogram(spark, sf_dir):
     index is pure map-side arithmetic (floor(value/width), clamped to the
     top bucket), so the plan is scan → partial agg → 20-row final agg;
     at 100 TB nothing but 20-row partials ever shuffles."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # clamp BOTH ends: without the greatest(), a negative value lands in a
+    # negative bucket; least() alone also skips NULLs (returning 19), so
+    # NULL rows are dropped explicitly above rather than miscounted
     bucket = F.least(
-        F.floor(F.col("value") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
     ).cast("int")
     return (
         ev.select(bucket.alias("bucket"), "value")
@@ -321,8 +325,8 @@ def register_round6(reg):
         "SELECT bucket, bucket * 25.0 AS lo, (bucket + 1) * 25.0 AS hi, "
         "COUNT(*) AS n, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS bucket_value "
-        "FROM (SELECT LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bucket, "
-        "value FROM events) GROUP BY bucket",
+        "FROM (SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) "
+        "AS bucket, value FROM events WHERE value IS NOT NULL) GROUP BY bucket",
     )
     corr_num = (
         "(CAST(n AS DOUBLE) * CAST(s{a}{b} AS DOUBLE)"

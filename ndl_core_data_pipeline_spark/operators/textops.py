@@ -39,6 +39,21 @@ ES_STOP = "el|la|de|los|que|es"
 FR_STOP = "le|la|les|et|un|est"
 
 
+def _words(docs, distinct_per_doc: bool = False):
+    """The repo's canonical corpus tokenization: (doc_id, term) stream via
+    one explode of the ASCII-\\s+ split — MUST stay in lockstep with
+    bpe.tokenize_words (re.ASCII) and every DuckDB oracle's
+    string_split_regex(lower(trim(text)), '\\s+'). All term-level corpus
+    statistics (tf-idf, BM25, entropy, postings) derive from this one
+    expression so a tokenization change cannot desynchronize them."""
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    if distinct_per_doc:
+        arr = F.array_distinct(arr)
+    return docs.select("doc_id", F.explode(arr).alias("term")).filter(
+        F.length("term") > 0
+    )
+
+
 def word_count(spark, sf_dir):
     """X4: word_count = len(text.split()) (ref: assets/processing/assets.py:291).
     regexp_count of non-space runs gives split() semantics incl. empty-string→0."""
@@ -726,10 +741,7 @@ def tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).filter(F.length("term") > 0)
+    words = _words(docs)
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = (
         words.distinct().groupBy("term").agg(F.count("*").alias("df"))
@@ -931,10 +943,7 @@ def token_entropy(spark, sf_dir):
     Per-token ln contributions round to 6 dp and sum as decimals so the
     hash is order-independent across engines (_util.py rationale)."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).filter(F.length("term") > 0)
+    words = _words(docs)
     counts = words.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
     clnc = F.round(F.col("cnt") * F.log(F.col("cnt")), 6).cast("decimal(25,6)")
     per_doc = counts.groupBy("doc_id").agg(
@@ -971,10 +980,7 @@ def bm25_topk(spark, sf_dir):
     round to 6 dp and sum as decimals (_util.py discipline)."""
     docs = load(spark, sf_dir, "documents")
     docs = rebalance_narrow_scan(docs, spark)
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).filter(F.length("term") > 0)
+    words = _words(docs)
     tf_cols = [
         F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
         for i, t in enumerate(BM25_TERMS)
@@ -982,12 +988,16 @@ def bm25_topk(spark, sf_dir):
     per_doc = words.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
     stats_aggs = [
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
     ] + [
         F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
         for i in range(len(BM25_TERMS))
     ]
-    stats = per_doc.agg(*stats_aggs)
+    # n_docs = COUNT(*) over documents (matching the oracle and classic
+    # BM25), NOT per_doc's row count — an empty/whitespace-only document
+    # is still a corpus member for idf purposes
+    stats = per_doc.agg(*stats_aggs).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    )
     joined = per_doc.crossJoin(F.broadcast(stats))
 
     def term_score(i: int):
@@ -1032,12 +1042,7 @@ def inverted_postings(spark, sf_dir):
     distinct → one keyed collect; postings ship as compact sorted lists,
     and at 100 TB the term key partitions the index naturally."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-        ).alias("term"),
-    ).filter(F.length("term") > 0)
+    words = _words(docs, distinct_per_doc=True)
     return (
         words.groupBy("term")
         .agg(

@@ -116,7 +116,7 @@ def compact_parquet(
 
     # overwrite-while-reading the same directory would truncate the input
     # mid-scan and destroy it; the CLI exposes both paths freely
-    if os.path.abspath(in_path) == os.path.abspath(out_path):
+    if os.path.realpath(in_path) == os.path.realpath(out_path):
         raise ValueError(
             f"compact_parquet: out_path must differ from in_path ({in_path!r})"
         )

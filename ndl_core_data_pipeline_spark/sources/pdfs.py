@@ -29,7 +29,8 @@ def scan_pdfs(spark: SparkSession, path: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
         # prune at the LISTING so non-PDF bytes are never read
-        .option("pathGlobFilter", "*.{pdf,PDF}")
+        .option("pathGlobFilter", "*.[pP][dD][fF]")  # any-case .pdf — the
+        # rlike post-filter is (?i), so the listing glob must be too
         .load(path)
         .where(F.col("path").rlike(r"(?i)\.pdf$"))
         .select("path", "content")

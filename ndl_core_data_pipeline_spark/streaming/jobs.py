@@ -209,11 +209,27 @@ def late_data_metrics(query) -> dict:
     """Late-data audit extracted from a StreamingQuery's progress history:
     total observed input rows, total rows the watermark dropped, and the
     per-batch observed event-time bounds. Works on a finished
-    AvailableNow run or a live query."""
+    AvailableNow run or a live query.
+
+    `recentProgress` retains only the last
+    spark.sql.streaming.numRecentProgressUpdates entries (default 100) —
+    a longer backfill silently truncates, so the result carries a
+    `truncated` flag; raise that conf (or aggregate per-restart) for
+    100+-batch runs."""
     import json as _json
 
+    progress = list(query.recentProgress)
+    cap = 100
+    try:
+        cap = int(
+            query.sparkSession.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+        )
+    except Exception:
+        pass
     n_input, dropped, batches = 0, 0, []
-    for prog in query.recentProgress:
+    for prog in progress:
         p = _json.loads(prog.json) if hasattr(prog, "json") else prog
         for so in p.get("stateOperators", []):
             dropped += int(so.get("numRowsDroppedByWatermark", 0) or 0)
@@ -228,7 +244,12 @@ def late_data_metrics(query) -> dict:
                     "max_ts": om.get("max_ts"),
                 }
             )
-    return {"n_input": n_input, "n_late_dropped": dropped, "batches": batches}
+    return {
+        "n_input": n_input,
+        "n_late_dropped": dropped,
+        "batches": batches,
+        "truncated": len(progress) >= cap,
+    }
 
 
 def sessionized_stream(
@@ -269,9 +290,15 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
         view_us, click_us, purchase_us = (
             state.get if state.exists else (None, None, None)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+        # a group's rows arrive as MULTIPLE Arrow chunks in arbitrary
+        # order (split at arrow.maxRecordsPerBatch) — sorting each chunk
+        # alone would apply events out of event-time order across chunk
+        # boundaries and understate the stage; concat first, sort once
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts, etype in zip(batch["ts"], batch["event_type"]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 if etype == "view" and view_us is None:
                     view_us = us
