@@ -87,6 +87,7 @@ def build_registry() -> Registry:
     training.register_round6b(reg)
     groupedmap.register_round6(reg)
     windows.register_round6(reg)
+    setops.register_round6(reg)
     _prioritize(reg)
     return reg
 

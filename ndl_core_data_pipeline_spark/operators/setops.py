@@ -67,3 +67,46 @@ def register(reg):
         distinct_rows,
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     )
+
+
+def except_all_keys(spark, sf_dir):
+    """Engine surface: EXCEPT ALL — multiplicity-preserving difference
+    (each order's custkey consumed once per matching row, the bag
+    semantics `subtract`'s distinct form loses). Shuffle = one
+    hash-partition per side on the full row, like a keyed agg."""
+    o = load(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key")
+    )
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    return f_cust.exceptAll(o_cust)
+
+
+def intersect_all_keys(spark, sf_dir):
+    """Engine surface: INTERSECT ALL — min-multiplicity bag intersection."""
+    o = load(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key")
+    )
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    return f_cust.intersectAll(o_cust)
+
+
+def register_round6(reg):
+    """Round-6 set-op completions: bag (ALL) variants."""
+    reg.add(
+        "setop_except_all",
+        except_all_keys,
+        "SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F' "
+        "EXCEPT ALL SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'",
+    )
+    reg.add(
+        "setop_intersect_all",
+        intersect_all_keys,
+        "SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT ALL SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'",
+    )

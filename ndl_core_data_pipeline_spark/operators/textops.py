@@ -931,6 +931,24 @@ SELECT term, COUNT(*) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
     )
+    reg.add(
+        "func_date_arithmetic",
+        date_arithmetic,
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, "
+        "CAST(o_orderdate AS DATE) + 30 AS due_30d, "
+        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, "
+        "CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr, "
+        "CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS BIGINT) AS days_to_eoy "
+        "FROM orders",
+    )
+    reg.add(
+        "agg_ordered_string_concat",
+        ordered_string_concat,
+        "SELECT o_orderstatus, "
+        "string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities "
+        "FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) "
+        "GROUP BY o_orderstatus",
+    )
 
 
 def token_entropy(spark, sf_dir):
@@ -1052,4 +1070,39 @@ def inverted_postings(spark, sf_dir):
             ),
         )
         .filter(F.col("df") <= POSTINGS_MAX_DF)
+    )
+
+
+def date_arithmetic(spark, sf_dir):
+    """X-family extension: interval arithmetic — date_add, month
+    truncation, months_between, quarter extraction — over o_orderdate.
+    All map-side JVM expressions; months_between uses whole-month
+    semantics (day clamped) identical to DuckDB's datediff('month')."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_30d"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_eoy"),
+    )
+
+
+def ordered_string_concat(spark, sf_dir):
+    """Engine surface: ordered string aggregation (LISTAGG / string_agg
+    — the reference's tag-union X14 emits arrays; this emits the ordered
+    delimited form). Deterministic: elements sort before joining."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderpriority")), ","
+            ).alias("priorities")
+        )
     )
