@@ -371,3 +371,63 @@ def register_round6(reg):
         "WHEN o.status IS NULL THEN 'insert' ELSE 'update' END AS row_op "
         "FROM o FULL OUTER JOIN updates u ON o.key = u.key",
     )
+    reg.add(
+        "join_asof_tolerance",
+        asof_join_with_tolerance,
+        "SELECT event_id, user_id, ts, "
+        "CASE WHEN epoch_us(ts) - v_us <= 1800000000 THEN v_id END AS last_view_id, "
+        "CASE WHEN epoch_us(ts) - v_us <= 1800000000 THEN "
+        "CAST(floor((epoch_us(ts) - v_us) / 1000000.0) AS BIGINT) END AS view_age_sec "
+        "FROM ("
+        "SELECT event_id, user_id, ts, event_type, "
+        "last_value(CASE WHEN event_type='view' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS v_us, "
+        "last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER w AS v_id "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") t WHERE event_type = 'purchase'",
+    )
+
+
+ASOF_TOLERANCE_US = 1800 * 1_000_000  # 30-minute match window
+
+
+def asof_join_with_tolerance(spark, sf_dir):
+    """As-of join with tolerance (pandas merge_asof(tolerance=...)
+    semantics): each purchase matches its most recent prior view by the
+    same user ONLY if that view is within 30 minutes — older matches
+    null out. Same single user_id-keyed window carry-forward as
+    `join_asof_last_view` plus a map-side recency predicate; no
+    range-join explosion at any scale."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    view_us = F.when(F.col("event_type") == "view", us)
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    carried_us = F.last(view_us, ignorenulls=True).over(w)
+    carried_id = F.last(view_id, ignorenulls=True).over(w)
+    # reference the MATERIALIZED v_us column, not the window expression: a
+    # window expression used after the purchase filter would re-evaluate
+    # over the filtered rows (views gone) and null out every match
+    in_window = (us - F.col("v_us")) <= ASOF_TOLERANCE_US
+    return (
+        ev.withColumn("v_us", carried_us)
+        .withColumn("v_id", carried_id)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_window, F.col("v_id")).alias("last_view_id"),
+            # floor, not cast: Spark's double→bigint cast truncates while
+            # DuckDB's rounds — floor() agrees everywhere
+            F.when(
+                in_window, F.floor((us - F.col("v_us")) / 1_000_000).cast("bigint")
+            ).alias("view_age_sec"),
+        )
+    )

@@ -941,6 +941,26 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         "CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS BIGINT) AS days_to_eoy "
         "FROM orders",
     )
+    dirty_sql = (
+        "'HTTPS://' || upper(source) || '.Example.COM:443//docs//' || "
+        "CAST(doc_id AS VARCHAR) || '/?utm_source=feed&utm_campaign=x&id=' || "
+        "CAST(doc_id AS VARCHAR) || '&fbclid=abc'"
+    )
+    norm_sql = (
+        "lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)) || '://' || "
+        "regexp_replace(lower(regexp_extract(regexp_replace({u}, '^[A-Za-z]+://', ''), '^([^/]+)', 1)), ':443$', '') || "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace({u}, '^[A-Za-z]+://', ''), '^[^/]+', ''), "
+        "'//+', '/', 'g'), '(utm_[A-Za-z]+|fbclid)=[^&]*&?', '', 'g'), "
+        "'[?&]+$', ''), '/$', '')"
+    )
+    reg.add(
+        "func_url_normalize",
+        url_normalize,
+        f"SELECT doc_id, {dirty_sql} AS dirty_url, "
+        + norm_sql.format(u=f"({dirty_sql})")
+        + " AS canonical_url FROM documents",
+    )
     reg.add(
         "agg_ordered_string_concat",
         ordered_string_concat,
@@ -1105,4 +1125,44 @@ def ordered_string_concat(spark, sf_dir):
                 F.array_sort(F.collect_list("o_orderpriority")), ","
             ).alias("priorities")
         )
+    )
+
+
+def url_normalize(spark, sf_dir):
+    """URL canonicalization — the dedup key-maker of every web-crawl
+    pipeline (Common Crawl-style): lowercase scheme+host, strip default
+    ports, drop utm_*/fbclid tracking params, collapse duplicate
+    slashes, trim trailing slash and empty query. Inputs are synthesized
+    deterministically from table columns (the func_numeric_clean
+    pattern: the TRANSFORM is the operator under test, not the data).
+    Pure regexp_replace chain — map-side, codegen, same RE2/Java-safe
+    regex subset in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443//docs//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&utm_campaign=x&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&fbclid=abc"),
+    )
+
+    def normalize(col):
+        # scheme/host/path handled separately so the slash-collapse never
+        # needs a lookbehind (RE2 — the oracle engine — has none)
+        scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z]+)://", 1))
+        rest = F.regexp_replace(col, r"^[A-Za-z]+://", "")
+        host = F.regexp_replace(
+            F.lower(F.regexp_extract(rest, r"^([^/]+)", 1)), r":443$", ""
+        )
+        path = F.regexp_replace(rest, r"^[^/]+", "")
+        path = F.regexp_replace(path, r"//+", "/")  # duplicate slashes
+        path = F.regexp_replace(path, r"(utm_[A-Za-z]+|fbclid)=[^&]*&?", "")
+        path = F.regexp_replace(path, r"[?&]+$", "")  # dangling separators
+        path = F.regexp_replace(path, r"/$", "")  # trailing slash
+        return F.concat(scheme, F.lit("://"), host, path)
+
+    return docs.select(
+        "doc_id", dirty.alias("dirty_url"), normalize(dirty).alias("canonical_url")
     )

@@ -234,3 +234,37 @@ def register_round6(reg):
         "FROM customer WINDOW w AS (PARTITION BY c_nationkey "
         "ORDER BY c_acctbal DESC, c_custkey)",
     )
+    reg.add(
+        "window_gaps_islands",
+        gaps_and_islands,
+        "WITH days AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d "
+        "FROM orders), "
+        "isl AS (SELECT o_custkey, d, d - CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY o_custkey ORDER BY d) AS INT) AS island FROM days) "
+        "SELECT o_custkey, MIN(d) AS streak_start, MAX(d) AS streak_end, "
+        "COUNT(*) AS streak_days FROM isl GROUP BY o_custkey, island "
+        "HAVING COUNT(*) >= 2",
+    )
+
+
+def gaps_and_islands(spark, sf_dir):
+    """Gaps-and-islands: per-customer runs of CONSECUTIVE order days
+    (the classic streak query). Island id = day − row_number days: rows
+    in a consecutive run share it; one user-keyed window then a keyed
+    rollup per island. Distinct days first so duplicate same-day orders
+    don't break the arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    days = o.select("o_custkey", F.to_date("o_orderdate").alias("d")).distinct()
+    w = W.partitionBy("o_custkey").orderBy("d")
+    grp = F.date_sub(F.col("d"), F.row_number().over(w))
+    islands = days.withColumn("island", grp)
+    return (
+        islands.groupBy("o_custkey", "island")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("island")
+        .filter(F.col("streak_days") >= 2)
+    )
