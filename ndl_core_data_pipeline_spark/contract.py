@@ -88,6 +88,8 @@ def build_registry() -> Registry:
     groupedmap.register_round6(reg)
     windows.register_round6(reg)
     setops.register_round6(reg)
+    filters.register_round6(reg)
+    aggregates.register_round6b(reg)
     _prioritize(reg)
     return reg
 

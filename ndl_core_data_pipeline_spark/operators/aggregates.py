@@ -404,3 +404,30 @@ def corr_pairs(spark, sf_dir):
         corr_of("sx", "sy", "sxy", "sxx", "syy").alias("corr_qty_price"),
         corr_of("sy", "sz", "syz", "syy", "szz").alias("corr_price_disc"),
     )
+
+
+def bool_counters(spark, sf_dir):
+    """Engine surface: count_if / bool_and / bool_or / every-any family —
+    the predicate-aggregate forms (one pass, map-side combined)."""
+    l = load(spark, sf_dir, "lineitem")
+    big = F.col("l_quantity") >= 25
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(big).alias("n_big"),
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count_if(F.col("l_extendedprice") > 30000.0).alias("n_pricey"),
+    )
+
+
+def register_round6b(reg):
+    """Round-6 predicate-aggregate family."""
+    reg.add(
+        "agg_bool_counters",
+        bool_counters,
+        "SELECT l_returnflag, "
+        "count_if(l_quantity >= 25) AS n_big, "
+        "bool_and(l_discount <= 0.1) AS all_small_disc, "
+        "bool_or(l_tax > 0.07) AS any_high_tax, "
+        "count_if(l_extendedprice > 30000.0) AS n_pricey "
+        "FROM lineitem GROUP BY l_returnflag",
+    )

@@ -127,3 +127,49 @@ def register(reg):
         "SELECT doc_id, TRIM(lang) AS lang_clean FROM documents "
         "WHERE TRIM(lang) NOT IN ('NA','N/A','NULL','null','na','n/a','None','NONE','-','')",
     )
+
+
+IQR_MULT = 0.25  # synthetic orders are near-uniform — 1.5×IQR (the Tukey
+# default for production) flags nothing; 0.25 exercises both tails
+
+
+def iqr_outlier_filter(spark, sf_dir):
+    """Quantile-fence outlier detection (Tukey fences): exact Q1/Q3 in one
+    aggregation, fences broadcast as a single row, then a map-side range
+    predicate — no global sort, no second scan shape change at any scale.
+    The per-row filter is the same plan as any pushed predicate; only the
+    one-row bounds table moves between stages."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    ).select(
+        (F.col("q1") - IQR_MULT * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + IQR_MULT * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .filter((F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi")))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_totalprice") < F.col("lo"), "low")
+            .otherwise("high")
+            .alias("tail"),
+        )
+    )
+
+
+def register_round6(reg):
+    """Round-6 filter addition: quantile-fence outliers."""
+    reg.add(
+        "filter_iqr_outliers",
+        iqr_outlier_filter,
+        f"WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, "
+        f"quantile_cont(o_totalprice, 0.75) AS q3 FROM orders), "
+        f"f AS (SELECT q1 - {IQR_MULT} * (q3 - q1) AS lo, "
+        f"q3 + {IQR_MULT} * (q3 - q1) AS hi FROM b) "
+        "SELECT o_orderkey, o_totalprice, "
+        "CASE WHEN o_totalprice < lo THEN 'low' ELSE 'high' END AS tail "
+        "FROM orders, f WHERE o_totalprice < lo OR o_totalprice > hi",
+    )

@@ -962,6 +962,20 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         + " AS canonical_url FROM documents",
     )
     reg.add(
+        "func_string_family",
+        string_function_family,
+        # DuckDB lacks initcap — emulated per word (upper head + lower tail)
+        "SELECT p_partkey, "
+        "array_to_string(list_transform(string_split(p_name, ' '), "
+        "w -> upper(w[1]) || lower(w[2:])), ' ') AS title_name, "
+        "lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key, "
+        "translate(p_name, 'aeiou', '') AS consonants, "
+        "CAST(levenshtein(p_name, translate(p_name, 'aeiou', '')) AS BIGINT) "
+        "AS vowel_distance, "
+        "repeat('*', p_size) AS size_bar "
+        "FROM part",
+    )
+    reg.add(
         "agg_ordered_string_concat",
         ordered_string_concat,
         "SELECT o_orderstatus, "
@@ -1165,4 +1179,21 @@ def url_normalize(spark, sf_dir):
 
     return docs.select(
         "doc_id", dirty.alias("dirty_url"), normalize(dirty).alias("canonical_url")
+    )
+
+
+def string_function_family(spark, sf_dir):
+    """X-family completion: initcap / lpad / translate / levenshtein /
+    repeat / overlay — the remaining scalar string surface, all
+    JVM-codegen map-side. Levenshtein runs against the vowel-stripped
+    form so the distance column is non-trivial."""
+    p = load(spark, sf_dir, "part")
+    stripped = F.translate(F.col("p_name"), "aeiou", "")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("title_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        stripped.alias("consonants"),
+        F.levenshtein(F.col("p_name"), stripped).cast("bigint").alias("vowel_distance"),
+        F.repeat(F.lit("*"), F.col("p_size")).alias("size_bar"),
     )
