@@ -95,7 +95,8 @@ def register_round6(reg):
         "udtf_word_chunks",
         udtf_word_chunks,
         rf"""WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             w -> len(w) > 0) AS ws
   FROM documents WHERE trim(text) <> ''
 )
 SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,

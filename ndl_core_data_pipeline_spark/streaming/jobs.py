@@ -218,16 +218,18 @@ def late_data_metrics(query) -> dict:
     100+-batch runs."""
     import json as _json
 
+    from pyspark.sql import SparkSession
+
     progress = list(query.recentProgress)
     cap = 100
-    try:
-        cap = int(
-            query.sparkSession.conf.get(
-                "spark.sql.streaming.numRecentProgressUpdates", "100"
+    session = SparkSession.getActiveSession()
+    if session is not None:
+        try:
+            cap = int(
+                session.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
             )
-        )
-    except Exception:
-        pass
+        except Exception:
+            pass
     n_input, dropped, batches = 0, 0, []
     for prog in progress:
         p = _json.loads(prog.json) if hasattr(prog, "json") else prog
@@ -248,7 +250,7 @@ def late_data_metrics(query) -> dict:
         "n_input": n_input,
         "n_late_dropped": dropped,
         "batches": batches,
-        "truncated": len(progress) >= cap,
+        "truncated": len(progress) >= cap,  # >= cap: history MAY have been dropped
     }
 
 

@@ -319,7 +319,10 @@ def test_stateful_funnel_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
     rows = spark.sql(
         "SELECT user_id, MAX(funnel_stage) AS stage FROM funnel_stream GROUP BY user_id"
     ).collect()

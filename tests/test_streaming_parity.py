@@ -111,7 +111,10 @@ def test_funnel_batch_stream_parity(spark, sf_small, events_landing):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120)  # False = still running → stale read
+    finally:
+        q.stop()
     stream = {
         r["user_id"]: r["stage"]
         for r in spark.sql(
