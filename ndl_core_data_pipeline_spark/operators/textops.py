@@ -976,6 +976,15 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         "FROM part",
     )
     reg.add(
+        "func_variant_json",
+        variant_json_extract,
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, "
+        "json_extract_string(props, '$.tag') AS tag_value, "
+        "(props IS NULL OR NOT json_valid(props)) AS malformed "
+        "FROM events",
+    )
+    reg.add(
         "agg_ordered_string_concat",
         ordered_string_concat,
         "SELECT o_orderstatus, "
@@ -1196,4 +1205,21 @@ def string_function_family(spark, sf_dir):
         stripped.alias("consonants"),
         F.levenshtein(F.col("p_name"), stripped).cast("bigint").alias("vowel_distance"),
         F.repeat(F.lit("*"), F.col("p_size")).alias("size_bar"),
+    )
+
+
+def variant_json_extract(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse events.props once
+    into the binary VARIANT encoding, then typed path extraction —
+    the shredded-JSON scan pattern that replaces per-access string
+    re-parsing (get_json_object re-parses the string per call; VARIANT
+    parses once and serves every path). try_parse_json null-safes
+    malformed rows instead of failing the scan."""
+    ev = load(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.variant_get(v, "$.tag", "string").alias("tag_value"),
+        v.isNull().alias("malformed"),
     )

@@ -275,3 +275,27 @@ def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
     n_urgent_orc = q.count()
     n_urgent_pq = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert n_urgent_orc == n_urgent_pq
+
+
+def test_python_datasource_paged_feed(spark):
+    """Spark-4 custom Python DataSource: partition planning (one task per
+    page range), full row coverage, and DataFrame ops on top."""
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.sources.pyds import PAGE_SIZE, register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_feed")
+        .option("npages", 6)
+        .option("pagesPerPartition", 2)
+        .load()
+    )
+    assert df.count() == 6 * PAGE_SIZE
+    assert df.rdd.getNumPartitions() == 3  # 6 pages / 2 per partition
+    # every page complete, no dupes, and Catalyst ops compose on top
+    per_page = {r["page"]: r["n"] for r in df.groupBy("page").agg(F.count("*").alias("n")).collect()}
+    assert per_page == {p: PAGE_SIZE for p in range(6)}
+    assert df.select("item_id").distinct().count() == 6 * PAGE_SIZE
+    cats = df.filter(F.col("category") == "health").count()
+    assert cats > 0
