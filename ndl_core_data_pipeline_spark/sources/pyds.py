@@ -72,3 +72,56 @@ class PagedFeedDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(PagedFeedDataSource)
+
+
+# ------------------------------------------------- streaming feed source
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class PagedFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the paged feed: offsets are page numbers, each
+    micro-batch reads `pagesPerBatch` new pages (bounded by `npages` for
+    the offline tier — a live feed would advance as pages appear).
+    Replay-safe: `readBetweenOffsets` re-fetches deterministically for
+    recovery, and `commit` is where a live source would ack/cleanup."""
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("npages", 8))
+        self.pages_per_batch = int(options.get("pagesperbatch", 2))
+        self.page_size = int(options.get("pagesize", PAGE_SIZE))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        first = int(start["page"])
+        last = min(first + self.pages_per_batch, self.n_pages)
+        # a materialized list, not a generator: Spark pickles the returned
+        # iterator to ship prefetched rows between planner threads
+        rows = [
+            row
+            for page in range(first, last)
+            for row in _fetch_page(page, self.page_size)
+        ]
+        return iter(rows), {"page": last}
+
+    def readBetweenOffsets(self, start, end):
+        for page in range(int(start["page"]), int(end["page"])):
+            yield from _fetch_page(page, self.page_size)
+
+
+class PagedFeedStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "paged_feed_stream"
+
+    def schema(self):
+        return FEED_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return PagedFeedStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(PagedFeedStreamDataSource)

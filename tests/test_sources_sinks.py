@@ -299,3 +299,46 @@ def test_python_datasource_paged_feed(spark):
     assert df.select("item_id").distinct().count() == 6 * PAGE_SIZE
     cats = df.filter(F.col("category") == "health").count()
     assert cats > 0
+
+
+def test_python_datasource_streaming_feed(spark, tmp_path):
+    """Spark-4 SimpleDataSourceStreamReader: offsets advance per
+    micro-batch, every page lands exactly once, replay is deterministic."""
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.sources.pyds import PAGE_SIZE, register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("paged_feed_stream")
+        .option("npages", 6)
+        .option("pagesPerBatch", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the offline feed is finite: poll until all 6 pages have landed
+    # (availableNow processes only the first prefetched batch for custom
+    # simple stream readers, so run the continuous trigger and stop)
+    import time
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM feed_stream").collect()[0][0] == 6 * PAGE_SIZE:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM feed_stream")
+    assert got.count() == 6 * PAGE_SIZE  # exactly once, all pages
+    per_page = {
+        r["page"]: r["n"]
+        for r in got.groupBy("page").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_page == {p: PAGE_SIZE for p in range(6)}
