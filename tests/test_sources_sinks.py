@@ -342,3 +342,44 @@ def test_python_datasource_streaming_feed(spark, tmp_path):
         for r in got.groupBy("page").agg(F.count("*").alias("n")).collect()
     }
     assert per_page == {p: PAGE_SIZE for p in range(6)}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake reality: a dataset written over months gains columns. A
+    mergeSchema read must unify old and new files (nulls backfill the
+    old ones) — the evolution story any 100 TB table needs."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, name STRING"
+    ).write.parquet(out + "/batch=1")
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id BIGINT, name STRING, score DOUBLE"
+    ).write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "basePath", out
+    ).parquet(out)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 0.5
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    """One truncated parquet file must not kill a directory scan when
+    ignoreCorruptFiles is on — per-file fault isolation at the reader
+    tier (same posture as the workbook/PDF scan error rows)."""
+    out = tmp_path / "with_corrupt"
+    out.mkdir()
+    spark.createDataFrame([(1,), (2,)], "id BIGINT").write.mode(
+        "overwrite"
+    ).parquet(str(out / "good"))
+    (out / "good" / "junk.parquet").write_bytes(b"PAR1 this is not parquet")
+    # explicit schema: footer-based inference has no row to skip to, so a
+    # production lake read pins the schema and lets the scan skip bad files
+    df = (
+        spark.read.schema("id BIGINT")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(out / "good"))
+    )
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
