@@ -90,6 +90,9 @@ def build_registry() -> Registry:
     setops.register_round6(reg)
     filters.register_round6(reg)
     aggregates.register_round6b(reg)
+    from .operators import checks
+
+    checks.register(reg)
     _prioritize(reg)
     return reg
 

@@ -1,0 +1,119 @@
+"""Declarative data-quality constraints (Deequ / dbt-test analog, engine
+surface): a rule set evaluated as ordinary aggregations producing one
+(rule, n_violations, passed) row each — the verification layer any 100 TB
+ingest runs before publishing a partition.
+
+Scale shape: per-table rules collapse into ONE conditional-aggregation
+pass over that table (no rule-per-scan); referential rules are left-anti
+joins on the key. The report is a union of tiny aggregate rows — nothing
+wide ever moves. Rules are data, not code: `CHECKS` below is the suite
+the registered query runs, and `constraint_report` accepts any list of
+the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import load
+
+
+def not_null(col: str):
+    return (f"not_null({col})", F.count(F.when(F.col(col).isNull(), 1)))
+
+
+def unique(col: str):
+    # violations = extra copies beyond the first of each value
+    return (f"unique({col})", F.count(col) - F.countDistinct(col))
+
+
+def accepted_values(col: str, values: tuple):
+    return (
+        f"accepted_values({col})",
+        F.count(F.when(~F.col(col).isin(*values), 1)),
+    )
+
+
+def non_negative(col: str):
+    return (f"non_negative({col})", F.count(F.when(F.col(col) < 0, 1)))
+
+
+def _table_report(df: DataFrame, rules) -> DataFrame:
+    """All single-table rules in ONE aggregation pass. The one-row
+    aggregate explodes into per-rule rows in the SAME plan — a
+    union-of-selects over the agg would re-execute the scan per rule
+    (Catalyst re-runs uncached subtrees per consumer)."""
+    aggs = [expr.cast("bigint").alias(f"r{i}") for i, (_n, expr) in enumerate(rules)]
+    row = df.agg(*aggs)
+    rule_structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"r{i}").alias("n_violations"),
+            (F.col(f"r{i}") == 0).alias("passed"),
+        )
+        for i, (name, _e) in enumerate(rules)
+    ]
+    return row.select(F.explode(F.array(*rule_structs)).alias("x")).select("x.*")
+
+
+def referential(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, name: str) -> DataFrame:
+    """FK containment: child keys with no parent row (left-anti count)."""
+    orphans = child.select(F.col(child_key).alias("k")).join(
+        parent.select(F.col(parent_key).alias("k")), "k", "left_anti"
+    )
+    return orphans.agg(F.count("*").alias("n")).select(
+        F.lit(name).alias("rule"),
+        F.col("n").alias("n_violations"),
+        (F.col("n") == 0).alias("passed"),
+    )
+
+
+def constraint_report(spark, sf_dir):
+    """The registered suite: orders single-table rules in one pass plus
+    two referential rules, unioned into one report."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    l = load(spark, sf_dir, "lineitem")
+    order_rules = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        accepted_values("o_orderstatus", ("O", "F", "P")),
+        non_negative("o_totalprice"),
+    ]
+    report = _table_report(o, order_rules)
+    report = report.unionAll(
+        referential(o, "o_custkey", c, "c_custkey", "fk(orders.o_custkey -> customer)")
+    )
+    report = report.unionAll(
+        referential(l, "l_orderkey", o, "o_orderkey", "fk(lineitem.l_orderkey -> orders)")
+    )
+    return report
+
+
+def register(reg):
+    reg.add(
+        "quality_constraint_report",
+        constraint_report,
+        "SELECT 'not_null(o_orderkey)' AS rule, "
+        "COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations, "
+        "COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed FROM orders "
+        "UNION ALL SELECT 'unique(o_orderkey)', "
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), "
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 FROM orders "
+        "UNION ALL SELECT 'accepted_values(o_orderstatus)', "
+        "COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END), "
+        "COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0 FROM orders "
+        "UNION ALL SELECT 'non_negative(o_totalprice)', "
+        "COUNT(CASE WHEN o_totalprice < 0 THEN 1 END), "
+        "COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) = 0 FROM orders "
+        "UNION ALL SELECT 'fk(orders.o_custkey -> customer)', "
+        "(SELECT COUNT(*) FROM orders ow WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer WHERE c_custkey = ow.o_custkey)), "
+        "(SELECT COUNT(*) FROM orders ow WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer WHERE c_custkey = ow.o_custkey)) = 0 "
+        "UNION ALL SELECT 'fk(lineitem.l_orderkey -> orders)', "
+        "(SELECT COUNT(*) FROM lineitem lw WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)), "
+        "(SELECT COUNT(*) FROM lineitem lw WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)) = 0",
+    )
