@@ -58,8 +58,12 @@ def _table_report(df: DataFrame, rules) -> DataFrame:
 
 def referential(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, name: str) -> DataFrame:
     """FK containment: child keys with no parent row (left-anti count)."""
-    orphans = child.select(F.col(child_key).alias("k")).join(
-        parent.select(F.col(parent_key).alias("k")), "k", "left_anti"
+    # SQL FK / Deequ semantics: a NULL child key is not an orphan (the
+    # not_null rule owns null detection) — filter before the anti-join
+    orphans = (
+        child.select(F.col(child_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .join(parent.select(F.col(parent_key).alias("k")), "k", "left_anti")
     )
     return orphans.agg(F.count("*").alias("n")).select(
         F.lit(name).alias("rule"),
@@ -107,13 +111,17 @@ def register(reg):
         "COUNT(CASE WHEN o_totalprice < 0 THEN 1 END), "
         "COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) = 0 FROM orders "
         "UNION ALL SELECT 'fk(orders.o_custkey -> customer)', "
-        "(SELECT COUNT(*) FROM orders ow WHERE NOT EXISTS "
+        "(SELECT COUNT(*) FROM orders ow WHERE ow.o_custkey IS NOT NULL "
+        "AND NOT EXISTS "
         "(SELECT 1 FROM customer WHERE c_custkey = ow.o_custkey)), "
-        "(SELECT COUNT(*) FROM orders ow WHERE NOT EXISTS "
+        "(SELECT COUNT(*) FROM orders ow WHERE ow.o_custkey IS NOT NULL "
+        "AND NOT EXISTS "
         "(SELECT 1 FROM customer WHERE c_custkey = ow.o_custkey)) = 0 "
         "UNION ALL SELECT 'fk(lineitem.l_orderkey -> orders)', "
-        "(SELECT COUNT(*) FROM lineitem lw WHERE NOT EXISTS "
+        "(SELECT COUNT(*) FROM lineitem lw WHERE lw.l_orderkey IS NOT NULL "
+        "AND NOT EXISTS "
         "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)), "
-        "(SELECT COUNT(*) FROM lineitem lw WHERE NOT EXISTS "
+        "(SELECT COUNT(*) FROM lineitem lw WHERE lw.l_orderkey IS NOT NULL "
+        "AND NOT EXISTS "
         "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)) = 0",
     )

@@ -1217,9 +1217,11 @@ def variant_json_extract(spark, sf_dir):
     malformed rows instead of failing the scan."""
     ev = load(spark, sf_dir, "events")
     v = F.try_parse_json(F.col("props"))
+    # try_variant_get, not variant_get: the strict form throws
+    # INVALID_VARIANT_CAST on a type-mismatched path even with ANSI off
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_value"),
-        F.variant_get(v, "$.tag", "string").alias("tag_value"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.try_variant_get(v, "$.tag", "string").alias("tag_value"),
         v.isNull().alias("malformed"),
     )

@@ -41,11 +41,25 @@ class _PageRange(InputPartition):
         self.end = end
 
 
+def _positive_option(options, key: str, default: int) -> int:
+    """Validate an integer option at PLANNING time with a usable message —
+    range() inside partitions()/read() would otherwise surface a cryptic
+    python-worker error (step=0) or silently plan zero partitions (<0)."""
+    raw = options.get(key, str(default))
+    try:
+        value = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(f"option {key!r} must be an integer, got {raw!r}")
+    if value < 1:
+        raise ValueError(f"option {key!r} must be >= 1, got {value}")
+    return value
+
+
 class PagedFeedReader(DataSourceReader):
     def __init__(self, options):
-        self.n_pages = int(options.get("npages", 8))
-        self.pages_per_part = int(options.get("pagesperpartition", 2))
-        self.page_size = int(options.get("pagesize", PAGE_SIZE))
+        self.n_pages = _positive_option(options, "npages", 8)
+        self.pages_per_part = _positive_option(options, "pagesperpartition", 2)
+        self.page_size = _positive_option(options, "pagesize", PAGE_SIZE)
 
     def partitions(self):
         return [
@@ -87,9 +101,9 @@ class PagedFeedStreamReader(SimpleDataSourceStreamReader):
     recovery, and `commit` is where a live source would ack/cleanup."""
 
     def __init__(self, options):
-        self.n_pages = int(options.get("npages", 8))
-        self.pages_per_batch = int(options.get("pagesperbatch", 2))
-        self.page_size = int(options.get("pagesize", PAGE_SIZE))
+        self.n_pages = _positive_option(options, "npages", 8)
+        self.pages_per_batch = _positive_option(options, "pagesperbatch", 2)
+        self.page_size = _positive_option(options, "pagesize", PAGE_SIZE)
 
     def initialOffset(self):
         return {"page": 0}
