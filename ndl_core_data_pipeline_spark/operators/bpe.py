@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 END_MARK = "</w>"  # word-end marker, per the original construction
+# Adjudicated round 6: interleaved A/B at sf0.1 (24 merges) showed no
+# consistent difference between checkpointing every 1/2/4/8 rounds
+# (5.9-7.4 s, ordering tracked JVM warm-up, not the knob) — the vocab
+# table is small enough that recomputing up to 7 stacked merge UDFs
+# costs about the same as a checkpoint write. 8 keeps lineage bounded.
 CHECKPOINT_EVERY = 8
 
 # Python-side tokenization MUST match the Spark plan's split(lower(trim(
