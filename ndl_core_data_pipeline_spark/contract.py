@@ -93,6 +93,7 @@ def build_registry() -> Registry:
     from .operators import checks
 
     checks.register(reg)
+    pii.register_round6(reg)
     _prioritize(reg)
     return reg
 

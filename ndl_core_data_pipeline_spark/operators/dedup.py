@@ -747,3 +747,44 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        COUNT(*) AS n_dup_grams
 FROM spans GROUP BY doc_id, span_id""",
     )
+    reg.add(
+        "dedup_incremental_vs_base",
+        incremental_dedup_vs_base,
+        rf"""WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+base AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {INCREMENTAL_BASE_MAX}),
+incoming AS (SELECT * FROM fp WHERE doc_id >= {INCREMENTAL_BASE_MAX})
+SELECT doc_id, CASE WHEN fp IN (SELECT fp FROM base)
+                    THEN 'duplicate_of_base' ELSE 'new' END AS verdict
+FROM incoming"""
+    )
+
+
+INCREMENTAL_BASE_MAX = 400  # doc_id < this = the already-ingested corpus
+
+
+def incremental_dedup_vs_base(spark, sf_dir):
+    """Incremental (newcomer) dedup — the shape an ongoing crawl actually
+    runs: incoming documents check their content fingerprint against the
+    ALREADY-INGESTED corpus only, not against each other (corpus-wide
+    dedup is a separate batch job; this is the per-increment gate).
+    Plan: fingerprints both sides map-side, one hash-keyed left-semi /
+    anti pair — at 100 TB the base side is a pre-materialized
+    fingerprint table (text never rescanned), and the join ships 16-byte
+    hashes. Base/incoming split is synthesized from doc_id here; a real
+    deployment passes two tables."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    base = fp.filter(F.col("doc_id") < INCREMENTAL_BASE_MAX).select("fp").distinct()
+    incoming = fp.filter(F.col("doc_id") >= INCREMENTAL_BASE_MAX)
+    dup = incoming.join(base, "fp", "left_semi").select(
+        "doc_id", F.lit("duplicate_of_base").alias("verdict")
+    )
+    fresh = incoming.join(base, "fp", "left_anti").select(
+        "doc_id", F.lit("new").alias("verdict")
+    )
+    return dup.unionAll(fresh)

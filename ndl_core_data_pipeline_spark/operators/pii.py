@@ -137,3 +137,37 @@ def register(reg):
         "CAST(lang = 'en' AS INT) AS was_masked "
         f"FROM ({_sql_with_pii()}) t",
     )
+
+
+K_ANON = 5  # minimum group size for quasi-identifier combinations
+
+
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit (P-family extension): customers grouped by their
+    quasi-identifier combination (nation × market segment); combinations
+    with fewer than K_ANON members re-identify individuals and are
+    flagged. One keyed count — the shuffle carries (qi-combo, count)
+    rows only; the flagged set is what a release gate would suppress or
+    generalize."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < K_ANON).alias("at_risk"),
+        )
+    )
+
+
+def register_round6(reg):
+    """Round-6 privacy addition: k-anonymity audit."""
+    reg.add(
+        "pii_k_anonymity",
+        k_anonymity_report,
+        f"SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size, "
+        f"COUNT(*) < {K_ANON} AS at_risk "
+        "FROM customer GROUP BY c_nationkey, c_mktsegment",
+    )
