@@ -111,6 +111,35 @@ _FORCE_FRONT: list[str] = [
     # automatically via last_green == 0.
 ]
 
+# Round 6 added 38 new queries — more than the 50-slot window can attest
+# alongside the r1/r2-stale cohort VERDICT r5 prioritized. The trivial-
+# semantics additions below (scalar-function/setop/window one-liners whose
+# oracle equivalence is structural and which the full sf0.01 sweep in
+# tests/ already certifies at driver scale) DEFER behind the stale cohort:
+# they sort as if last driver-green in round 2, i.e. after every
+# never-green flagship query and after the r1 cohort, interleaved with the
+# r2 cohort by registration order (their higher index puts them last
+# within that block). They earn first driver rows in r7 as rotation
+# continues.
+_DEFER_NEW: frozenset[str] = frozenset(
+    {
+        "func_date_arithmetic",
+        "func_string_family",
+        "func_url_normalize",
+        "func_variant_json",
+        "agg_ordered_string_concat",
+        "agg_bool_counters",
+        "agg_mode_per_group",
+        "agg_value_histogram",
+        "setop_except_all",
+        "setop_intersect_all",
+        "window_distribution_family",
+        "window_gaps_islands",
+        "filter_iqr_outliers",
+        "pii_k_anonymity",
+    }
+)
+
 
 def _last_green_rounds() -> dict[str, int]:
     """query name -> latest round with a driver-green correctness row."""
@@ -158,10 +187,13 @@ def _prioritize(reg: Registry) -> None:
         # never earn a green row and would otherwise pin themselves to the
         # front forever, burning a verification slot every round (their
         # correctness evidence lives in tests/, not CORRECTNESS_r*.json).
+        green = last_green.get(name, 0)
+        if name in _DEFER_NEW:
+            green = max(green, 2)
         return (
             0 if name in forced else (1 if name in reg.oracles else 2),
             forced.get(name, 0),
-            last_green.get(name, 0),
+            green,
             reg_index[name],
         )
 
