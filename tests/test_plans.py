@@ -419,3 +419,32 @@ def test_pipeline_summary_two_shuffles_only(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert plan.count("Exchange hashpartitioning") <= 3  # fp, semi-join key, split
+
+
+def test_url_normalize_is_map_only(spark, sf_small):
+    plan = plan_of(spark, "func_url_normalize", sf_small)
+    assert "Exchange" not in plan  # pure scan → project regex chain
+
+
+def test_gaps_islands_single_user_shuffle(spark, sf_small):
+    plan = plan_of(spark, "window_gaps_islands", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # distinct + window + island rollup all hash on o_custkey
+    import re
+
+    keys = {a.strip().split("#")[0] for a in re.findall(r"hashpartitioning\(([^,]+),", plan)}
+    assert keys <= {"o_custkey", "d", "island"}
+
+
+def test_incremental_dedup_ships_hashes(spark, sf_small):
+    plan = plan_of(spark, "dedup_incremental_vs_base", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "md5" in plan  # fingerprints, not text, are the join key
+
+
+def test_constraint_report_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "quality_constraint_report", sf_small)
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") >= 2  # both FK rules are anti-joins
