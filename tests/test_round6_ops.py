@@ -423,3 +423,50 @@ def test_constraint_report_single_pass_plan(spark, sf_small):
     df = QUERIES["quality_constraint_report"](spark, sf_small)
     plan = explain_formatted(df)
     assert plan.count("orders.parquet") <= 3  # 1 rules pass + 2 FK sides
+
+
+def test_url_normalize_idempotent(spark, sf_small):
+    """Canonicalization must be a fixpoint: normalizing an already-
+    canonical URL changes nothing (otherwise dedup keys drift across
+    re-crawls)."""
+    out = QUERIES["func_url_normalize"](spark, sf_small)
+    import re
+
+    for r in out.limit(50).collect():
+        c = r["canonical_url"]
+        # re-apply the same rules in Python (the chain is scheme/host/path)
+        m = re.match(r"^([A-Za-z]+)://([^/]*)(.*)$", c)
+        scheme, host, path = m.group(1), m.group(2), m.group(3)
+        host2 = re.sub(r":443$", "", host.lower())
+        path2 = re.sub(r"//+", "/", path)
+        path2 = re.sub(r"(utm_[A-Za-z]+|fbclid)=[^&]*&?", "", path2)
+        path2 = re.sub(r"[?&]+$", "", path2)
+        path2 = re.sub(r"/$", "", path2)
+        assert f"{scheme.lower()}://{host2}{path2}" == c
+
+
+def test_merge_upsert_empty_changeset_is_identity(spark, sf_small):
+    """Merge machinery sanity: a full-outer merge with ZERO updates must
+    return the base unchanged with every row tagged 'keep'."""
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.io import load
+
+    o = load(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    empty = o.filter(F.lit(False)).select(
+        "key",
+        F.col("status").alias("u_status"),
+        F.col("totalprice").alias("u_totalprice"),
+    )
+    merged = o.join(empty, "key", "full_outer").select(
+        "key",
+        F.coalesce(F.col("u_status"), F.col("status")).alias("status"),
+        F.coalesce(F.col("u_totalprice"), F.col("totalprice")).alias("totalprice"),
+        F.when(F.col("u_status").isNull(), "keep").otherwise("update").alias("row_op"),
+    )
+    assert merged.filter(F.col("row_op") != "keep").count() == 0
+    assert rows_set(merged.drop("row_op")) == rows_set(o)
