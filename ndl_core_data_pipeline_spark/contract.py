@@ -94,6 +94,9 @@ def build_registry() -> Registry:
 
     checks.register(reg)
     pii.register_round6(reg)
+    from .operators import warehouse
+
+    warehouse.register(reg)
     _prioritize(reg)
     return reg
 
@@ -137,6 +140,16 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "window_gaps_islands",
         "filter_iqr_outliers",
         "pii_k_anonymity",
+        # round-6 closing warehouse family (operators/warehouse.py): certified
+        # by the local sf0.01 sweep; registered last, so with last_green
+        # pinned to 2 they queue behind the whole stale-refresh cohort and
+        # earn driver rows as rotation reaches them.
+        "mv_incremental_agg",
+        "scd2_intervals",
+        "join_bloom_pruned",
+        "agg_heavy_hitters",
+        "sort_zorder_cluster",
+        "layout_zonemap_stats",
     }
 )
 

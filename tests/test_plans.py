@@ -448,3 +448,54 @@ def test_constraint_report_no_cartesian(spark, sf_small):
     plan = plan_of(spark, "quality_constraint_report", sf_small)
     assert "CartesianProduct" not in plan
     assert plan.count("LeftAnti") >= 2  # both FK rules are anti-joins
+
+
+def test_mv_incremental_single_key_shuffle(spark, sf_small):
+    # base and delta aggregate on the SAME key, so the merge plan is two
+    # partial-agg branches plus one full-outer join — every exchange hashes
+    # on o_custkey only and no row-level orders data crosses twice
+    plan = plan_of(spark, "mv_incremental_agg", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    import re
+
+    keys = {a.strip().split("#")[0] for a in re.findall(r"hashpartitioning\(([^,]+),", plan)}
+    assert keys <= {"o_custkey"}
+
+
+def test_bloom_prune_narrow_scan_and_semi(spark, sf_small):
+    # probe scan reads exactly the 3 needed lineitem columns; the bitmap
+    # arrives by single-row broadcast (never a CartesianProduct); the
+    # FP-correction is a broadcast semi join; probe hashing is in-plan
+    plan = plan_of(spark, "join_bloom_pruned", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "xxhash64" in plan  # bitmap probe inside codegen, not a UDF
+    assert (
+        "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,"
+        "l_discount:double>" in plan
+    )
+
+
+def test_heavy_hitters_tail_never_shuffles_raw(spark, sf_small):
+    # MG summaries are map-side (MapInPandas), candidates broadcast back
+    # for the exact recount: the only row-level movement of the token
+    # stream is the keyed recount of candidate tokens
+    plan = plan_of(spark, "agg_heavy_hitters", sf_small)
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_zorder_topk_no_global_sort(spark, sf_small):
+    plan = plan_of(spark, "sort_zorder_cluster", sf_small)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # no full-sort materialization
+
+
+def test_zonemap_is_one_keyed_agg(spark, sf_small):
+    plan = plan_of(spark, "layout_zonemap_stats", sf_small)
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" not in plan  # z-prefix cells, not ntile

@@ -1,0 +1,167 @@
+"""Warehouse-family unit tests: Misra-Gries candidate guarantee, Morton
+spread correctness, bloom no-false-negatives, SCD2 interval invariants.
+
+The oracle-parity sweep (tests/test_oracle_parity.py) certifies end-to-end
+values; these pin the algorithmic guarantees the oracles can't see — the
+candidate-superset property that makes the heavy-hitter result exact, the
+bit-level Morton identity the z-order key relies on, and the structural
+invariants of the SCD2 history build.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ndl_core_data_pipeline_spark.operators import warehouse as wh
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries candidates
+
+
+def _run_mg(partitions):
+    """Feed token lists through _mg_candidates as one partition per list,
+    batching each partition into chunks of 3 docs; return candidate set."""
+    out = set()
+    for docs in partitions:
+        batches = [
+            pd.DataFrame({"text": docs[i : i + 3]}) for i in range(0, len(docs), 3)
+        ]
+        for pdf in wh._mg_candidates(iter(batches)):
+            out.update(pdf["token"])
+    return out
+
+
+def _true_heavy(partitions):
+    toks = [t for docs in partitions for d in docs for t in d.lower().split()]
+    n = len(toks)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    thresh_mult = wh._MG_CAPACITY + 1
+    return {t for t, c in counts.items() if c * thresh_mult > n}, counts, n
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_mg_candidates_contain_all_heavy_hitters(seed):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    # skewed stream: a few tokens get boosted far above N/(C+1)
+    heavy = rng.sample(vocab, rng.randint(0, 4))
+    docs = []
+    for _ in range(rng.randint(5, 40)):
+        words = rng.choices(vocab, k=rng.randint(0, 30))
+        words += rng.choices(heavy, k=rng.randint(0, 25)) if heavy else []
+        docs.append(" ".join(words))
+    n_parts = rng.randint(1, 6)
+    partitions = [docs[i::n_parts] for i in range(n_parts)]
+    cand = _run_mg(partitions)
+    true_hh, _, _ = _true_heavy(partitions)
+    missed = true_hh - cand
+    assert not missed, f"MG summaries missed heavy hitters: {missed}"
+
+
+def test_mg_summary_is_bounded():
+    docs = [" ".join(f"u{i}_{j}" for j in range(50)) for i in range(40)]
+    frames = list(
+        wh._mg_candidates(iter([pd.DataFrame({"text": docs})]))
+    )
+    assert len(frames) == 1
+    assert len(frames[0]) <= wh._MG_CAPACITY
+
+
+# ---------------------------------------------------------------------------
+# Morton / Z-order bit identity
+
+
+def _spread16_py(x: int) -> int:
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i)
+    return out
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=60, deadline=None)
+def test_spread16_sql_matches_reference(a, b):
+    con = duckdb.connect()
+    got_a, got_b = con.sql(
+        f"SELECT {wh._spread16_sql(str(a))}, {wh._spread16_sql(str(b))}"
+    ).fetchone()
+    assert got_a == _spread16_py(a)
+    assert got_b == _spread16_py(b)
+    # interleave is injective: distinct pairs -> distinct z
+    z_ab = got_a | (got_b << 1)
+    assert (z_ab & 0x55555555) == got_a
+    assert ((z_ab >> 1) & 0x55555555) == got_b
+
+
+# ---------------------------------------------------------------------------
+# Bloom probe: no false negatives (Spark-side)
+
+
+def test_bloom_probe_no_false_negatives(spark, sf_small):
+    """Every true build-side supplier key must survive the bitmap probe:
+    compare bloom-pruned group keys to the plain semi-join's group keys."""
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.io import load
+
+    got = {
+        r["l_suppkey"]
+        for r in wh.join_bloom_pruned(spark, sf_small).select("l_suppkey").collect()
+    }
+    nat = load(spark, sf_small, "nation").filter(
+        F.col("n_name") == wh._BLOOM_NATION
+    )
+    supp = load(spark, sf_small, "supplier").join(
+        nat, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    expected = {
+        r["l_suppkey"]
+        for r in load(spark, sf_small, "lineitem")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SCD2 invariants
+
+
+def test_scd2_intervals_invariants(spark, sf_small):
+    pdf = wh.scd2_intervals(spark, sf_small).toPandas()
+    assert (pdf.groupby("user_id")["is_current"].sum() == 1).all()
+    for _, grp in pdf.groupby("user_id"):
+        g = grp.sort_values("valid_from").reset_index(drop=True)
+        # intervals chain: each valid_to equals the next valid_from
+        assert (
+            g["valid_to"].iloc[:-1].values == g["valid_from"].iloc[1:].values
+        ).all()
+        assert pd.isna(g["valid_to"].iloc[-1])
+        # consecutive states differ (runs were collapsed)
+        states = g["state"].tolist()
+        assert all(a != b for a, b in zip(states, states[1:]))
+
+
+def test_zonemap_rows_partition_the_table(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+
+    stats = wh.layout_zonemap_stats(spark, sf_small).toPandas()
+    total = load(spark, sf_small, "part").count()
+    assert stats["n_rows"].sum() == total
+    assert (stats["min_size"] <= stats["max_size"]).all()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
