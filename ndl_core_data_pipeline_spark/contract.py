@@ -94,9 +94,10 @@ def build_registry() -> Registry:
 
     checks.register(reg)
     pii.register_round6(reg)
-    from .operators import warehouse
+    from .operators import graphs, warehouse
 
     warehouse.register(reg)
+    graphs.register(reg)
     _prioritize(reg)
     return reg
 
@@ -150,6 +151,8 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "agg_heavy_hitters",
         "sort_zorder_cluster",
         "layout_zonemap_stats",
+        "join_fuzzy_name_pairs",
+        "graph_tree_depth_root",
     }
 )
 

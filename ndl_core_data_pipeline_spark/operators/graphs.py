@@ -1,0 +1,144 @@
+"""Graph-shaped relational operators: entity-resolution fuzzy matching and
+hierarchy traversal.
+
+Complements the connected-components machinery in operators/dedup.py
+(min-label propagation) with the two other graph shapes a curation
+pipeline needs: building the edge set in the first place (blocked fuzzy
+string matching — the entity-resolution step before clustering) and
+walking a hierarchy (recursive-CTE semantics, which Spark lacks natively,
+expressed as logarithmic pointer doubling).
+
+Scale notes (100 TB):
+- `join_fuzzy_name_pairs` never goes n×n: candidates are generated only
+  within blocking-key groups (classic entity-resolution blocking; the
+  block key is the entity's most selective token), then verified with
+  the exact Levenshtein predicate. Recall is bounded by the blocking
+  choice and that trade-off is the documented, oracle-pinned semantics —
+  the same contract as the LSH/banded dedup families.
+- `graph_tree_depth_root` replaces an O(depth) iterative walk with
+  O(log depth) pointer-doubling rounds: each round joins the
+  ancestor-pointer table with itself, doubling the covered distance, so
+  a depth-10^6 chain needs 20 keyed self-joins, each shuffling one row
+  per node (three longs, no payload). Lineage is cut per round
+  (localCheckpoint) exactly like dedup's pointer-jumping clusters.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy name matching
+
+_FUZZY_MAX_DIST = 2
+
+
+def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over distinct part names: block on
+    the last name token (the most selective one for 'adjective noun'
+    entities), generate within-block pairs ordered name_a < name_b, and
+    keep pairs within Levenshtein distance 2. The distinct-first shape
+    means matching cost scales with entity vocabulary, not row count;
+    the self-join only ever compares names sharing a block key."""
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+_FUZZY_SQL = f"""
+WITH names AS (
+  SELECT DISTINCT p_name,
+         list_extract(string_split(p_name, ' '), -1) AS block
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+# ---------------------------------------------------------------------------
+# Hierarchy traversal: recursive-CTE semantics via pointer doubling
+
+# implicit binary-heap hierarchy over part keys: parent(k) = (k-1) DIV 2,
+# root = 0 — a deterministic tree derived from the synthetic schema (the
+# testdata carries no explicit parent column); depth ≤ ⌊log2 n⌋
+
+
+def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node depth and top-level branch of a hierarchy — the recursive
+    CTE Spark doesn't have, as pointer doubling. State is one row per
+    node: (ancestor at 2^r steps — root-absorbed, exact distance
+    covered, the depth-1 ancestor if the compressed path already crossed
+    it). Each round joins the state with itself on anc = node, doubling
+    the horizon, so ⌈log2 depth⌉ rounds finish the walk; the oracle is
+    DuckDB's WITH RECURSIVE over the same parent function."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()  # scalar: sizes the round count, ⌈log2⌈log2 n⌉⌉
+    max_depth = max(1, int(math.floor(math.log2(max(n, 2)))))
+    rounds = max(1, math.ceil(math.log2(max_depth)) + 1)
+    node = F.col("p_partkey").cast("bigint")
+    state = part.select(
+        node.alias("node"),
+        F.when(node == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("CAST((p_partkey - 1) DIV 2 AS BIGINT)"))
+        .alias("anc"),
+        F.when(node == 0, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("d"),
+        F.when(node.isin(1, 2), node).otherwise(F.lit(None)).alias("br"),
+    )
+    # integer division semantics: (node-1)/2 on bigint then cast truncates
+    # toward zero, which equals floor for the node >= 1 domain; node 0 is
+    # pinned to the self-loop explicitly so no negative operand exists
+    for _ in range(rounds):
+        a = state.alias("a")
+        b = state.alias("b")
+        state = (
+            a.join(b, F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+                F.coalesce(F.col("a.br"), F.col("b.br")).alias("br"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        F.col("node").alias("p_partkey"),
+        F.col("d").alias("depth"),
+        F.coalesce(F.col("br"), F.lit(0)).cast("bigint").alias("top_branch"),
+    )
+
+
+_TREE_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node, p_partkey AS cur, 0 AS steps FROM part
+  UNION ALL
+  SELECT node, (cur - 1) // 2, steps + 1 FROM walk WHERE cur > 0
+)
+SELECT node AS p_partkey, CAST(MAX(steps) AS BIGINT) AS depth,
+       CAST(COALESCE(MAX(CASE WHEN cur IN (1, 2) THEN cur END), 0) AS BIGINT)
+         AS top_branch
+FROM walk GROUP BY node
+"""
+
+
+def register(reg) -> None:
+    reg.add("join_fuzzy_name_pairs", join_fuzzy_name_pairs, _FUZZY_SQL)
+    reg.add("graph_tree_depth_root", graph_tree_depth_root, _TREE_SQL)

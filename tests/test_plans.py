@@ -499,3 +499,36 @@ def test_zonemap_is_one_keyed_agg(spark, sf_small):
     assert "partial_min" in plan and "partial_max" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Window" not in plan  # z-prefix cells, not ntile
+
+
+def test_fuzzy_pairs_block_join_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "join_fuzzy_name_pairs", sf_small)
+    assert "CartesianProduct" not in plan  # blocked, never all-pairs
+    assert "levenshtein" in plan  # exact verify inside codegen
+
+
+def test_tree_doubling_keyed_joins_only(spark, sf_small):
+    # the registered query's final plan is a checkpoint scan (lineage cut
+    # per round, like dedup's pointer jumping) — audit one doubling round
+    # built inline: the self-join must be keyed (anc = node), no cartesian
+    plan = plan_of(spark, "graph_tree_depth_root", sf_small)
+    assert "Scan ExistingRDD" in plan  # lineage actually cut
+
+    from ndl_core_data_pipeline_spark.io import load
+
+    part = load(spark, sf_small, "part").select(
+        F.col("p_partkey").cast("bigint").alias("node"),
+        F.expr(
+            "CASE WHEN p_partkey = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((p_partkey - 1) DIV 2 AS BIGINT) END"
+        ).alias("anc"),
+        F.lit(1).cast("bigint").alias("d"),
+    )
+    one_round = (
+        part.alias("a")
+        .join(part.alias("b"), F.col("a.anc") == F.col("b.node"))
+        .select(F.col("a.node"), F.col("b.anc"), (F.col("a.d") + F.col("b.d")).alias("d"))
+    )
+    round_plan = explain_formatted(one_round)
+    assert "CartesianProduct" not in round_plan
+    assert "BroadcastNestedLoopJoin" not in round_plan

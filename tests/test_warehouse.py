@@ -165,3 +165,54 @@ def test_zonemap_rows_partition_the_table(spark, sf_small):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ---------------------------------------------------------------------------
+# Graph family (operators/graphs.py)
+
+
+def test_tree_depth_matches_python_walk(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators import graphs
+
+    pdf = graphs.graph_tree_depth_root(spark, sf_small).toPandas()
+
+    def walk(k):
+        depth, br = 0, 0
+        while k > 0:
+            if k in (1, 2):
+                br = k
+            k = (k - 1) // 2
+            depth += 1
+        return depth, br
+
+    for row in pdf.itertuples():
+        d, br = walk(row.p_partkey)
+        assert (row.depth, row.top_branch) == (d, br), row
+
+
+def test_fuzzy_pairs_are_exact_within_blocks(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators import graphs
+    from ndl_core_data_pipeline_spark.io import load
+
+    pdf = graphs.join_fuzzy_name_pairs(spark, sf_small).toPandas()
+    names = [r["p_name"] for r in load(spark, sf_small, "part").select("p_name").distinct().collect()]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b)
+        for a in names
+        for b in names
+        if a < b and a.split()[-1] == b.split()[-1] and lev(a, b) <= graphs._FUZZY_MAX_DIST
+    }
+    got = {(r.name_a, r.name_b) for r in pdf.itertuples()}
+    assert got == expected
+    for r in pdf.itertuples():
+        assert r.dist == lev(r.name_a, r.name_b)
