@@ -98,6 +98,8 @@ def build_registry() -> Registry:
 
     warehouse.register(reg)
     graphs.register(reg)
+    arrays.register_round6(reg)
+    aggregates.register_round6c(reg)
     _prioritize(reg)
     return reg
 
@@ -153,6 +155,9 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "layout_zonemap_stats",
         "join_fuzzy_name_pairs",
         "graph_tree_depth_root",
+        "array_hof_family",
+        "reshape_unpivot",
+        "feature_quantile_bin",
     }
 )
 

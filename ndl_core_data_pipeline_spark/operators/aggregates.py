@@ -431,3 +431,81 @@ def register_round6b(reg):
         "count_if(l_extendedprice > 30000.0) AS n_pricey "
         "FROM lineitem GROUP BY l_returnflag",
     )
+
+
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT / melt: the four lineitem measures to long form via
+    DataFrame.unpivot (the inverse of agg_pivot's wide form), then a
+    per-metric rollup. Unpivot is a map-side row expansion (4× rows, no
+    shuffle) and the rollup map-side combines, so the exchange carries
+    4 aggregate rows per partition."""
+    l = load(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"), dsum(F.col("value"), "total")
+    )
+
+
+_UNPIVOT_SQL = (
+    "WITH long AS ("
+    " SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem"
+    " UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem"
+    " UNION ALL SELECT 'l_discount', l_discount FROM lineitem"
+    " UNION ALL SELECT 'l_tax', l_tax FROM lineitem) "
+    "SELECT metric, COUNT(*) AS n, "
+    + sql_dsum("value")
+    + " AS total FROM long GROUP BY metric"
+)
+
+
+def quantile_bin(spark, sf_dir):
+    """Feature discretization: per-group exact quartile fences (Spark
+    `percentile` ≡ DuckDB quantile_cont, pinned by agg_median_percentiles)
+    broadcast back onto the fact table for a map-side bin assignment, then
+    a per-(group, bin) count. The fence table is G×3 doubles — the classic
+    two-pass quantile binning that avoids any global sort of the data."""
+    l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    fences = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.5).alias("q2"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    p = F.col("l_extendedprice")
+    binned = l.join(F.broadcast(fences), "l_returnflag").withColumn(
+        "bin",
+        F.when(p <= F.col("q1"), 0)
+        .when(p <= F.col("q2"), 1)
+        .when(p <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("bigint"),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(F.count("*").alias("cnt"))
+
+
+_QBIN_SQL = """
+WITH fences AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.50) AS q2,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(CASE WHEN l_extendedprice <= q1 THEN 0
+                 WHEN l_extendedprice <= q2 THEN 1
+                 WHEN l_extendedprice <= q3 THEN 2
+                 ELSE 3 END AS BIGINT) AS bin,
+       COUNT(*) AS cnt
+FROM lineitem l JOIN fences USING (l_returnflag)
+GROUP BY 1, 2
+"""
+
+
+def register_round6c(reg):
+    reg.add("reshape_unpivot", unpivot_metrics, _UNPIVOT_SQL)
+    reg.add("feature_quantile_bin", quantile_bin, _QBIN_SQL)

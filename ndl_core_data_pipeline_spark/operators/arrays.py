@@ -124,3 +124,46 @@ def register(reg):
         "SELECT o_custkey, COALESCE(MIN(o_orderdate), TIMESTAMP '1970-01-01') AS oldest, "
         "COUNT(*) AS n_changes FROM orders GROUP BY o_custkey",
     )
+
+
+def hof_family(spark, sf_dir):
+    """§2.9 higher-order-function surface as a registered query: filter /
+    exists / forall / aggregate lambdas over the tokenized document text —
+    all evaluated JVM-side per row (no explode, no shuffle until the
+    project itself ends the plan). DuckDB mirrors with list_filter /
+    list_transform / list_sum."""
+    from ..io import load
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: w != "")).cast("bigint").alias("n_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5))
+        .cast("bigint")
+        .alias("n_long"),
+        F.exists(words, lambda w: w.rlike("[0-9]")).alias("has_digit"),
+        F.forall(words, lambda w: F.length(w) <= 20).alias("all_short"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("n_chars"),
+    )
+
+
+_HOF_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> x <> '')) AS BIGINT) AS n_words,
+       CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long,
+       len(list_filter(w, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
+       len(list_filter(w, x -> length(x) > 20)) = 0 AS all_short,
+       CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+         AS n_chars
+FROM ws
+"""
+
+
+def register_round6(reg):
+    reg.add("array_hof_family", hof_family, _HOF_SQL)

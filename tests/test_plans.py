@@ -532,3 +532,22 @@ def test_tree_doubling_keyed_joins_only(spark, sf_small):
     round_plan = explain_formatted(one_round)
     assert "CartesianProduct" not in round_plan
     assert "BroadcastNestedLoopJoin" not in round_plan
+
+
+def test_hof_family_is_map_only(spark, sf_small):
+    plan = plan_of(spark, "array_hof_family", sf_small)
+    assert "Exchange" not in plan  # lambdas evaluate in-row, no explode
+
+
+def test_unpivot_expand_then_partial_agg(spark, sf_small):
+    plan = plan_of(spark, "reshape_unpivot", sf_small)
+    assert "Expand" in plan  # unpivot is a map-side row expansion
+    assert "partial_count" in plan
+    assert plan.count("Exchange (") == 1  # only the rollup shuffles
+
+
+def test_quantile_bin_broadcasts_fences(spark, sf_small):
+    plan = plan_of(spark, "feature_quantile_bin", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
