@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "vector_pq_adc_topk",
     "text_bm25_topk",
     "dedup_substring_spans",
+    # round-6 warehouse/graph families: bitmap-pruned semi-join,
+    # Misra-Gries heavy hitters (map-side summaries + candidate recount),
+    # log-depth pointer-doubling hierarchy walk
+    "join_bloom_pruned",
+    "agg_heavy_hitters",
+    "graph_tree_depth_root",
 ]
 
 

@@ -100,6 +100,7 @@ def build_registry() -> Registry:
     graphs.register(reg)
     arrays.register_round6(reg)
     aggregates.register_round6c(reg)
+    windows.register_round6b(reg)
     _prioritize(reg)
     return reg
 
@@ -158,6 +159,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "array_hof_family",
         "reshape_unpivot",
         "feature_quantile_bin",
+        "window_distributed_prefix_sum",
     }
 )
 

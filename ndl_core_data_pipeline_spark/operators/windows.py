@@ -268,3 +268,55 @@ def gaps_and_islands(spark, sf_dir):
         .drop("island")
         .filter(F.col("streak_days") >= 2)
     )
+
+
+def distributed_prefix_sum(spark, sf_dir):
+    """Global running total over the event stream WITHOUT a single-
+    partition window: the two-level prefix-sum decomposition. Rows are
+    bucketed by day; each bucket computes its local running sum in
+    parallel (day-keyed window), bucket totals — one row per day — get a
+    tiny prefix scan, and the per-bucket offset joins back by broadcast.
+    SUM() OVER (ORDER BY ts) on a naive plan serializes 100 TB through
+    one task; this shape keeps every data-touching stage keyed by day and
+    moves only #buckets rows through the serial scan. Decimal partials
+    make the cumulative sums bit-identical to the oracle's sequential
+    window regardless of bucketing."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ev = ev.withColumn("day", F.to_date("ts"))
+    w_in = (
+        W.partitionBy("day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ev.withColumn(
+        "local_sum", F.sum(F.col("value").cast("decimal(25,6)")).over(w_in)
+    )
+    totals = ev.groupBy("day").agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("day_total")
+    )
+    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "day",
+        F.coalesce(
+            F.sum("day_total").over(w_days), F.lit(0).cast("decimal(25,6)")
+        ).alias("offset"),
+    )
+    return local.join(F.broadcast(offsets), "day").select(
+        "event_id",
+        "ts",
+        (F.col("offset") + F.col("local_sum")).cast("double").alias("running_total"),
+    )
+
+
+_PREFIX_SQL = """
+SELECT event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+         ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM events
+"""
+
+
+def register_round6b(reg):
+    reg.add("window_distributed_prefix_sum", distributed_prefix_sum, _PREFIX_SQL)

@@ -551,3 +551,13 @@ def test_quantile_bin_broadcasts_fences(spark, sf_small):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_sum_data_windows_are_bucket_keyed(spark, sf_small):
+    # the two-level prefix-sum: every data-touching stage keyed by day;
+    # only the #buckets-row offset scan may serialize
+    plan = plan_of(spark, "window_distributed_prefix_sum", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(day" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan
