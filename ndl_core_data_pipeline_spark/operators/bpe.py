@@ -87,34 +87,108 @@ def _pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
-def _merge_udf(left: str, right: str):
-    merged = left + right
+def _merge_col(syms_col, left: str, right: str):
+    """Apply ONE learned merge to a symbol array, JVM-side: a left fold
+    (F.aggregate) with state (out, prev) — emit `merged` when prev/current
+    equal the pair, else flush prev; the finish lambda flushes the last
+    pending symbol. Greedy left-to-right with non-overlapping repeats,
+    exactly the classic scan (pinned by tests/test_bpe.py's pure-Python
+    equivalence). Replaced the earlier pandas-UDF form: the train loop
+    stacks up to CHECKPOINT_EVERY merge layers per round, and each UDF
+    layer cost a JVM→Python Arrow round-trip of the vocab table — the
+    fold keeps all layers inside whole-stage codegen."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    m_lit = F.lit(left + right)
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
 
-    @F.pandas_udf(ArrayType(StringType()))
-    def apply_merge(syms: pd.Series) -> pd.Series:
-        def one(arr):
-            out = []
-            i, n = 0, len(arr)
+    def step(acc, x):
+        hit = acc["prev"].isNotNull() & (acc["prev"] == l_lit) & (x == r_lit)
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(m_lit)))
+            .when(acc["prev"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(x).alias("prev"),
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(syms_col, init, step, finish)
+
+
+# Size-adaptive execution threshold, the same decision a broadcast join
+# makes: the corpus always collapses to the word-freq table first (the
+# ONE wide job), and when that table is driver-sized the 24-round merge
+# loop runs in-process instead of paying ~0.2 s of job-scheduling latency
+# per round on a table of a few thousand rows. Vocabularies larger than
+# this stay fully distributed (one keyed shuffle + ONE-row collect per
+# round). 64k words × ~30 symbol cells is single-digit MB.
+VOCAB_DRIVER_MAX = 65536
+
+
+def _train_from_freqs(
+    freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-driver merge loop over a collected word-freq table — the exact
+    algorithm of the distributed loop (same (count desc, left, right)
+    tiebreak, same greedy scan), on the same input the distributed loop
+    would shuffle per round."""
+    vocab = {
+        w: [c if i < len(w) - 1 else c + END_MARK for i, c in enumerate(w)]
+        for w, _ in freqs
+    }
+    f = dict(freqs)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            fw = f[w]
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] = pair_counts.get(pair, 0) + fw
+        if not pair_counts:
+            break
+        (left, right), count = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, count))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            i, n = 0, len(syms)
             while i < n:
-                if i + 1 < n and arr[i] == left and arr[i + 1] == right:
-                    out.append(merged)
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
                     i += 2
                 else:
-                    out.append(arr[i])
+                    out.append(syms[i])
                     i += 1
-            return out
-
-        return syms.map(lambda a: one(list(a)))
-
-    return apply_merge
+            vocab[w] = out
+    return merges
 
 
 def train_bpe_merges(
     docs: DataFrame, n_merges: int = 32, text_col: str = "text"
 ) -> list[tuple[int, str, str, int]]:
     """Learn `n_merges` BPE merges; returns [(rank, left, right, count)].
-    The driver receives ONE row per round — never the vocabulary."""
-    sym = _symbolize(_word_freqs(docs, text_col)).localCheckpoint()
+    The corpus collapses ONCE to the word-freq table; if that table is
+    driver-sized (≤ VOCAB_DRIVER_MAX) the merge loop runs in-process,
+    else it stays distributed and the driver receives ONE row per round —
+    never the vocabulary. Both paths are pinned to the same pure-Python
+    reference in tests/test_bpe.py."""
+    wf = _word_freqs(docs, text_col)
+    # limit(MAX+1) returns the FULL table iff vocab <= MAX — one job
+    # decides the strategy and, on the small path, already delivers the data
+    head = wf.limit(VOCAB_DRIVER_MAX + 1).collect()
+    if len(head) <= VOCAB_DRIVER_MAX:
+        return _train_from_freqs(
+            [(r["word"], int(r["freq"])) for r in head], n_merges
+        )
+    sym = _symbolize(wf).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         best = (
@@ -128,7 +202,7 @@ def train_bpe_merges(
         row = best[0]
         merges.append((rank, row["left"], row["right"], int(row["count"])))
         sym = sym.withColumn(
-            "syms", _merge_udf(row["left"], row["right"])(F.col("syms"))
+            "syms", _merge_col(F.col("syms"), row["left"], row["right"])
         )
         if (rank + 1) % CHECKPOINT_EVERY == 0:
             sym = sym.localCheckpoint()

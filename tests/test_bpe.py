@@ -123,3 +123,25 @@ def test_nbsp_tokenization_matches_spark(spark):
     # unicode split would break 'low\xa0tier' into two words
     assert tokenize_words("low\xa0tier") == ["low\xa0tier"]
     assert "low\xa0tier".split() == ["low", "tier"]
+
+
+def test_distributed_loop_matches_reference(spark, monkeypatch):
+    # force the distributed path (the small-vocab fast path would
+    # otherwise absorb every test corpus): both strategies must produce
+    # the identical merge sequence
+    from ndl_core_data_pipeline_spark.operators import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "VOCAB_DRIVER_MAX", 0)
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text STRING")
+    got = train_bpe_merges(docs, n_merges=12)
+    assert got == _ref_bpe(TEXTS, 12)
+
+
+def test_driver_path_equals_distributed_path(spark, monkeypatch):
+    from ndl_core_data_pipeline_spark.operators import bpe as bpe_mod
+
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text STRING")
+    small = train_bpe_merges(docs, n_merges=8)
+    monkeypatch.setattr(bpe_mod, "VOCAB_DRIVER_MAX", 0)
+    big = train_bpe_merges(docs, n_merges=8)
+    assert small == big
