@@ -401,6 +401,37 @@ sigs AS (
 
 CC_MAX_ITER = 25  # safety bound; pointer jumping needs ~log2(diameter) rounds
 
+# Size-adaptive execution threshold (same decision as a broadcast join and
+# bpe.VOCAB_DRIVER_MAX): near-dup edge lists are usually a tiny fraction of
+# the corpus — when one limit(MAX+1) job shows the symmetrized edge table
+# is driver-sized, label it with an in-process union-find instead of paying
+# 3+ job launches per pointer-jumping round. Larger edge sets keep the
+# fully-distributed loop below. 1M edges × two longs is ~16 MB.
+CC_EDGES_DRIVER_MAX = 1_000_000
+
+
+def _union_find_labels(edge_rows) -> list[tuple[int, int]]:
+    """In-driver min-label connected components over collected edges —
+    identical output contract to the distributed loop: every node maps to
+    the minimum node id reachable from it."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((node, find(node)) for node in parent)
+
 
 def connected_components(edges, src: str = "doc_a", dst: str = "doc_b"):
     """Connected components over an undirected pair list: every node gets
@@ -423,6 +454,14 @@ def connected_components(edges, src: str = "doc_a", dst: str = "doc_b"):
     The driver loop controls ITERATION only; all data stays distributed
     (the only driver traffic is one aggregate scalar per round)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # limit(MAX+1) returns the FULL edge list iff it's driver-sized — one
+    # job decides the strategy and, on the small path, delivers the data
+    head = e.limit(CC_EDGES_DRIVER_MAX + 1).collect()
+    if len(head) <= CC_EDGES_DRIVER_MAX:
+        pairs = _union_find_labels([(r["src"], r["dst"]) for r in head])
+        return edges.sparkSession.createDataFrame(
+            pairs, "node BIGINT, label BIGINT"
+        )
     e = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -171,3 +171,21 @@ def test_repetition_signals_on_repetitive_doc(spark, tmp_path):
     assert out[1]["dup_bigram_frac"] == 1.0
     assert out[2]["uniq_word_frac"] == 1.0 and out[2]["dup_word_frac"] == 0.0
     assert out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_connected_components_distributed_path_matches_driver(spark, monkeypatch):
+    # the size-adaptive small-graph path (driver union-find) and the
+    # distributed pointer-jumping loop must agree label-for-label; a long
+    # path graph plus a separate clique exercises the jumping rounds
+    import random
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(0, 40)]
+    clique = [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+    extra = [(rng.randint(200, 230), rng.randint(200, 230)) for _ in range(25)]
+    edge_rows = [(a, b) for a, b in chain + clique + extra if a != b]
+    edges = spark.createDataFrame(edge_rows, "doc_a BIGINT, doc_b BIGINT")
+    small = {(r["node"], r["label"]) for r in dedup.connected_components(edges).collect()}
+    monkeypatch.setattr(dedup, "CC_EDGES_DRIVER_MAX", 0)
+    big = {(r["node"], r["label"]) for r in dedup.connected_components(edges).collect()}
+    assert small == big
