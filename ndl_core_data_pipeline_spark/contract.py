@@ -101,6 +101,7 @@ def build_registry() -> Registry:
     arrays.register_round6(reg)
     aggregates.register_round6c(reg)
     windows.register_round6b(reg)
+    eventwindows.register_round6b(reg)
     _prioritize(reg)
     return reg
 
@@ -160,6 +161,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "reshape_unpivot",
         "feature_quantile_bin",
         "window_distributed_prefix_sum",
+        "events_session_paths",
     }
 )
 

@@ -9,7 +9,7 @@ so the oracle-checked batch results here certify the streaming plans too.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from ..io import load
 from ._util import dsum, sql_dsum
@@ -248,3 +248,85 @@ def sequence_pattern_match(spark, sf_dir):
         F.length("seq").cast("bigint").alias("n_events"),
         n_hits.alias("n_strict_funnels"),
     )
+
+
+SESSION_GAP_US = 1800 * 1_000_000  # same 30-min idle gap as window_sessionize
+PATH_TOPK = 20
+
+
+def session_paths(spark, sf_dir):
+    """Session-path mining: sessionize each user's stream (30-min idle
+    gap, the same boundary arithmetic as window_sessionize), collapse
+    each session to its ordered event-initial path string, explode every
+    trigram of every path, and return the corpus-wide top-20 trigrams —
+    the 'what do users do in a session' product-analytics staple. All
+    stages are user-keyed until the trigram rollup (which ships 3-char
+    keys); the top-k is TakeOrdered with a deterministic (count desc,
+    trigram) tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros, 1).over(w)
+    is_start = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id", F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    path_col = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(path_col.alias("path"))
+    tri = paths.filter(F.length("path") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("path") - 2),
+                lambda i: F.substring(F.col("path"), i, F.lit(3)),
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("trigram"))
+        .limit(PATH_TOPK)
+    )
+
+
+_PATHS_SQL = f"""
+WITH b AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, c, ts, event_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+), paths AS (
+  SELECT user_id, sess, string_agg(c, '' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sess
+), tris AS (
+  SELECT UNNEST(list_transform(generate_series(1, length(path) - 2),
+                               i -> substr(path, CAST(i AS INT), 3))) AS trigram
+  FROM paths WHERE length(path) >= 3
+)
+SELECT trigram, COUNT(*) AS cnt FROM tris GROUP BY trigram
+ORDER BY cnt DESC, trigram LIMIT {PATH_TOPK}
+"""
+
+
+def register_round6b(reg):
+    reg.add("events_session_paths", session_paths, _PATHS_SQL)

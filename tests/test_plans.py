@@ -561,3 +561,11 @@ def test_prefix_sum_data_windows_are_bucket_keyed(spark, sf_small):
     assert "hashpartitioning(day" in plan
     assert plan.count("Exchange SinglePartition") <= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_paths_user_keyed_then_takeordered(spark, sf_small):
+    plan = plan_of(spark, "events_session_paths", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan  # sessionize + path build
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+    assert "partial_count" in plan  # trigram rollup map-side combined
