@@ -102,6 +102,7 @@ def build_registry() -> Registry:
     aggregates.register_round6c(reg)
     windows.register_round6b(reg)
     eventwindows.register_round6b(reg)
+    vector.register_round6b(reg)
     _prioritize(reg)
     return reg
 
@@ -162,6 +163,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "feature_quantile_bin",
         "window_distributed_prefix_sum",
         "events_session_paths",
+        "vector_kmeans_centroids",
     }
 )
 

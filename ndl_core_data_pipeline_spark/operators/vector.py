@@ -728,3 +728,110 @@ def register_round6(reg):
         "GROUP BY b.vec_id, b.label "
         "ORDER BY adc_d2, vec_id LIMIT 10",
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_KM_DEC = "decimal(27,10)"  # exact partial sums for unit-magnitude dims
+
+
+def _km_d2(v_col, c_col):
+    """Squared L2 as a sequential left fold — bit-identical to the
+    oracle's list_sum(list_transform(list_zip(...)))."""
+    return F.aggregate(
+        F.zip_with(v_col, c_col, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_centroids(spark, sf_dir):
+    """Distributed k-means (Lloyd) for coarse-quantizer training — the
+    step the IVF family's label-derived centroids stand in for: K=8
+    centroids over the embedding corpus, seeded deterministically from
+    the first K vectors, KMEANS_ITERS assignment/update rounds. Each
+    round is the canonical scale shape: broadcast the K×dim centroid
+    table, map-side argmin assignment (fold-based squared L2, lexico-
+    graphic (d2, cell) tie-break), then a keyed per-(cell, dim) mean
+    with decimal partials rounded to 6 dp so the next round's inputs are
+    EXACT shared values in both engines. Only centroids (K×dim rows)
+    ever reach a broadcast; vectors shuffle once per round, keyed by
+    cell. Oracle: the same iterations unrolled as SQL CTEs."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid")
+    )
+    for _ in range(KMEANS_ITERS):
+        a = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell_id",
+            _km_d2(F.col("v"), F.col("centroid")).alias("d2"),
+        )
+        assign = (
+            a.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell_id")).alias("m"))
+            .select("vec_id", F.col("m.cell_id").alias("cell_id"))
+        )
+        dims = (
+            emb.join(assign, "vec_id")
+            .select("cell_id", F.posexplode("v").alias("pos", "x"))
+        )
+        means = dims.groupBy("cell_id", "pos").agg(
+            F.round(
+                F.sum(F.col("x").cast(_KM_DEC)).cast("double") / F.count("x"), 6
+            ).alias("cval")
+        )
+        cents = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("centroid")
+        )
+    return cents.select(
+        "cell_id", F.posexplode("centroid").alias("pos", "centroid_val")
+    ).select("cell_id", F.col("pos").cast("bigint").alias("pos"), "centroid_val")
+
+
+def _kmeans_oracle_sql() -> str:
+    sq = (
+        "list_sum(list_transform(list_zip(e.v, c.centroid), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM emb "
+        f"WHERE vec_id < {KMEANS_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, c.cell_id, {sq} AS d2 "
+            f"FROM emb e CROSS JOIN c{i} c)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, cell_id FROM ("
+            f"SELECT vec_id, cell_id, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM a{i}) "
+            f"WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cell_id, CAST(i - 1 AS BIGINT) AS pos, "
+            f"ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(v[i]), 6) "
+            f"AS cval FROM emb JOIN s{i} USING (vec_id), "
+            f"UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY cell_id, pos)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT cell_id, list(cval ORDER BY pos) AS centroid "
+            f"FROM m{i} GROUP BY cell_id)"
+        )
+    last = KMEANS_ITERS - 1
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT cell_id, pos, cval AS centroid_val "
+        f"FROM m{last}"
+    )
+
+
+def register_round6b(reg):
+    reg.add("vector_kmeans_centroids", kmeans_centroids, _kmeans_oracle_sql())

@@ -569,3 +569,11 @@ def test_session_paths_user_keyed_then_takeordered(spark, sf_small):
     assert "hashpartitioning(user_id" in plan  # sessionize + path build
     assert "TakeOrderedAndProject" in plan  # top-20, no global sort
     assert "partial_count" in plan  # trigram rollup map-side combined
+
+
+def test_kmeans_broadcasts_centroids_each_round(spark, sf_small):
+    plan = plan_of(spark, "vector_kmeans_centroids", sf_small)
+    assert "CartesianProduct" not in plan  # K-row centroid side broadcast
+    # one per Lloyd round (formatted output lists each op in tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin (") <= 2
+    assert "partial_sum" in plan  # per-(cell,dim) means map-side combined

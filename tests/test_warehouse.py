@@ -216,3 +216,35 @@ def test_fuzzy_pairs_are_exact_within_blocks(spark, sf_small):
     assert got == expected
     for r in pdf.itertuples():
         assert r.dist == lev(r.name_a, r.name_b)
+
+
+# ---------------------------------------------------------------------------
+# k-means (operators/vector.py round6b)
+
+
+def test_kmeans_moves_centroids_and_reduces_inertia(spark, sf_small):
+    import numpy as np
+
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators import vector as vec
+
+    out = vec.kmeans_centroids(spark, sf_small).toPandas()
+    k = out["cell_id"].nunique()
+    assert k <= vec.KMEANS_K
+    assert len(out) == k * 64  # one row per (cell, dim)
+
+    emb = load(spark, sf_small, "embeddings").toPandas()
+    X = np.array([np.array(v, dtype="float64") for v in emb["embedding"]])
+    init = X[emb["vec_id"] < vec.KMEANS_K]
+    cents = (
+        out.sort_values(["cell_id", "pos"])
+        .groupby("cell_id")["centroid_val"]
+        .apply(lambda s: np.array(s.tolist()))
+    )
+    C = np.stack(cents.values)
+
+    def inertia(C_):
+        d = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    assert inertia(C) <= inertia(init) + 1e-9  # Lloyd never increases inertia
