@@ -103,6 +103,7 @@ def build_registry() -> Registry:
     windows.register_round6b(reg)
     eventwindows.register_round6b(reg)
     vector.register_round6b(reg)
+    arrays.register_round6b(reg)
     _prioritize(reg)
     return reg
 
@@ -164,6 +165,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "window_distributed_prefix_sum",
         "events_session_paths",
         "vector_kmeans_centroids",
+        "func_map_family",
     }
 )
 

@@ -167,3 +167,46 @@ FROM ws
 
 def register_round6(reg):
     reg.add("array_hof_family", hof_family, _HOF_SQL)
+
+
+def map_family(spark, sf_dir):
+    """§2.9 map-type surface: build a map per event (map_from_arrays),
+    read it (element_at / map_keys / cardinality), transform it
+    (transform_values), and emit deterministic sorted entries. All
+    map ops are in-row JVM expressions — map-only plan. The oracle
+    computes the same final values directly (DuckDB's map HOF surface is
+    thinner, and the CONTRACT is the output values, not the intermediate
+    representation)."""
+    from ..io import load
+
+    ev = load(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    m = F.map_from_arrays(
+        F.array(F.lit("props_k"), F.lit("type")),
+        F.array(k_str, F.col("event_type")),
+    )
+    m2 = F.transform_values(m, lambda k, v: F.concat_ws("=", k, v))
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.lit("props_k")).cast("bigint").alias("k_val"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_sort(F.map_values(m2)).alias("entries_sorted"),
+    )
+
+
+_MAP_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       event_type AS type_val,
+       CAST(2 AS BIGINT) AS n_keys,
+       ['props_k', 'type'] AS keys_sorted,
+       list_sort(['props_k=' || json_extract_string(props, '$.k'),
+                  'type=' || event_type]) AS entries_sorted
+FROM events
+"""
+
+
+def register_round6b(reg):
+    reg.add("func_map_family", map_family, _MAP_SQL)

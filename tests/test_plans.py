@@ -577,3 +577,8 @@ def test_kmeans_broadcasts_centroids_each_round(spark, sf_small):
     # one per Lloyd round (formatted output lists each op in tree + detail)
     assert plan.count("BroadcastNestedLoopJoin (") <= 2
     assert "partial_sum" in plan  # per-(cell,dim) means map-side combined
+
+
+def test_map_family_is_map_only(spark, sf_small):
+    plan = plan_of(spark, "func_map_family", sf_small)
+    assert "Exchange" not in plan  # in-row map expressions, no shuffle
