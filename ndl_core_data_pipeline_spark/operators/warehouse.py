@@ -239,17 +239,25 @@ def _mg_candidates(batches):
     batch's exact counts, then if more than C counters survive, subtract
     the (C+1)-th largest count from all and keep the strictly-positive
     remainder (the mergeable-summaries MERGE of Agarwal et al. 2012).
-    Memory is O(C + batch vocab) regardless of partition size."""
+    Memory is O(C + batch vocab) regardless of partition size.
+
+    Tokenization uses an ASCII-only \\s (same rule as bpe.tokenize_words):
+    Java's split('\\s+') in the exact-recount stage does NOT break on
+    NBSP/ideographic spaces, and a candidate generator that split such a
+    token differently could miss a true heavy hitter — the superset
+    guarantee requires identical token boundaries."""
+    import re
+
     import pandas as pd
 
+    ws_ascii = re.compile(r"\s+", re.ASCII)
     summary = pd.Series(dtype="int64")
     for pdf in batches:
         toks = (
             pdf["text"]
             .fillna("")
-            .str.strip()
             .str.lower()
-            .str.split(r"\s+", regex=True)
+            .str.split(ws_ascii)
             .explode()
         )
         toks = toks[toks.notna() & (toks != "")]

@@ -248,3 +248,16 @@ def test_kmeans_moves_centroids_and_reduces_inertia(spark, sf_small):
         return d.min(axis=1).sum()
 
     assert inertia(C) <= inertia(init) + 1e-9  # Lloyd never increases inertia
+
+
+def test_mg_tokenizer_matches_java_ascii_whitespace():
+    # Java's split('\\s+') does not break on NBSP — the candidate
+    # generator must not either, or a true heavy hitter containing
+    # exotic whitespace could be missed (superset guarantee violated)
+    token = "big token"
+    docs = pd.DataFrame({"text": [(token + " ") * 50, token + " other words"]})
+    out = set()
+    for f in wh._mg_candidates(iter([docs])):
+        out.update(f["token"])
+    assert token in out
+    assert "big" not in out and "token" not in out
