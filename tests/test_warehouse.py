@@ -254,7 +254,7 @@ def test_mg_tokenizer_matches_java_ascii_whitespace():
     # Java's split('\\s+') does not break on NBSP — the candidate
     # generator must not either, or a true heavy hitter containing
     # exotic whitespace could be missed (superset guarantee violated)
-    token = "big token"
+    token = "big" + chr(0xA0) + "token"  # NBSP joint, explicit
     docs = pd.DataFrame({"text": [(token + " ") * 50, token + " other words"]})
     out = set()
     for f in wh._mg_candidates(iter([docs])):
