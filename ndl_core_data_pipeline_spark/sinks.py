@@ -152,3 +152,43 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_col,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """OPTIMIZE ZORDER write path: range-partition rows by a Morton/
+    Z-order key (see operators/warehouse._spread16_sql for the key
+    construction) and sort within each partition, so every output file
+    covers a tight hyper-rectangle of the clustered dimensions — the
+    parquet footer min/max stats then prune multi-dimensional predicates
+    at scan time. Range partitioning samples the key distribution, so
+    files are balanced even under skew; the sort is per-file, never
+    global."""
+    (
+        df.withColumn("__z", zorder_col)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_zone_maps(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max zone maps of `cols` as a DataFrame — the stats a
+    scan planner prunes with, computed from the data for layout audits
+    (parquet footers hold the same bounds)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), *cols
+    )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("file").agg(F.count("*").alias("n_rows"), *aggs)
