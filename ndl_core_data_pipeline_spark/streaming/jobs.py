@@ -334,3 +334,55 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transform_with_state_profile(stream: DataFrame) -> DataFrame:
+    """Per-user running profile on the Spark-4 transformWithStateInPandas
+    API (the successor to applyInPandasWithState): typed state variables
+    instead of one opaque tuple — a ValueState for (count, total) and a
+    MapState as the seen-event-type set — carried across micro-batches in
+    the state store. Emits the refreshed profile row for each user each
+    batch. TTL is available per state variable (ttlDurationMs) for
+    unbounded key spaces; unset here because the profile is the product."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+            self._types = handle.getMapState("types", "t STRING", "seen INT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for t in pdf["event_type"].unique():
+                    self._types.updateValue((str(t),), (1,))
+            self._totals.update((n, total))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, total_value DOUBLE, "
+            "n_event_types BIGINT"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

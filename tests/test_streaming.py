@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ndl_core_data_pipeline_spark.streaming import (
@@ -332,3 +334,55 @@ def test_stateful_funnel_across_batches(spark, tmp_path):
     # user 2: click BEFORE any view is ignored; view then purchase WITHOUT a
     # click afterward → stage stays 1 (strict ordering semantics)
     assert got[2] == 1
+
+
+def test_transform_with_state_profile_across_batches(spark, tmp_path):
+    # the Spark-4 transformWithState runtime ships state over a protobuf
+    # channel; without the protobuf package the driver worker cannot start
+    # (env-gated tier, like presidio/sentence-transformers elsewhere)
+    pytest.importorskip("google.protobuf.descriptor")
+    from ndl_core_data_pipeline_spark.streaming.jobs import (
+        transform_with_state_profile,
+    )
+
+    d = tmp_path / "tws"
+    d.mkdir()
+    _write_events(d / "a.json", EVENTS_A)
+    stream = spark.readStream.format("json").schema(EVENTS_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).load(str(d))
+    _write_events(d / "b.json", EVENTS_B)
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        transform_with_state_profile(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_profile")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS t, "
+        "MAX(n_event_types) AS k FROM tws_profile GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["t"], r["k"]) for r in rows}
+    # same corpus as the applyInPandasWithState test: state (ValueState
+    # AND MapState contents) must survive across the two micro-batches
+    ref = {}
+    for e in EVENTS_A + EVENTS_B:
+        n, t, types = ref.get(e["user_id"], (0, 0.0, set()))
+        types = types | {e["event_type"]}
+        ref[e["user_id"]] = (n + 1, round(t + e["value"], 6), types)
+    assert got == {u: (n, t, len(s)) for u, (n, t, s) in ref.items()}
