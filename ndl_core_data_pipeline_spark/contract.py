@@ -104,6 +104,7 @@ def build_registry() -> Registry:
     eventwindows.register_round6b(reg)
     vector.register_round6b(reg)
     arrays.register_round6b(reg)
+    aggregates.register_round6d(reg)
     _prioritize(reg)
     return reg
 
@@ -166,6 +167,8 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "events_session_paths",
         "vector_kmeans_centroids",
         "func_map_family",
+        "stats_chi_square",
+        "mine_frequent_pairs",
     }
 )
 

@@ -509,3 +509,102 @@ GROUP BY 1, 2
 def register_round6c(reg):
     reg.add("reshape_unpivot", unpivot_metrics, _UNPIVOT_SQL)
     reg.add("feature_quantile_bin", quantile_bin, _QBIN_SQL)
+
+
+def chi_square_independence(spark, sf_dir):
+    """Chi-square independence statistic for the l_returnflag ×
+    l_linestatus contingency table — pure arithmetic (counts, one
+    broadcast of the marginal tables, (o−e)²/e summed in decimal), no
+    transcendentals, so the statistic is bit-identical in both engines.
+    The contingency table is |flags|×|statuses| rows; everything after
+    the first keyed count is broadcast-sized."""
+    l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    cells = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("o")
+    )
+    row_tot = l.groupBy("l_returnflag").agg(F.count("*").alias("rt"))
+    col_tot = l.groupBy("l_linestatus").agg(F.count("*").alias("ct"))
+    n_tot = l.groupBy().agg(F.count("*").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "l_returnflag")
+        .join(F.broadcast(col_tot), "l_linestatus")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return joined.groupBy().agg(
+        F.count("*").alias("n_cells"),
+        F.sum(term.cast("decimal(27,10)")).cast("double").alias("chi2"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS o FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+), rt AS (SELECT l_returnflag, COUNT(*) AS rt FROM lineitem GROUP BY l_returnflag),
+ct AS (SELECT l_linestatus, COUNT(*) AS ct FROM lineitem GROUP BY l_linestatus),
+n AS (SELECT COUNT(*) AS n FROM lineitem),
+terms AS (
+  SELECT o, CAST(rt.rt * ct.ct AS DOUBLE) / n.n AS e
+  FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN n
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(27,10))) AS DOUBLE) AS chi2
+FROM terms
+"""
+
+_PAIR_MINSUP = 3
+
+
+def frequent_pairs(spark, sf_dir):
+    """Market-basket 2-itemset mining (the A-priori pair pass): each
+    order's part set is a bounded basket (≤7 lineitems), so pairs come
+    from an in-row combination expansion over collect_set — never an
+    order-keyed self-join — and only (part_a, part_b) count rows shuffle.
+    Pairs are ordered a < b; minsup filters the tail."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    idx = F.sequence(F.lit(0), F.size("items") - 1)
+    pairs = baskets.filter(F.size("items") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(
+                            F.col("items"), i + 2, F.size("items") - (i + 1)
+                        ),
+                        lambda b: F.struct(
+                            F.element_at(F.col("items"), i + 1).alias("part_a"),
+                            b.alias("part_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _PAIR_MINSUP)
+    )
+
+
+_PAIRS_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= {_PAIR_MINSUP}
+"""
+
+
+def register_round6d(reg):
+    reg.add("stats_chi_square", chi_square_independence, _CHI2_SQL)
+    reg.add("mine_frequent_pairs", frequent_pairs, _PAIRS_SQL)

@@ -582,3 +582,18 @@ def test_kmeans_broadcasts_centroids_each_round(spark, sf_small):
 def test_map_family_is_map_only(spark, sf_small):
     plan = plan_of(spark, "func_map_family", sf_small)
     assert "Exchange" not in plan  # in-row map expressions, no shuffle
+
+
+def test_chi_square_marginals_broadcast(spark, sf_small):
+    plan = plan_of(spark, "stats_chi_square", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # marginal tables broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_frequent_pairs_no_self_join(spark, sf_small):
+    # pairs come from the in-row combination expansion over bounded
+    # baskets — an order-keyed self-join would square the fact table
+    plan = plan_of(spark, "mine_frequent_pairs", sf_small)
+    assert "Join" not in plan
+    assert "partial_count" in plan  # pair rollup map-side combined
