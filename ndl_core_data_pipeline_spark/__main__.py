@@ -49,6 +49,18 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument(
         "--sort-col", default=None, help="range-cluster output on this column"
     )
+    zp = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet dir clustered on a 2-D Morton key "
+        "(OPTIMIZE ZORDER BY analog; cols should be small non-negative "
+        "ints — pre-bucket wide domains)",
+    )
+    zp.add_argument("--input", required=True, help="input parquet directory")
+    zp.add_argument("--output", required=True, help="clustered output directory")
+    zp.add_argument(
+        "--cols", required=True, help="two numeric columns, comma-separated"
+    )
+    zp.add_argument("--files", type=int, default=16, help="output file count")
     return p
 
 
@@ -101,6 +113,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"compacted {stats['n_files_in']} files "
                 f"({stats['bytes_in']} bytes) -> {stats['n_files_out']}"
             )
+        elif args.cmd == "zorder":
+            from pyspark.sql import functions as F
+
+            from .operators.warehouse import _spread16_sql
+            from .sinks import file_zone_maps, write_zordered
+
+            a, b = [c.strip() for c in args.cols.split(",")]
+            z = F.expr(f"({_spread16_sql(a)} | ({_spread16_sql(b)} << 1))")
+            df = spark.read.parquet(args.input)
+            write_zordered(df, args.output, z, args.files)
+            zm = file_zone_maps(spark, args.output, [a, b]).collect()
+            print(f"wrote {len(zm)} z-ordered files; zone maps:")
+            for r in sorted(zm, key=lambda r: r["file"]):
+                print(
+                    f"  {os.path.basename(r['file'])}: n={r['n_rows']} "
+                    f"{a}=[{r[f'min_{a}']},{r[f'max_{a}']}] "
+                    f"{b}=[{r[f'min_{b}']},{r[f'max_{b}']}]"
+                )
         return 0
     finally:
         if owns_session:

@@ -58,3 +58,23 @@ def test_cli_compact(spark, tmp_path):
     assert rc == 0
     assert len(glob.glob(f"{out}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_cli_zorder(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    spark.range(2000).select(
+        (F.col("id") % 50).alias("a"), ((F.col("id") * 7) % 100).alias("b")
+    ).write.parquet(src)
+    out = str(tmp_path / "z")
+    assert (
+        main(
+            ["zorder", "--input", src, "--output", out, "--cols", "a,b",
+             "--files", "4"],
+            spark=spark,
+        )
+        == 0
+    )
+    printed = capsys.readouterr().out
+    assert "wrote 4 z-ordered files" in printed
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
