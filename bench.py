@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "join_bloom_pruned",
     "agg_heavy_hitters",
     "graph_tree_depth_root",
+    # round-6 closers: Lloyd k-means (iterative broadcast-assign loop),
+    # two-level global prefix sum, session-path mining
+    "vector_kmeans_centroids",
+    "window_distributed_prefix_sum",
+    "events_session_paths",
 ]
 
 
