@@ -105,6 +105,7 @@ def build_registry() -> Registry:
     vector.register_round6b(reg)
     arrays.register_round6b(reg)
     aggregates.register_round6d(reg)
+    warehouse.register_round6b(reg)
     _prioritize(reg)
     return reg
 
@@ -169,6 +170,9 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "func_map_family",
         "stats_chi_square",
         "mine_frequent_pairs",
+        "calendar_densify",
+        "feature_standardize",
+        "feature_one_hot",
     }
 )
 

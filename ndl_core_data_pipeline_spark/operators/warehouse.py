@@ -398,3 +398,136 @@ def register(reg) -> None:
     reg.add("agg_heavy_hitters", agg_heavy_hitters, _HH_SQL)
     reg.add("sort_zorder_cluster", sort_zorder_cluster, _ZORDER_SQL)
     reg.add("layout_zonemap_stats", layout_zonemap_stats, _ZONEMAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification (date spine)
+
+
+def calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: generate the continuous day spine over
+    the orders date range and left-join daily order counts so quiet days
+    appear as explicit zeros — the warehouse pattern behind gap-free
+    time series (moving averages, lag comparisons break on missing
+    rows). The spine is sequence()-generated from one min/max aggregate
+    (broadcast both ways: spine rows ≈ days, tiny at any corpus size);
+    the daily rollup is the only data-sized aggregation."""
+    o = load(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("d"))
+    bounds = o.groupBy().agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = o.groupBy("d").agg(F.count("*").alias("n"))
+    return spine.join(daily, spine["day"] == daily["d"], "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders")
+    )
+
+
+_CAL_SQL = """
+WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+          FROM orders GROUP BY 1)
+SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN daily ON day = d
+"""
+
+# ---------------------------------------------------------------------------
+# ML feature preparation: standardization + one-hot
+
+
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score feature standardization with per-group broadcast stats —
+    the ML-prep scaler as a pure two-pass plan: decimal-exact Σx and Σx²
+    give bit-stable μ and σ² in any aggregation order, and sqrt is
+    IEEE-exactly-rounded (unlike ln/pow), so the standardized values are
+    bit-identical in both engines. Stats are G rows (broadcast); the
+    transform is map-side."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    x = F.col("l_quantity")
+    stats = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(DEC)).alias("s1"),
+        F.sum((x * x).cast(DEC)).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    stats = stats.select(
+        "l_returnflag", mu.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    return l.join(F.broadcast(stats), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        ((x - F.col("mu")) / F.col("sigma")).alias("z_quantity"),
+    )
+
+
+_STD_SQL = (
+    "WITH stats AS (SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1, "
+    "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s2 "
+    "FROM lineitem GROUP BY l_returnflag), "
+    "ms AS (SELECT l_returnflag, s1 / n AS mu, "
+    "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM stats) "
+    "SELECT l_orderkey, l_linenumber, l.l_returnflag, "
+    "(l_quantity - mu) / sigma AS z_quantity "
+    "FROM lineitem l JOIN ms ON l.l_returnflag = ms.l_returnflag"
+)
+
+
+def feature_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-hot encoding: category → index by SORTED
+    distinct order (reproducible across runs and cluster layouts, unlike
+    hash- or arrival-order indexers), vocabulary broadcast back, plus
+    explicit indicator columns for a fixed known domain. The vocabulary
+    pass is a distinct on the category column only."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    vocab = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            (
+                F.row_number().over(
+                    Window.orderBy("o_orderpriority")
+                )
+                - 1
+            )
+            .cast("bigint")
+            .alias("prio_idx"),
+        )
+    )
+    enc = o.join(F.broadcast(vocab), "o_orderpriority")
+    return enc.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "prio_idx",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("is_high"),
+        (F.col("o_orderpriority") == "5-LOW").cast("bigint").alias("is_low"),
+    )
+
+
+_ONEHOT_SQL = """
+WITH vocab AS (
+  SELECT o_orderpriority,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT)
+           AS prio_idx
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+)
+SELECT o_orderkey, o.o_orderpriority, prio_idx,
+       CAST(o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS is_high,
+       CAST(o.o_orderpriority = '5-LOW' AS BIGINT) AS is_low
+FROM orders o JOIN vocab ON o.o_orderpriority = vocab.o_orderpriority
+"""
+
+
+def register_round6b(reg) -> None:
+    reg.add("calendar_densify", calendar_densify, _CAL_SQL)
+    reg.add("feature_standardize", feature_standardize, _STD_SQL)
+    reg.add("feature_one_hot", feature_one_hot, _ONEHOT_SQL)

@@ -597,3 +597,22 @@ def test_frequent_pairs_no_self_join(spark, sf_small):
     plan = plan_of(spark, "mine_frequent_pairs", sf_small)
     assert "Join" not in plan
     assert "partial_count" in plan  # pair rollup map-side combined
+
+
+def test_calendar_densify_spine_broadcast(spark, sf_small):
+    plan = plan_of(spark, "calendar_densify", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_feature_standardize_stats_broadcast(spark, sf_small):
+    plan = plan_of(spark, "feature_standardize", sf_small)
+    assert "BroadcastHashJoin" in plan  # G-row stats table broadcast
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # Σx/Σx² map-side combined
+
+
+def test_one_hot_vocab_broadcast(spark, sf_small):
+    plan = plan_of(spark, "feature_one_hot", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
