@@ -11,7 +11,17 @@ deterministic and needs no special handling.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+# The ONE ASCII-whitespace rule every Python-side tokenizer must share with
+# the Spark plans' split(lower(trim(text)), '\s+') (Java \s is ASCII-only)
+# and the DuckDB oracles' string_split_regex: a unicode-aware split would
+# draw different token boundaries at NBSP/ideographic spaces and break
+# guarantees that depend on identical tokens across tiers (BPE encode
+# parity, the heavy-hitter candidate superset).
+WS_ASCII_RE = re.compile(r"\s+", re.ASCII)
 
 # scale 6 covers every true decimal scale in the testdata (money = 2,
 # money products = 4-6, events.value = 6), so the double→decimal cast is

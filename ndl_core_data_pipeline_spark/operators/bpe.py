@@ -26,8 +26,6 @@ DuckDB oracle; the registry entry is rows-only.
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -45,7 +43,7 @@ CHECKPOINT_EVERY = 8
 # text)), '\s+'): Java regex \s is ASCII-only ([ \t\n\x0B\f\r]), so the
 # encode path splits with re.ASCII — a unicode-aware str.split() would
 # break words at NBSP/ideographic spaces that training kept intact
-_WS_RE = re.compile(r"\s+", re.ASCII)
+from ._util import WS_ASCII_RE as _WS_RE  # noqa: E402 — shared tokenizer rule
 
 
 def tokenize_words(text: str) -> list[str]:

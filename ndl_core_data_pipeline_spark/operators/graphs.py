@@ -25,8 +25,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,9 +89,10 @@ def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     the horizon, so ⌈log2 depth⌉ rounds finish the walk; the oracle is
     DuckDB's WITH RECURSIVE over the same parent function."""
     part = load(spark, sf_dir, "part").select("p_partkey")
-    n = part.count()  # scalar: sizes the round count, ⌈log2⌈log2 n⌉⌉
-    max_depth = max(1, int(math.floor(math.log2(max(n, 2)))))
-    rounds = max(1, math.ceil(math.log2(max_depth)) + 1)
+    # depth of heap node k is ⌊log2(k+1)⌋ ≤ 63 for any bigint key, so a
+    # CONSTANT 6 doubling rounds (2^6 = 64) always reach the root — no
+    # sizing scan, no density assumption on the key space
+    rounds = 6
     node = F.col("p_partkey").cast("bigint")
     state = part.select(
         node.alias("node"),

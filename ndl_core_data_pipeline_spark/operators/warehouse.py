@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import DEC, dsum, rebalance_narrow_scan, sql_dsum
+from ._util import DEC, WS_ASCII_RE, dsum, rebalance_narrow_scan, sql_dsum
 
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance
@@ -116,13 +116,12 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_state")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )
 
 
@@ -241,16 +240,15 @@ def _mg_candidates(batches):
     remainder (the mergeable-summaries MERGE of Agarwal et al. 2012).
     Memory is O(C + batch vocab) regardless of partition size.
 
-    Tokenization uses an ASCII-only \\s (same rule as bpe.tokenize_words):
+    Tokenization uses the shared ASCII-only \\s rule (_util.WS_ASCII_RE,
+    the same object bpe.tokenize_words splits with):
     Java's split('\\s+') in the exact-recount stage does NOT break on
     NBSP/ideographic spaces, and a candidate generator that split such a
     token differently could miss a true heavy hitter — the superset
     guarantee requires identical token boundaries."""
-    import re
-
     import pandas as pd
 
-    ws_ascii = re.compile(r"\s+", re.ASCII)
+    ws_ascii = WS_ASCII_RE
     summary = pd.Series(dtype="int64")
     for pdf in batches:
         toks = (
