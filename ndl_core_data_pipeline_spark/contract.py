@@ -106,6 +106,7 @@ def build_registry() -> Registry:
     arrays.register_round6b(reg)
     aggregates.register_round6d(reg)
     warehouse.register_round6b(reg)
+    aggregates.register_round6e(reg)
     _prioritize(reg)
     return reg
 
@@ -173,6 +174,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "calendar_densify",
         "feature_standardize",
         "feature_one_hot",
+        "stats_linreg",
     }
 )
 

@@ -608,3 +608,64 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {_PAIR_MINSUP}
 def register_round6d(reg):
     reg.add("stats_chi_square", chi_square_independence, _CHI2_SQL)
     reg.add("mine_frequent_pairs", frequent_pairs, _PAIRS_SQL)
+
+
+def linreg_by_group(spark, sf_dir):
+    """Per-group OLS regression (slope/intercept/r² of extendedprice on
+    quantity) from closed-form moment sums — Σx, Σy, Σxy, Σx², Σy² each
+    as an order-independent decimal aggregate, combined with plain double
+    arithmetic. Spark's built-in regr_slope/regr_intercept aggregate
+    doubles in shuffle order (not bit-reproducible); the explicit-moments
+    form is, and it's the shape that scales: one keyed partial-agg pass,
+    five numbers per group."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    d = "decimal(30,6)"
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (varx * vary)
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+_LINREG_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+"""
+
+
+def register_round6e(reg):
+    reg.add("stats_linreg", linreg_by_group, _LINREG_SQL)
