@@ -107,6 +107,7 @@ def build_registry() -> Registry:
     aggregates.register_round6d(reg)
     warehouse.register_round6b(reg)
     aggregates.register_round6e(reg)
+    graphs.register_round6b(reg)
     _prioritize(reg)
     return reg
 
@@ -175,6 +176,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "feature_standardize",
         "feature_one_hot",
         "stats_linreg",
+        "graph_triangle_count",
     }
 )
 

@@ -557,7 +557,7 @@ FROM terms
 _PAIR_MINSUP = 3
 
 
-def frequent_pairs(spark, sf_dir):
+def frequent_pairs(spark, sf_dir, minsup: int = _PAIR_MINSUP):
     """Market-basket 2-itemset mining (the A-priori pair pass): each
     order's part set is a bounded basket (≤7 lineitems), so pairs come
     from an in-row combination expansion over collect_set — never an
@@ -590,7 +590,7 @@ def frequent_pairs(spark, sf_dir):
         pairs.select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= _PAIR_MINSUP)
+        .filter(F.col("n_orders") >= minsup)
     )
 
 

@@ -141,3 +141,59 @@ FROM walk GROUP BY node
 def register(reg) -> None:
     reg.add("join_fuzzy_name_pairs", join_fuzzy_name_pairs, _FUZZY_SQL)
     reg.add("graph_tree_depth_root", graph_tree_depth_root, _TREE_SQL)
+
+
+TRI_MINSUP = 2  # co-order support for triangle edges (denser than the
+# frequent-pairs report's threshold so the graph has closed wedges)
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the basket-affinity graph (edges = part pairs
+    frequently co-ordered, from aggregates.frequent_pairs): with edges
+    stored canonically as part_a < part_b, each triangle a<b<c is found
+    exactly once as (a,b)+(b,c) closed by (a,c) — two keyed equi-joins,
+    no orientation bookkeeping. At production scale the standard
+    refinement is degree-orientation (point each edge at its
+    higher-degree endpoint before the wedge join) so wedge counts are
+    bounded by arboricity rather than max degree; the join shape is
+    identical. Output: one row (n_edges, n_triangles)."""
+    from .aggregates import frequent_pairs
+
+    e = frequent_pairs(spark, sf_dir, minsup=TRI_MINSUP).select(
+        "part_a", "part_b"
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.part_b") == F.col("e2.part_a"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.part_a") == F.col("e1.part_a"))
+        & (F.col("e3.part_b") == F.col("e2.part_b")),
+        "left_semi",
+    )
+    n_tri = tri.groupBy().agg(F.count("*").alias("n_triangles"))
+    n_edges = e.groupBy().agg(F.count("*").alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(n_tri))
+
+
+def _triangle_sql() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MINSUP}
+), tri AS (
+  SELECT 1 AS one FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+"""
+
+
+def register_round6b(reg) -> None:
+    reg.add("graph_triangle_count", graph_triangle_count, _triangle_sql())

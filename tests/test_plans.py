@@ -616,3 +616,11 @@ def test_one_hot_vocab_broadcast(spark, sf_small):
     plan = plan_of(spark, "feature_one_hot", sf_small)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_keyed_joins_only(spark, sf_small):
+    plan = plan_of(spark, "graph_triangle_count", sf_small)
+    assert "CartesianProduct" not in plan
+    # wedge + closure are keyed equi-joins; only the two 1-row count
+    # tables may meet in a broadcast nested loop
+    assert plan.count("BroadcastNestedLoopJoin (") <= 1
