@@ -125,7 +125,7 @@ _FORCE_FRONT: list[str] = [
     # automatically via last_green == 0.
 ]
 
-# Round 6 added 58 new queries — more than the 50-slot window can attest
+# Round 6 added 60 new queries — more than the 50-slot window can attest
 # alongside the r1/r2-stale cohort VERDICT r5 prioritized. The trivial-
 # semantics additions below (scalar-function/setop/window one-liners whose
 # oracle equivalence is structural and which the full sf0.01 sweep in
