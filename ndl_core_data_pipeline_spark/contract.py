@@ -108,6 +108,7 @@ def build_registry() -> Registry:
     warehouse.register_round6b(reg)
     aggregates.register_round6e(reg)
     graphs.register_round6b(reg)
+    eventwindows.register_round6c(reg)
     _prioritize(reg)
     return reg
 
@@ -177,6 +178,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "feature_one_hot",
         "stats_linreg",
         "graph_triangle_count",
+        "events_rfm_scores",
     }
 )
 

@@ -330,3 +330,49 @@ ORDER BY cnt DESC, trigram LIMIT {PATH_TOPK}
 
 def register_round6b(reg):
     reg.add("events_session_paths", session_paths, _PATHS_SQL)
+
+
+def rfm_scores(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-analytics rollup: one keyed aggregation to per-user (last
+    ts, event count, decimal-exact value total), then three ntile(5)
+    windows over the 150-user summary with full deterministic tiebreaks
+    (user_id). The windows run on the POST-aggregation table — one row
+    per user — so the global sort cost follows users, not events; at
+    extreme user counts the quantile-fence + broadcast bin pattern of
+    feature_quantile_bin replaces ntile with identical semantics."""
+    ev = load(spark, sf_dir, "events")
+    summary = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
+    r_w = W.orderBy(F.desc("last_ts"), F.asc("user_id"))
+    f_w = W.orderBy(F.desc("n_events"), F.asc("user_id"))
+    m_w = W.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return summary.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+    )
+
+
+_RFM_SQL = """
+WITH s AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, total_value,
+       CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS m_score
+FROM s
+"""
+
+
+def register_round6c(reg):
+    reg.add("events_rfm_scores", rfm_scores, _RFM_SQL)
