@@ -109,6 +109,8 @@ def build_registry() -> Registry:
     aggregates.register_round6e(reg)
     graphs.register_round6b(reg)
     eventwindows.register_round6c(reg)
+    filters.register_round6b(reg)
+    textops.register_round6c(reg)
     _prioritize(reg)
     return reg
 
@@ -179,6 +181,8 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "stats_linreg",
         "graph_triangle_count",
         "events_rfm_scores",
+        "filter_mad_outliers",
+        "text_kwic_contexts",
     }
 )
 

@@ -173,3 +173,41 @@ def register_round6(reg):
         "CASE WHEN o_totalprice < lo THEN 'low' ELSE 'high' END AS tail "
         "FROM orders, f WHERE o_totalprice < lo OR o_totalprice > hi",
     )
+
+
+def mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives what IQR fences miss (filter_iqr_outliers is
+    the quartile sibling): per event_type, med = median(value), MAD =
+    median(|value - med|), outlier when |value - med| > 3 * MAD. Exact
+    medians are engine-parity-safe (Spark median ≡ DuckDB MEDIAN); two
+    keyed aggregation passes + a broadcast of the G-row fence table,
+    map-side verdicts."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+_MAD_SQL = """
+WITH med AS (SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type),
+dev AS (
+  SELECT event_id, e.event_type, value, med, ABS(value - med) AS adev
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type)
+SELECT event_id, d.event_type, value, med, d2.mad
+FROM dev d JOIN mad d2 ON d.event_type = d2.event_type
+WHERE adev > 3 * d2.mad
+"""
+
+
+def register_round6b(reg):
+    reg.add("filter_mad_outliers", mad_outliers, _MAD_SQL)

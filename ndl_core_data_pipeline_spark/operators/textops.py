@@ -1225,3 +1225,41 @@ def variant_json_extract(spark, sf_dir):
         F.try_variant_get(v, "$.tag", "string").alias("tag_value"),
         v.isNull().alias("malformed"),
     )
+
+
+_KWIC_TERM = "shuffle"
+_KWIC_CTX = 24
+
+
+def kwic_contexts(spark, sf_dir):
+    """Keyword-in-context (concordance) extraction: every occurrence of a
+    term with up to _KWIC_CTX characters of context either side — the
+    training-data inspection primitive behind contamination review and
+    prompt-template mining. regexp_extract_all does the leftmost
+    non-overlapping scan in-row ('.' excludes newlines in BOTH Java and
+    RE2, greedy bounded quantifiers agree), so the plan is scan → project
+    → explode, no shuffle until the optional rollup — here rows come
+    back directly with a per-doc occurrence index for determinism."""
+    docs = load(spark, sf_dir, "documents")
+    pat = f".{{0,{_KWIC_CTX}}}{_KWIC_TERM}.{{0,{_KWIC_CTX}}}"
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower(text), '{pat}', 0)")
+        ).alias("occ_idx", "context"),
+    ).select("doc_id", F.col("occ_idx").cast("bigint").alias("occ_idx"), "context")
+
+
+_KWIC_SQL = f"""
+WITH hits AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '.{{0,{_KWIC_CTX}}}{_KWIC_TERM}.{{0,{_KWIC_CTX}}}', 0) AS ctxs
+  FROM documents
+)
+SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS occ_idx, ctxs[u.i] AS context
+FROM hits, UNNEST(range(1, len(ctxs) + 1)) AS u(i)
+"""
+
+
+def register_round6c(reg):
+    reg.add("text_kwic_contexts", kwic_contexts, _KWIC_SQL)

@@ -624,3 +624,15 @@ def test_triangle_count_keyed_joins_only(spark, sf_small):
     # wedge + closure are keyed equi-joins; only the two 1-row count
     # tables may meet in a broadcast nested loop
     assert plan.count("BroadcastNestedLoopJoin (") <= 1
+
+
+def test_mad_outliers_broadcasts_fences(spark, sf_small):
+    plan = plan_of(spark, "filter_mad_outliers", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kwic_is_map_only(spark, sf_small):
+    plan = plan_of(spark, "text_kwic_contexts", sf_small)
+    assert "Exchange" not in plan  # scan → regexp scan → explode, no shuffle
