@@ -124,67 +124,22 @@ def build_registry() -> Registry:
 # changed this round are forced to the front regardless of record age — their
 # old green rows attest to the old definition.
 _FORCE_FRONT: list[str] = [
-    # round 6: no semantics changes carried over; new queries sort first
-    # automatically via last_green == 0.
+    # round 7: oracle SQL changed (HUGEINT/DECIMAL -> BIGINT/DOUBLE casts per
+    # VERDICT r6 item 1) — any prior row attests the old oracle text, so these
+    # must re-earn hash-green rows this round.
+    "text_token_entropy",
+    "pipeline_corpus_summary",
+    "agg_bool_counters",
+    "agg_value_histogram",
 ]
 
-# Round 6 added 60 new queries — more than the 50-slot window can attest
-# alongside the r1/r2-stale cohort VERDICT r5 prioritized. The trivial-
-# semantics additions below (scalar-function/setop/window one-liners whose
-# oracle equivalence is structural and which the full sf0.01 sweep in
-# tests/ already certifies at driver scale) DEFER behind the stale cohort:
-# they sort as if last driver-green in round 2, i.e. after every
-# never-green flagship query and after the r1 cohort, interleaved with the
-# r2 cohort by registration order (their higher index puts them last
-# within that block). They earn first driver rows in r7 as rotation
-# continues.
-_DEFER_NEW: frozenset[str] = frozenset(
-    {
-        "func_date_arithmetic",
-        "func_string_family",
-        "func_url_normalize",
-        "func_variant_json",
-        "agg_ordered_string_concat",
-        "agg_bool_counters",
-        "agg_mode_per_group",
-        "agg_value_histogram",
-        "setop_except_all",
-        "setop_intersect_all",
-        "window_distribution_family",
-        "window_gaps_islands",
-        "filter_iqr_outliers",
-        "pii_k_anonymity",
-        # round-6 closing warehouse family (operators/warehouse.py): certified
-        # by the local sf0.01 sweep; registered last, so with last_green
-        # pinned to 2 they queue behind the whole stale-refresh cohort and
-        # earn driver rows as rotation reaches them.
-        "mv_incremental_agg",
-        "scd2_intervals",
-        "join_bloom_pruned",
-        "agg_heavy_hitters",
-        "sort_zorder_cluster",
-        "layout_zonemap_stats",
-        "join_fuzzy_name_pairs",
-        "graph_tree_depth_root",
-        "array_hof_family",
-        "reshape_unpivot",
-        "feature_quantile_bin",
-        "window_distributed_prefix_sum",
-        "events_session_paths",
-        "vector_kmeans_centroids",
-        "func_map_family",
-        "stats_chi_square",
-        "mine_frequent_pairs",
-        "calendar_densify",
-        "feature_standardize",
-        "feature_one_hot",
-        "stats_linreg",
-        "graph_triangle_count",
-        "events_rfm_scores",
-        "filter_mad_outliers",
-        "text_kwic_contexts",
-    }
-)
+# Round 6 deferred its 39 trivial-semantics additions behind the stale-refresh
+# cohort (pinned last_green=2) because 60 new queries exceeded the window.
+# Round 7 retires the pin: the whole never-driver-checked backlog (those 39,
+# minus the four force-fronted above) now sorts first via last_green == 0,
+# clearing the backlog in one window per VERDICT r6 item 2. Keep the mechanism
+# for future rounds that again add more queries than the window holds.
+_DEFER_NEW: frozenset[str] = frozenset()
 
 
 def _last_green_rounds() -> dict[str, int]:

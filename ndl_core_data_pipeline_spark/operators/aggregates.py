@@ -322,7 +322,8 @@ def register_round6(reg):
     reg.add(
         "agg_value_histogram",
         value_histogram,
-        "SELECT bucket, bucket * 25.0 AS lo, (bucket + 1) * 25.0 AS hi, "
+        "SELECT bucket, CAST(bucket * 25.0 AS DOUBLE) AS lo, "
+        "CAST((bucket + 1) * 25.0 AS DOUBLE) AS hi, "
         "COUNT(*) AS n, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS bucket_value "
         "FROM (SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) "
@@ -425,10 +426,10 @@ def register_round6b(reg):
         "agg_bool_counters",
         bool_counters,
         "SELECT l_returnflag, "
-        "count_if(l_quantity >= 25) AS n_big, "
+        "CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_big, "
         "bool_and(l_discount <= 0.1) AS all_small_disc, "
         "bool_or(l_tax > 0.07) AS any_high_tax, "
-        "count_if(l_extendedprice > 30000.0) AS n_pricey "
+        "CAST(count_if(l_extendedprice > 30000.0) AS BIGINT) AS n_pricey "
         "FROM lineitem GROUP BY l_returnflag",
     )
 

@@ -883,7 +883,7 @@ FROM scored GROUP BY doc_id""",
   WHERE len(t.term) > 0
 ),
 counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM words GROUP BY doc_id, term)
-SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
        ROUND(ln(SUM(cnt)) -
              CAST(SUM(CAST(ROUND(cnt * ln(cnt), 6) AS DECIMAL(25,6))) AS DOUBLE)
              / SUM(cnt), 6) AS token_entropy

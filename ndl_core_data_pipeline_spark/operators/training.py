@@ -870,7 +870,7 @@ SELECT CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
             WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(n_words) AS total_words
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
 FROM kept GROUP BY 1""",
     )

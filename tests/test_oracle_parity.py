@@ -34,3 +34,44 @@ def test_entry_smoke(spark):
 
 def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_no_hugeint_or_decimal_in_oracle_projections(sf_small):
+    """Registry-wide dtype guard (VERDICT r6 items 1-3).
+
+    The driver's hash compare is dtype-sensitive: DuckDB SUM(BIGINT) and
+    count_if return HUGEINT, which pandas converts to float64 while Spark
+    emits int64 — values bitwise-equal, hashes different (this exact class
+    red-flagged text_token_entropy / pipeline_corpus_summary in round 6).
+    The local value-based compare in tests/oracle.py is blind to it, so this
+    test asserts the invariant structurally: no oracle's FINAL projection may
+    produce HUGEINT or DECIMAL. Fix sites add CAST(... AS BIGINT/DOUBLE).
+    Type inspection only — `con.sql(...).types` binds the plan without
+    executing it, so the sweep is fast at any sf."""
+    import duckdb
+
+    from ndl_core_data_pipeline_spark.io import TABLES
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_small}/{t}.parquet')"
+            )
+        offenders = {}
+        for name, sql in ORACLES.items():
+            rel = con.sql(sql)
+            hits = [
+                (c, str(ty))
+                for c, ty in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(ty) or "DECIMAL" in str(ty)
+            ]
+            if hits:
+                offenders[name] = hits
+        assert not offenders, (
+            "oracle projections with driver-hash-breaking dtypes "
+            f"(add CAST AS BIGINT/DOUBLE): {offenders}"
+        )
+    finally:
+        con.close()
