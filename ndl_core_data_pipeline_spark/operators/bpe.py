@@ -218,10 +218,77 @@ def bpe_merges_query(spark, sf_dir, n_merges: int = 24):
     )
 
 
+def bpe_first_merge_pairs(spark, sf_dir):
+    """DuckDB-checkable facet of BPE training (the one round that IS
+    SQL-expressible): the top-10 round-0 pair counts — exercising the
+    whole distributed substrate every round reuses (word-freq collapse,
+    symbolization, weighted adjacent-pair counting, the (count desc,
+    left, right) tiebreak) — plus `is_first_merge` marking the pair the
+    ACTUAL train loop picked as merge 0, so the loop's argmax is
+    hash-checked against the oracle's rank-1 row. Later rounds stay
+    data-dependent (rows-only bpe_train_merges + pure-Python equivalence
+    in tests/test_bpe.py)."""
+    from pyspark.sql import Window
+
+    from ..io import load
+
+    docs = load(spark, sf_dir, "documents")
+    first = train_bpe_merges(docs, n_merges=1)[0]  # (0, left, right, count)
+    pairs = _pair_counts(_symbolize(_word_freqs(docs)))
+    order = [F.desc("count"), F.asc("left"), F.asc("right")]
+    top = pairs.orderBy(*order).limit(10)
+    # global window AFTER the limit: ranks 10 rows, not the pair table
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("left").alias("pair_left"),
+        F.col("right").alias("pair_right"),
+        F.col("count").alias("pair_count"),
+        (
+            (F.col("left") == F.lit(first[1]))
+            & (F.col("right") == F.lit(first[2]))
+        ).alias("is_first_merge"),
+    )
+
+
+_FIRST_MERGE_SQL = rf"""
+WITH words AS (
+  SELECT t.w AS word FROM (
+    SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(w)
+  WHERE len(t.w) > 0
+),
+freqs AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+syms AS (
+  SELECT freq,
+         list_transform(string_split(word, ''), (c, i) ->
+           CASE WHEN i = length(word) THEN c || '{END_MARK}' ELSE c END) AS s
+  FROM freqs
+),
+pairs AS (
+  SELECT s[t.i] AS pair_left, s[t.i + 1] AS pair_right,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM syms, UNNEST(range(1, len(s))) AS t(i)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM pairs
+  ORDER BY pair_count DESC, pair_left, pair_right LIMIT 10
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair_left, pair_right)
+         AS rank,
+       pair_left, pair_right, pair_count,
+       ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair_left, pair_right) = 1
+         AS is_first_merge
+FROM top
+"""
+
+
 def register(reg) -> None:
     # iterative + data-dependent per round: rows-only driver check; exact
     # equivalence to a pure-Python reference is pinned in tests/test_bpe.py
     reg.add("bpe_train_merges", bpe_merges_query)
+    reg.add("bpe_first_merge_pairs", bpe_first_merge_pairs, _FIRST_MERGE_SQL)
 
 
 def encode_with_merges(
