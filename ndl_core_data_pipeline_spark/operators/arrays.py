@@ -202,8 +202,8 @@ SELECT event_id,
        event_type AS type_val,
        CAST(2 AS BIGINT) AS n_keys,
        ['props_k', 'type'] AS keys_sorted,
-       list_sort(['props_k=' || json_extract_string(props, '$.k'),
-                  'type=' || event_type]) AS entries_sorted
+       list_sort([concat_ws('=', 'props_k', json_extract_string(props, '$.k')),
+                  concat_ws('=', 'type', event_type)]) AS entries_sorted
 FROM events
 """
 

@@ -452,8 +452,27 @@ def connected_components(edges, src: str = "doc_a", dst: str = "doc_b"):
     cluster scale, use a reliable checkpoint dir instead — same loop).
 
     The driver loop controls ITERATION only; all data stays distributed
-    (the only driver traffic is one aggregate scalar per round)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    (the only driver traffic is one aggregate scalar per round).
+
+    Node ids must be integral: both the driver union-find path and the
+    distributed path emit (node BIGINT, label BIGINT), and the
+    sum(label) convergence scalar needs a numeric domain — so ids are
+    normalized to bigint at entry and non-integral id columns are
+    rejected loudly rather than silently nulled by a cast."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for c in (src, dst):
+        dt = edges.schema[c].dataType
+        if not isinstance(dt, integral):
+            raise ValueError(
+                f"connected_components: id column {c!r} has non-integral "
+                f"type {dt.simpleString()}; map ids to bigint first"
+            )
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    )
     # limit(MAX+1) returns the FULL edge list iff it's driver-sized — one
     # job decides the strategy and, on the small path, delivers the data
     head = e.limit(CC_EDGES_DRIVER_MAX + 1).collect()

@@ -15,12 +15,17 @@ Scale notes (100 TB):
   the exact Levenshtein predicate. Recall is bounded by the blocking
   choice and that trade-off is the documented, oracle-pinned semantics —
   the same contract as the LSH/banded dedup families.
-- `graph_tree_depth_root` replaces an O(depth) iterative walk with
-  O(log depth) pointer-doubling rounds: each round joins the
-  ancestor-pointer table with itself, doubling the covered distance, so
-  a depth-10^6 chain needs 20 keyed self-joins, each shuffling one row
-  per node (three longs, no payload). Lineage is cut per round
-  (localCheckpoint) exactly like dedup's pointer-jumping clusters.
+- `tree_depth_over_edges` replaces an O(depth) iterative walk with
+  O(log depth) pointer-doubling rounds over an explicit parent table:
+  each round joins the ancestor-pointer state with itself, doubling the
+  covered distance, so a depth-10^6 chain needs 20 keyed self-joins,
+  each shuffling one row per node (three longs, no payload). Lineage is
+  cut per round (localCheckpoint) exactly like dedup's pointer-jumping
+  clusters.
+- `graph_tree_depth_root`'s hierarchy is implicit-arithmetic (heap
+  parent (k-1) DIV 2), so it skips iteration entirely: depth and branch
+  are bit-arithmetic closed forms, a map-only zero-shuffle plan with no
+  key-density assumption.
 """
 
 from __future__ import annotations
@@ -80,31 +85,30 @@ WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
 # testdata carries no explicit parent column); depth ≤ ⌊log2 n⌋
 
 
-def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node depth and top-level branch of a hierarchy — the recursive
-    CTE Spark doesn't have, as pointer doubling. State is one row per
-    node: (ancestor at 2^r steps — root-absorbed, exact distance
-    covered, the depth-1 ancestor if the compressed path already crossed
-    it). Each round joins the state with itself on anc = node, doubling
-    the horizon, so ⌈log2 depth⌉ rounds finish the walk; the oracle is
-    DuckDB's WITH RECURSIVE over the same parent function."""
-    part = load(spark, sf_dir, "part").select("p_partkey")
-    # depth of heap node k is ⌊log2(k+1)⌋ ≤ 63 for any bigint key, so a
-    # CONSTANT 6 doubling rounds (2^6 = 64) always reach the root — no
-    # sizing scan, no density assumption on the key space
-    rounds = 6
-    node = F.col("p_partkey").cast("bigint")
-    state = part.select(
-        node.alias("node"),
-        F.when(node == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.expr("CAST((p_partkey - 1) DIV 2 AS BIGINT)"))
-        .alias("anc"),
-        F.when(node == 0, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("d"),
-        F.when(node.isin(1, 2), node).otherwise(F.lit(None)).alias("br"),
+def tree_depth_over_edges(
+    edges: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    rounds: int = 20,
+) -> DataFrame:
+    """General recursive-CTE replacement by pointer doubling over an
+    EXPLICIT parent-edge table: one row per node, roots self-looped
+    (parent == node). Because the table lists every node of the tree,
+    every parent value is itself a node row, so the doubling join is
+    total — sparse or non-contiguous ids are fine (the contract is
+    completeness of the NODE SET, not density of the id space). Each
+    round joins the state with itself on anc = node, doubling the
+    horizon; ``rounds`` must satisfy 2^rounds >= max depth (default
+    covers depth 10^6). Root self-loops contribute 0 steps, so depths
+    are exact. Returns (node, root, depth)."""
+    state = edges.select(
+        F.col(node).alias("node"),
+        F.col(parent).alias("anc"),
+        F.when(F.col(parent) == F.col(node), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("d"),
     )
-    # integer division semantics: (node-1)/2 on bigint then cast truncates
-    # toward zero, which equals floor for the node >= 1 domain; node 0 is
-    # pinned to the self-loop explicitly so no negative operand exists
     for _ in range(rounds):
         a = state.alias("a")
         b = state.alias("b")
@@ -114,14 +118,43 @@ def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.node").alias("node"),
                 F.col("b.anc").alias("anc"),
                 (F.col("a.d") + F.col("b.d")).alias("d"),
-                F.coalesce(F.col("a.br"), F.col("b.br")).alias("br"),
             )
             .localCheckpoint()
         )
     return state.select(
-        F.col("node").alias("p_partkey"),
-        F.col("d").alias("depth"),
-        F.coalesce(F.col("br"), F.lit(0)).cast("bigint").alias("top_branch"),
+        "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+    )
+
+
+def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node depth and top-level branch of the implicit heap hierarchy.
+
+    The hierarchy here is ARITHMETIC (parent(k) = (k-1) DIV 2), so the
+    whole walk has a closed form and the right 100 TB plan is map-only,
+    zero joins, zero shuffles: with heap index i = k + 1, depth(k) =
+    ⌊log2 i⌋ = length(bin(i)) - 1 (exact integer bit-length, no float
+    log), and the depth-1 ancestor is the top two bits: shiftright(i,
+    depth - 1) - 1 ∈ {1, 2}. Unlike the previous pointer-doubling form
+    (whose a.anc == b.node join silently dropped nodes whose ancestors
+    were filtered out of part — the round-6 ADVICE item), this has no
+    key-density assumption at all: each row is computed from its own key.
+    Hierarchies given as EXPLICIT parent tables use
+    tree_depth_over_edges, which keeps the O(log depth) doubling shape.
+    The oracle is DuckDB's WITH RECURSIVE over the same parent function."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    node = F.col("p_partkey").cast("bigint")
+    depth = (F.length(F.bin(node + 1)) - 1).cast("bigint")
+    top = F.when(depth == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            "CAST(shiftright(CAST(p_partkey AS BIGINT) + 1, "
+            "CAST(length(bin(CAST(p_partkey AS BIGINT) + 1)) AS INT) - 2) - 1 "
+            "AS BIGINT)"
+        )
+    )
+    return part.select(
+        node.alias("p_partkey"),
+        depth.alias("depth"),
+        top.alias("top_branch"),
     )
 
 

@@ -452,7 +452,10 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((x * x).cast(DEC)).alias("s2"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
-    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    # double rounding can push a constant group's variance fractionally
+    # negative (sqrt -> NaN in Spark, ERROR in DuckDB): clamp at 0, and
+    # null out z where sigma = 0 — a constant feature has no z-score
+    var = F.greatest(F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0))
     stats = stats.select(
         "l_returnflag", mu.alias("mu"), F.sqrt(var).alias("sigma")
     )
@@ -460,7 +463,9 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        ((x - F.col("mu")) / F.col("sigma")).alias("z_quantity"),
+        F.when(F.col("sigma") > 0, (x - F.col("mu")) / F.col("sigma")).alias(
+            "z_quantity"
+        ),
     )
 
 
@@ -470,9 +475,9 @@ _STD_SQL = (
     "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s2 "
     "FROM lineitem GROUP BY l_returnflag), "
     "ms AS (SELECT l_returnflag, s1 / n AS mu, "
-    "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM stats) "
+    "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sigma FROM stats) "
     "SELECT l_orderkey, l_linenumber, l.l_returnflag, "
-    "(l_quantity - mu) / sigma AS z_quantity "
+    "CASE WHEN sigma > 0 THEN (l_quantity - mu) / sigma END AS z_quantity "
     "FROM lineitem l JOIN ms ON l.l_returnflag = ms.l_returnflag"
 )
 

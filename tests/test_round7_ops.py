@@ -46,6 +46,71 @@ def test_oriented_handles_rank_ties(spark):
     assert _counts(graphs._triangle_count_from_edges(e)) == (5, 2)
 
 
+def test_tree_depth_closed_form_sparse_keys(spark, sf_small, tmp_path):
+    """Round-6 ADVICE: the old doubling join dropped nodes whose heap
+    ancestors were filtered out of part. The closed form is per-row
+    arithmetic — a sparse part table keeps every node, with depths
+    matching the recursive definition."""
+    from ndl_core_data_pipeline_spark.io import load
+
+    sparse_dir = tmp_path / "sparse"
+    sparse_dir.mkdir()
+    # keep only odd keys: parents (even keys) are absent from the table
+    load(spark, sf_small, "part").filter(
+        F.col("p_partkey") % 2 == 1
+    ).write.parquet(str(sparse_dir / "part.parquet"))
+    out = {
+        r["p_partkey"]: (r["depth"], r["top_branch"])
+        for r in graphs.graph_tree_depth_root(spark, str(sparse_dir)).collect()
+    }
+    expected_nodes = {
+        r["p_partkey"]
+        for r in load(spark, str(sparse_dir), "part").collect()
+    }
+    assert set(out) == expected_nodes  # nothing silently dropped
+
+    def ref(k):
+        d, br = 0, 0
+        while k > 0:
+            br = k if k in (1, 2) else br
+            k = (k - 1) // 2
+            d += 1
+        return d, br
+
+    for k, got in out.items():
+        assert got == ref(k), f"node {k}: {got} != {ref(k)}"
+
+
+def test_tree_depth_over_edges_sparse_ids(spark):
+    """General pointer doubling over an explicit parent table with
+    non-contiguous ids and two roots."""
+    edges = spark.createDataFrame(
+        [
+            (10, 10),  # root A
+            (20, 10),
+            (30, 20),
+            (99, 30),
+            (500, 10),
+            (7000, 7000),  # root B
+            (8000, 7000),
+        ],
+        "node bigint, parent bigint",
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in graphs.tree_depth_over_edges(edges, rounds=3).collect()
+    }
+    assert got == {
+        10: (10, 0),
+        20: (10, 1),
+        30: (10, 2),
+        99: (10, 3),
+        500: (10, 1),
+        7000: (7000, 0),
+        8000: (7000, 1),
+    }
+
+
 def test_oriented_wedge_groups_by_low_rank_source(spark):
     """Structural pin: after orientation every out-edge of the hub points
     AWAY from it only toward higher-rank vertices, so the hub (highest
