@@ -21,28 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ndl_core_data_pipeline_spark.session import get_spark
 
-# One headliner per operator family: TPC-H composites (scan/join/agg/top-k),
-# dedup family scale paths, text analysis, vector similarity, windows,
-# event-time windows, sessionization.
-BENCH_QUERIES = [
+# CORE = the 18 queries BASELINE.md §"Bench numbers" recorded (2026-08-13).
+# FROZEN: never add to or remove from this list — its total is the only
+# number comparable across rounds and against the baseline's 31.8 s.
+CORE_BENCH = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "q4_priority_exists",
-    "q18_large_volume_customers",
     "dedup_exact_hash",
     "dedup_minhash_signatures",
     "dedup_minhash_pairs",
-    "dedup_minhash_clusters",
-    "dedup_simhash_pairs",
     "text_quality_score",
-    "text_repetition_signals",
     "text_langid",
-    "text_winnowing_fingerprints",
     "vector_cosine_topk",
     "vector_lsh_buckets",
-    "vector_ivf_topk",
     "window_ranking_family",
     "window_sessionize",
     "join_asof_last_view",
@@ -50,6 +43,17 @@ BENCH_QUERIES = [
     "topk_per_group",
     "setop_union_all",
     "agg_cube",
+]
+
+# EXTENDED grows as operator families land — one headliner per family.
+EXTENDED_BENCH = [
+    "q4_priority_exists",
+    "q18_large_volume_customers",
+    "dedup_minhash_clusters",
+    "dedup_simhash_pairs",
+    "text_repetition_signals",
+    "text_winnowing_fingerprints",
+    "vector_ivf_topk",
     # distributed BPE train (24 merge rounds over documents) — the one
     # iterative-driver-loop headliner; regressions in the per-round keyed
     # shuffle or the ONE-row collects show up here
@@ -60,8 +64,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "dedup_substring_spans",
     # round-6 warehouse/graph families: bitmap-pruned semi-join,
-    # Misra-Gries heavy hitters (map-side summaries + candidate recount),
-    # log-depth pointer-doubling hierarchy walk
+    # Misra-Gries heavy hitters (map-side summaries + candidate recount)
     "join_bloom_pruned",
     "agg_heavy_hitters",
     "graph_tree_depth_root",
@@ -70,7 +73,11 @@ BENCH_QUERIES = [
     "vector_kmeans_centroids",
     "window_distributed_prefix_sum",
     "events_session_paths",
+    # round 7: degree-oriented triangle count (wedge-join skew fix)
+    "graph_triangle_count",
 ]
+
+BENCH_QUERIES = CORE_BENCH + EXTENDED_BENCH
 
 
 def _bench_pdf(lines: int, seed: int) -> bytes:
@@ -193,12 +200,17 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         total = round(sum(timings.values()), 4)
+        core_total = round(sum(timings[n] for n in CORE_BENCH), 4)
         print(
             json.dumps(
                 {
                     "metric": "headline_queries_total_runtime",
                     "value": total,
                     "unit": "sec",
+                    # frozen 18-query set from BASELINE.md — the only total
+                    # comparable round-over-round and to the baseline 31.8 s
+                    "core_total": core_total,
+                    "extended_total": round(total - core_total, 4),
                     "queries": timings,
                     "sf": sf_val,
                 }

@@ -182,7 +182,10 @@ def mad_outliers(spark, sf_dir):
     median(|value - med|), outlier when |value - med| > 3 * MAD. Exact
     medians are engine-parity-safe (Spark median ≡ DuckDB MEDIAN); two
     keyed aggregation passes + a broadcast of the G-row fence table,
-    map-side verdicts."""
+    map-side verdicts. SCALE TIER: exact median is a sort-based aggregate
+    per group — at 100 TB prefer mad_outliers_approx (mergeable GK
+    sketch, bounded memory, rank error ≤ 1/MAD_APPROX_ACC); the oracle
+    pins the exact form because approx sketches are engine-specific."""
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
@@ -207,6 +210,35 @@ SELECT event_id, d.event_type, value, med, d2.mad
 FROM dev d JOIN mad d2 ON d.event_type = d2.event_type
 WHERE adev > 3 * d2.mad
 """
+
+
+MAD_APPROX_ACC = 10_000  # percentile_approx accuracy: rank error ≤ 1/acc
+
+
+def mad_outliers_approx(spark, sf_dir):
+    """100 TB tier of mad_outliers: percentile_approx(…, 0.5,
+    MAD_APPROX_ACC) replaces exact F.median. The Greenwald-Khanna sketch
+    is single-pass, mergeable across partitions, and bounded-memory —
+    the properties exact median lacks at scale — at the cost of rank
+    error ≤ 1/MAD_APPROX_ACC. Bench/tests-only (no oracle): DuckDB's
+    approx_quantile uses a different sketch, so cross-engine hashes
+    can't pin approximate medians; correctness is pinned locally by
+    comparing fences against the exact form (tests/test_round7_ops.py)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, MAD_APPROX_ACC).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", 0.5, MAD_APPROX_ACC).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
 
 
 def register_round6b(reg):

@@ -133,6 +133,24 @@ def scan_workbooks(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, WORKBOOK_CELLS_SCHEMA)
 
 
+def scan_workbooks_quarantined(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """scan_workbooks split through the engine's standard error
+    side-output (quality.quarantine): sentinel rows for unreadable
+    workbooks become quarantine rows carrying `_errors` =
+    ['workbook_readable'] plus the exception text in `cells`, instead of
+    riding inline with the data or being silently dropped — the same
+    errors-posture every other source uses. Returns (cells, errors);
+    both halves share one computed scan plan."""
+    from ..quality import quarantine
+
+    cells = scan_workbooks(spark, path)
+    return quarantine(
+        cells, {"workbook_readable": F.col("sheet") != ERROR_SHEET}
+    )
+
+
 def sheets_to_frames(
     spark: SparkSession, sheets: dict[str, list[list[str]]], infer: bool = True
 ) -> dict[str, DataFrame]:

@@ -84,3 +84,32 @@ def test_scan_workbooks_isolates_corrupt_files(spark, tmp_path):
         assert errs[0]["sheet"] == ERROR_SHEET
         assert errs[0]["row_idx"] == -1
         assert errs[0]["cells"][0]  # carries the exception message
+
+
+def test_scan_workbooks_quarantine_side_output(spark, tmp_path):
+    import zipfile as _zf
+
+    from ndl_core_data_pipeline_spark.quality import ERRORS_COL
+    from ndl_core_data_pipeline_spark.sources.spreadsheet import (
+        scan_workbooks_quarantined,
+    )
+
+    d = tmp_path / "wbq"
+    d.mkdir()
+    with _zf.ZipFile(d / "good.ods", "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", ODS_CONTENT)
+    (d / "corrupt.xlsx").write_bytes(b"PK\x03\x04 truncated garbage")
+    cells, errors = scan_workbooks_quarantined(spark, str(d))
+    cell_rows = cells.collect()
+    err_rows = errors.collect()
+    # clean rows flow on without the marker column or sentinel rows
+    assert ERRORS_COL not in cells.columns
+    assert all(r["sheet"] != "__error__" for r in cell_rows)
+    assert any(r["path"].endswith("good.ods") for r in cell_rows)
+    # the corrupt workbook lands in the quarantine output, self-described
+    assert len(err_rows) == 1
+    err = err_rows[0]
+    assert err["path"].endswith("corrupt.xlsx")
+    assert err[ERRORS_COL] == ["workbook_readable"]
+    assert err["cells"][0]  # exception class + message travel with the row
