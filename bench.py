@@ -73,8 +73,10 @@ EXTENDED_BENCH = [
     "vector_kmeans_centroids",
     "window_distributed_prefix_sum",
     "events_session_paths",
-    # round 7: degree-oriented triangle count (wedge-join skew fix)
+    # round 7: degree-oriented triangle count (wedge-join skew fix) and
+    # the trained IVF-PQ composition (k-means -> residual PQ -> ADC probe)
     "graph_triangle_count",
+    "vector_ivfpq_adc_search",
 ]
 
 BENCH_QUERIES = CORE_BENCH + EXTENDED_BENCH

@@ -111,6 +111,7 @@ def build_registry() -> Registry:
     eventwindows.register_round6c(reg)
     filters.register_round6b(reg)
     textops.register_round6c(reg)
+    vector.register_round7(reg)
     _prioritize(reg)
     return reg
 

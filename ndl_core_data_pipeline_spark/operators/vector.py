@@ -745,21 +745,10 @@ def _km_d2(v_col, c_col):
     )
 
 
-def kmeans_centroids(spark, sf_dir):
-    """Distributed k-means (Lloyd) for coarse-quantizer training — the
-    step the IVF family's label-derived centroids stand in for: K=8
-    centroids over the embedding corpus, seeded deterministically from
-    the first K vectors, KMEANS_ITERS assignment/update rounds. Each
-    round is the canonical scale shape: broadcast the K×dim centroid
-    table, map-side argmin assignment (fold-based squared L2, lexico-
-    graphic (d2, cell) tie-break), then a keyed per-(cell, dim) mean
-    with decimal partials rounded to 6 dp so the next round's inputs are
-    EXACT shared values in both engines. Only centroids (K×dim rows)
-    ever reach a broadcast; vectors shuffle once per round, keyed by
-    cell. Oracle: the same iterations unrolled as SQL CTEs."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+def _kmeans_fit(emb):
+    """Lloyd's loop over (vec_id, v) rows; returns the final array-form
+    centroid table (cell_id, centroid) — shared by the standalone
+    kmeans query and the IVF-PQ composition."""
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid")
     )
@@ -789,25 +778,49 @@ def kmeans_centroids(spark, sf_dir):
                 lambda s: s["cval"],
             ).alias("centroid")
         )
+    return cents
+
+
+def kmeans_centroids(spark, sf_dir):
+    """Distributed k-means (Lloyd) for coarse-quantizer training — the
+    step the IVF family's label-derived centroids stand in for: K=8
+    centroids over the embedding corpus, seeded deterministically from
+    the first K vectors, KMEANS_ITERS assignment/update rounds. Each
+    round is the canonical scale shape: broadcast the K×dim centroid
+    table, map-side argmin assignment (fold-based squared L2, lexico-
+    graphic (d2, cell) tie-break), then a keyed per-(cell, dim) mean
+    with decimal partials rounded to 6 dp so the next round's inputs are
+    EXACT shared values in both engines. Only centroids (K×dim rows)
+    ever reach a broadcast; vectors shuffle once per round, keyed by
+    cell. Oracle: the same iterations unrolled as SQL CTEs."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = _kmeans_fit(emb)
     return cents.select(
         "cell_id", F.posexplode("centroid").alias("pos", "centroid_val")
     ).select("cell_id", F.col("pos").cast("bigint").alias("pos"), "centroid_val")
 
 
-def _kmeans_oracle_sql() -> str:
-    sq = (
-        "list_sum(list_transform(list_zip(e.v, c.centroid), "
-        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    )
+_KM_SQ = (
+    "list_sum(list_transform(list_zip(e.v, c.centroid), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+)
+
+
+def _km_ctes() -> list[str]:
+    """Unrolled Lloyd-iteration CTEs, ending at the final centroid-array
+    table c{KMEANS_ITERS} — shared by the kmeans oracle and the IVF-PQ
+    composition's oracle."""
     ctes = [
-        "emb AS (SELECT vec_id, "
+        "emb AS (SELECT vec_id, label, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM emb "
         f"WHERE vec_id < {KMEANS_K})",
     ]
     for i in range(KMEANS_ITERS):
         ctes.append(
-            f"a{i} AS (SELECT e.vec_id, c.cell_id, {sq} AS d2 "
+            f"a{i} AS (SELECT e.vec_id, c.cell_id, {_KM_SQ} AS d2 "
             f"FROM emb e CROSS JOIN c{i} c)"
         )
         ctes.append(
@@ -826,12 +839,249 @@ def _kmeans_oracle_sql() -> str:
             f"c{i + 1} AS (SELECT cell_id, list(cval ORDER BY pos) AS centroid "
             f"FROM m{i} GROUP BY cell_id)"
         )
+    return ctes
+
+
+def _kmeans_oracle_sql() -> str:
     last = KMEANS_ITERS - 1
     return (
-        "WITH " + ", ".join(ctes) + f" SELECT cell_id, pos, cval AS centroid_val "
-        f"FROM m{last}"
+        "WITH " + ", ".join(_km_ctes())
+        + f" SELECT cell_id, pos, cval AS centroid_val FROM m{last}"
     )
 
 
 def register_round6b(reg):
     reg.add("vector_kmeans_centroids", kmeans_centroids, _kmeans_oracle_sql())
+
+
+# ------------------------------------------------- IVF-PQ end-to-end search
+
+IVFPQ_NPROBE = 2
+
+
+def _round6_det(col):
+    """Deterministic 6-dp rounding: floor(x·1e6 + 0.5)/1e6 as plain IEEE
+    ops, identical in any engine. ROUND(double, 6) is NOT cross-engine
+    stable at half boundaries — Spark rounds the double's SHORTEST
+    decimal representation (BigDecimal.valueOf) HALF_UP while DuckDB
+    rounds the true binary expansion, so a quotient whose shortest repr
+    ends in …5 (hit by this query's residual codebook at sf0.01) flips
+    the last digit between engines. The floor form runs the same three
+    IEEE operations on the same double on both sides."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _sql_r6(x: str) -> str:
+    return f"FLOOR({x} * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _slice_subs(df, vec_col: str, keep: tuple[str, ...]):
+    """Explode a vector column into its PQ_M subvector slices map-side,
+    carrying `keep` columns through — generalizes _subvectors to any
+    (possibly residual) vector column."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(vec_col, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "subvec"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(*keep, F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+
+
+def ivfpq_adc_search(spark, sf_dir):
+    """IVF-PQ end-to-end as ONE declarative plan — the LanceDB-index
+    analog (reference create_lancedb_index.py:143-148) composed from the
+    repo's three trained pieces instead of the label-derived stand-ins:
+
+    1. COARSE QUANTIZER: k-means (Lloyd, _kmeans_fit) trains K=8 cell
+       centroids; every vector map-side argmins against the broadcast
+       K×dim table (one shuffle per Lloyd round, vectors keyed by cell).
+    2. RESIDUAL PQ: each vector's residual v − centroid(cell) (rounded
+       6 dp → exact shared intermediate) splits into M=8 subvectors;
+       codebooks are per-(m, label) residual means with decimal-exact
+       partial sums; encoding is the keyed argmin codeword per (vec, m).
+    3. ADC SEARCH: the query (vec 0) probes its IVFPQ_NPROBE nearest
+       cells; per probed cell its residual builds an M×K lookup table
+       (broadcast); database vectors in probed cells score as the sum of
+       M LUT lookups keyed by stored codes — the scan touches only codes
+       and the broadcast LUT, never stored float vectors; cells outside
+       the probe set are pruned by the inner LUT join.
+
+    At 100 TB: centroids, codebooks, query-cell list, and LUT are all
+    broadcast-sized; the only wide ops are the per-round Lloyd shuffle
+    and the keyed code argmin. Oracle: the full composition unrolled as
+    CTEs over the shared k-means prefix."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = F.broadcast(_kmeans_fit(emb.select("vec_id", "v")))
+    dists = emb.crossJoin(cents).select(
+        "vec_id", "cell_id", _km_d2(F.col("v"), F.col("centroid")).alias("d2")
+    )
+    assign = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell_id")).alias("m"))
+        .select("vec_id", F.col("m.cell_id").alias("cell_id"))
+    )
+    resid = (
+        emb.join(assign, "vec_id")
+        .join(cents, "cell_id")
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            F.zip_with(
+                "v", "centroid", lambda x, c: _round6_det(x - c)
+            ).alias("r"),
+        )
+    )
+    rex = resid.select("label", F.posexplode("r").alias("pos", "val"))
+    cb = (
+        rex.groupBy(
+            (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+            F.col("label").alias("code"),
+            (F.col("pos") % PQ_SUBDIM).alias("spos"),
+        )
+        .agg(
+            _round6_det(
+                F.sum(F.col("val").cast(_KM_DEC)).cast("double")
+                / F.count("val")
+            ).alias("cval")
+        )
+        .groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("spos", "cval"))).alias("pc"))
+        .select(
+            "m", "code", F.transform("pc", lambda s: s["cval"]).alias("subcent")
+        )
+    )
+    cb = F.broadcast(cb)
+    subs = _slice_subs(resid, "r", ("vec_id", "label", "cell_id"))
+    scored = subs.join(cb, "m").select(
+        "vec_id",
+        "label",
+        "cell_id",
+        "m",
+        "code",
+        _sq_l2(F.col("subvec"), F.col("subcent")).alias("d2"),
+    )
+    codes = (
+        scored.groupBy("vec_id", "label", "cell_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("vec_id", "label", "cell_id", "m", F.col("b.code").alias("code"))
+    )
+    qcells = (
+        dists.filter(F.col("vec_id") == 0)
+        .orderBy("d2", "cell_id")
+        .limit(IVFPQ_NPROBE)
+        .select("cell_id")
+    )
+    qres = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(cents.join(F.broadcast(qcells), "cell_id"))
+        .select(
+            "cell_id",
+            F.zip_with(
+                "v", "centroid", lambda x, c: _round6_det(x - c)
+            ).alias("r"),
+        )
+    )
+    qsubs = _slice_subs(qres, "r", ("cell_id",))
+    lut = qsubs.join(cb, "m").select(
+        "cell_id",
+        "m",
+        "code",
+        _round6_det(_sq_l2(F.col("subvec"), F.col("subcent"))).alias("qd2"),
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["cell_id", "m", "code"])
+        .groupBy("vec_id", "label", "cell_id")
+        .agg(
+            F.sum(F.col("qd2").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    n = KMEANS_ITERS
+    sq = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    ctes = _km_ctes() + [
+        # final assignment against the trained centroids
+        f"af AS (SELECT e.vec_id, c.cell_id, {_KM_SQ} AS d2 "
+        f"FROM emb e CROSS JOIN c{n} c)",
+        "sf AS (SELECT vec_id, cell_id FROM ("
+        "SELECT vec_id, cell_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM af) "
+        "WHERE rn = 1)",
+        # residuals (6 dp — exact shared intermediate)
+        f"resid AS (SELECT e.vec_id, e.label, s.cell_id, "
+        f"list_transform(list_zip(e.v, c.centroid), "
+        f"x -> {_sql_r6('(x[1] - x[2])')}) AS r "
+        f"FROM emb e JOIN sf s USING (vec_id) JOIN c{n} c USING (cell_id))",
+        # residual codebooks: per-(m, label) means, decimal-exact partials
+        f"cbres AS (SELECT CAST((i - 1) // {PQ_SUBDIM} AS INT) AS m, "
+        f"label AS code, CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS spos, "
+        f"{_sql_r6('(CAST(SUM(CAST(r[i] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(r[i]))')} AS cval "
+        f"FROM resid, UNNEST(range(1, len(r) + 1)) AS t(i) "
+        f"GROUP BY m, code, spos)",
+        "cba AS (SELECT m, code, list(cval ORDER BY spos) AS subcent "
+        "FROM cbres GROUP BY m, code)",
+        f"rsub AS (SELECT vec_id, label, cell_id, "
+        f"CAST((i - 1) // {PQ_SUBDIM} AS INT) AS m, "
+        f"list(r[i] ORDER BY i) AS subvec "
+        f"FROM resid, UNNEST(range(1, len(r) + 1)) AS t(i) "
+        f"GROUP BY vec_id, label, cell_id, m)",
+        "scored AS (SELECT vec_id, label, cell_id, s.m AS m, code, "
+        + sq.format(a="s.subvec", b="c.subcent")
+        + " AS d2 FROM rsub s JOIN cba c ON s.m = c.m)",
+        "best AS (SELECT vec_id, label, cell_id, m, code, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn "
+        "FROM scored)",
+        f"qcell AS (SELECT cell_id FROM ("
+        f"SELECT cell_id, ROW_NUMBER() OVER (ORDER BY d2, cell_id) AS rn "
+        f"FROM af WHERE vec_id = 0) WHERE rn <= {IVFPQ_NPROBE})",
+        f"qres AS (SELECT c.cell_id, "
+        f"list_transform(list_zip(e.v, c.centroid), "
+        f"x -> {_sql_r6('(x[1] - x[2])')}) AS r "
+        f"FROM emb e CROSS JOIN c{n} c "
+        f"WHERE e.vec_id = 0 AND c.cell_id IN (SELECT cell_id FROM qcell))",
+        f"qsub AS (SELECT cell_id, CAST((i - 1) // {PQ_SUBDIM} AS INT) AS m, "
+        f"list(r[i] ORDER BY i) AS subvec "
+        f"FROM qres, UNNEST(range(1, len(r) + 1)) AS t(i) "
+        f"GROUP BY cell_id, m)",
+        "lut AS (SELECT cell_id, q.m AS m, code, "
+        + _sql_r6("(" + sq.format(a="q.subvec", b="c.subcent") + ")")
+        + " AS qd2 FROM qsub q JOIN cba c ON q.m = c.m)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT b.vec_id, b.label, b.cell_id, "
+        "CAST(SUM(CAST(l.qd2 AS DECIMAL(25,6))) AS DOUBLE) AS adc_d2 "
+        "FROM best b JOIN lut l "
+        "ON b.cell_id = l.cell_id AND b.m = l.m AND b.code = l.code "
+        "WHERE b.rn = 1 AND b.vec_id <> 0 "
+        "GROUP BY b.vec_id, b.label, b.cell_id "
+        "ORDER BY adc_d2, vec_id LIMIT 10"
+    )
+
+
+def register_round7(reg):
+    reg.add("vector_ivfpq_adc_search", ivfpq_adc_search, _ivfpq_oracle_sql())

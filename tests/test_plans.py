@@ -626,6 +626,15 @@ def test_triangle_count_keyed_joins_only(spark, sf_small):
     assert plan.count("BroadcastNestedLoopJoin (") <= 1
 
 
+def test_ivfpq_broadcasts_every_small_side(spark, sf_small):
+    plan = plan_of(spark, "vector_ivfpq_adc_search", sf_small)
+    # centroids / codebooks / query LUT are all broadcast; the only
+    # cross joins are K-row broadcast expansions, never a shuffle cross
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # codebook + LUT equi-joins
+    assert "SortMergeJoin" not in plan
+
+
 def test_mad_outliers_broadcasts_fences(spark, sf_small):
     plan = plan_of(spark, "filter_mad_outliers", sf_small)
     assert "BroadcastHashJoin" in plan
