@@ -112,6 +112,9 @@ def build_registry() -> Registry:
     filters.register_round6b(reg)
     textops.register_round6c(reg)
     vector.register_round7(reg)
+    from .operators import sketches
+
+    sketches.register(reg)
     _prioritize(reg)
     return reg
 

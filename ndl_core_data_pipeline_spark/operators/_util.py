@@ -32,6 +32,24 @@ DEC = "decimal(25,6)"
 DEC_HI = "decimal(27,10)"
 
 
+def round6_det(col: Column) -> Column:
+    """Deterministic 6-dp rounding: floor(x*1e6 + 0.5)/1e6 as plain IEEE
+    ops, identical in any engine. ROUND(double, 6) is NOT cross-engine
+    stable at half boundaries — Spark rounds the double's SHORTEST
+    decimal representation (BigDecimal.valueOf) HALF_UP while DuckDB
+    rounds the true binary expansion, so a value whose shortest repr
+    ends in ...5 flips the last digit between engines. The floor form
+    runs the same three IEEE operations on the same double on both
+    sides. Use for derived quotients/products; plain ROUND remains fine
+    for values with bounded true decimal scale (see DEC note above)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def sql_r6(x: str) -> str:
+    """DuckDB form of round6_det."""
+    return f"FLOOR({x} * 1000000.0 + 0.5) / 1000000.0"
+
+
 def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent SUM over a double column."""
     return F.sum(col.cast(dec)).cast("double").alias(alias)

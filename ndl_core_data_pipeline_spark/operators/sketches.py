@@ -1,0 +1,249 @@
+"""Mergeable-summary sketches with exact cross-engine parity.
+
+Siblings of the bloom-pruned join and Misra-Gries heavy hitters
+(operators/warehouse.py): the two remaining summary structures a 100 TB
+profiling layer leans on — HyperLogLog for distinct counts and count-min
+for frequency point estimates. Spark's own approx_count_distinct is a
+non-portable binary sketch, so these build the textbook structures from
+the ONE hash primitive both engines share (md5), making every register
+value — not just the estimate — hash-checkable against DuckDB.
+
+Scale shape: both sketches are algebraic aggregations (map-side partial
+registers merge by MAX / SUM), so the shuffle carries fixed-size register
+tables per group — never rows. Register tables are query output here;
+in a pipeline they persist as the mergeable per-partition summary.
+
+Determinism notes:
+- bucket/rho derive from disjoint md5 substrings, so both engines see
+  identical registers;
+- 2^-rho terms are dyadic rationals with denominator ≤ 2^33; any sum of
+  ≤ m of them is exact in a double REGARDLESS of addition order, so the
+  harmonic-mean sum needs no decimal laundering;
+- ln() last-ulp variance across libms is absorbed by round6_det on the
+  final estimate only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ._util import round6_det, sql_r6
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_parts(col):
+    """(bucket, rho) from disjoint md5 substrings: bucket = 16 hash bits
+    mod m; rho = leading-zero count of a 32-bit word + 1 (bit-length via
+    bin(), exact integer math — no float log)."""
+    h = F.md5(col.cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % HLL_M).alias(
+        "bucket"
+    )
+    w = F.conv(F.substring(h, 5, 8), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(w)))
+        .cast("bigint")
+        .alias("rho")
+    )
+    return bucket, rho
+
+
+def hll_distinct(spark, sf_dir):
+    """Per-event-type HLL distinct-user estimate next to the exact count
+    (the audit a profiling layer runs at small scale before trusting the
+    sketch at large scale). Registers: max rho per (event_type, bucket);
+    estimate: harmonic mean with the standard small-range linear-counting
+    correction. Everything up to the final ln/division is exact integer /
+    dyadic arithmetic in both engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket, rho = _hll_parts(F.col("user_id"))
+    regs = (
+        ev.select("event_type", bucket, rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # 2^-reg via integer shift — exact dyadic, order-independent sum
+    # (F.expr: the PySpark wrapper insists on a literal shift amount)
+    inv = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT)) AS DOUBLE)"
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(inv).alias("sum_inv_nonempty"),
+    )
+    empties = F.lit(HLL_M) - F.col("n_buckets")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("sum_inv_nonempty") + empties.cast("double")
+    )
+    est = F.when(
+        (empties > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empties.cast("double")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            round6_det(est).alias("hll_estimate"),
+        )
+    )
+
+
+def _hll_sql() -> str:
+    bucket = f"CAST('0x' || substring(hx, 1, 4) AS BIGINT) % {HLL_M}"
+    w = "CAST('0x' || substring(hx, 5, 8) AS BIGINT)"
+    est = (
+        f"CASE WHEN ({HLL_M} - n_buckets) > 0 AND raw <= {2.5 * HLL_M!r} "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_buckets)) "
+        f"ELSE raw END"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+parts AS (
+  SELECT event_type, {bucket} AS bucket,
+         CASE WHEN {w} = 0 THEN 33 ELSE 33 - length(bin({w})) END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, bucket, MAX(rho) AS reg
+         FROM parts GROUP BY event_type, bucket),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         SUM(1.0 / CAST(1::BIGINT << CAST(reg AS INT) AS DOUBLE))
+           AS sum_inv_nonempty
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, n_buckets,
+         {HLL_ALPHA * HLL_M * HLL_M!r}
+           / (sum_inv_nonempty + ({HLL_M} - n_buckets)) AS raw
+  FROM pt
+),
+exact AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT e.event_type, n_exact, n_buckets, {sql_r6(f'({est})')} AS hll_estimate
+FROM est e JOIN exact USING (event_type)
+"""
+
+
+CM_D = 4  # hash rows
+CM_W = 64  # counters per row
+
+
+def _cm_col(depth: int, key):
+    """Counter column for hash row `depth`: md5 over a depth-salted key."""
+    h = F.md5(F.concat(F.lit(f"{depth}|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % CM_W
+
+
+def countmin_sketch(spark, sf_dir):
+    """Count-min sketch of per-user event frequencies: the full D×W
+    counter matrix. Map-side each row expands to D (depth, col) cells;
+    one keyed SUM builds the matrix — the partial aggregates ARE partial
+    sketches, which is what makes count-min mergeable across partitions,
+    days, or clusters (counters add). Matrix size D×W is constant
+    regardless of input rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("bigint").alias("depth"),
+                        _cm_col(d, F.col("user_id")).alias("col"),
+                    )
+                    for d in range(CM_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.depth", "c.col")
+    return cells.groupBy("depth", "col").agg(F.count("*").alias("cnt"))
+
+
+def _cm_cells_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS depth, "
+        f"CAST('0x' || substring(md5('{d}|' || CAST(user_id AS VARCHAR)), 1, 12)"
+        f" AS BIGINT) % {CM_W} AS col "
+        f"FROM events WHERE user_id IS NOT NULL"
+        for d in range(CM_D)
+    )
+    return f"cells AS ({rows})"
+
+
+def _cm_sql() -> str:
+    return (
+        f"WITH {_cm_cells_sql()} "
+        "SELECT depth, col, COUNT(*) AS cnt FROM cells GROUP BY depth, col"
+    )
+
+
+def countmin_estimates(spark, sf_dir):
+    """Count-min point queries: for the 10 smallest user ids, the sketch
+    estimate (min over depths of the hashed counter) next to the exact
+    count — est >= exact always, with overshoot bounded by the sketch
+    width. The D×W matrix broadcasts; the probe side computes its D
+    hashes map-side and joins on (depth, col)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sketch = countmin_sketch(spark, sf_dir)
+    users = ev.select("user_id").distinct().orderBy("user_id").limit(10)
+    probes = users.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("bigint").alias("depth"),
+                        _cm_col(d, F.col("user_id")).alias("col"),
+                    )
+                    for d in range(CM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "c.depth", "c.col")
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    return est.join(exact, "user_id").select("user_id", "n_exact", "n_est")
+
+
+def _cm_est_sql() -> str:
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, CAST({d} AS BIGINT) AS depth, "
+        f"CAST('0x' || substring(md5('{d}|' || CAST(user_id AS VARCHAR)), 1, 12)"
+        f" AS BIGINT) % {CM_W} AS col FROM users"
+        for d in range(CM_D)
+    )
+    return f"""
+WITH {_cm_cells_sql()},
+sketch AS (SELECT depth, col, COUNT(*) AS cnt FROM cells GROUP BY depth, col),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+          ORDER BY user_id LIMIT 10),
+probes AS ({probe_rows}),
+est AS (SELECT user_id, MIN(cnt) AS n_est
+        FROM probes JOIN sketch USING (depth, col) GROUP BY user_id),
+exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+          WHERE user_id IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_exact, n_est FROM est JOIN exact USING (user_id)
+"""
+
+
+def register(reg) -> None:
+    reg.add("agg_hll_distinct", hll_distinct, _hll_sql())
+    reg.add("agg_countmin_sketch", countmin_sketch, _cm_sql())
+    reg.add("agg_countmin_estimates", countmin_estimates, _cm_est_sql())

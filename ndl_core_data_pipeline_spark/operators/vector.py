@@ -859,20 +859,8 @@ def register_round6b(reg):
 IVFPQ_NPROBE = 2
 
 
-def _round6_det(col):
-    """Deterministic 6-dp rounding: floor(x·1e6 + 0.5)/1e6 as plain IEEE
-    ops, identical in any engine. ROUND(double, 6) is NOT cross-engine
-    stable at half boundaries — Spark rounds the double's SHORTEST
-    decimal representation (BigDecimal.valueOf) HALF_UP while DuckDB
-    rounds the true binary expansion, so a quotient whose shortest repr
-    ends in …5 (hit by this query's residual codebook at sf0.01) flips
-    the last digit between engines. The floor form runs the same three
-    IEEE operations on the same double on both sides."""
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-
-
-def _sql_r6(x: str) -> str:
-    return f"FLOOR({x} * 1000000.0 + 0.5) / 1000000.0"
+from ._util import round6_det as _round6_det, sql_r6 as _sql_r6  # noqa: E402
+# (hit by the IVF-PQ residual codebook at sf0.01 — see _util.round6_det)
 
 
 def _slice_subs(df, vec_col: str, keep: tuple[str, ...]):
