@@ -115,6 +115,9 @@ def build_registry() -> Registry:
     from .operators import sketches
 
     sketches.register(reg)
+    graphs.register_round7(reg)
+    windows.register_round7(reg)
+    sorts.register_round7(reg)
     _prioritize(reg)
     return reg
 

@@ -299,3 +299,116 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 
 def register_round6b(reg) -> None:
     reg.add("graph_triangle_count", graph_triangle_count, _triangle_sql())
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, deterministic)
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+_PR_DEC = "decimal(27,10)"  # exact partial sums for ~1/N-magnitude ranks
+
+
+def _round10_det(col):
+    """10-dp deterministic rounding (see _util.round6_det): ranks are
+    O(1/N), so 6 dp would crush them — 10 dp keeps 5+ significant digits
+    at 100k vertices while staying an exact shared intermediate."""
+    return F.floor(col * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the (symmetrized) basket-affinity graph, PR_ITERS
+    power iterations, top-100 by scaled rank. The at-scale shape: each
+    iteration is ONE keyed join (edge src → rank table) plus ONE keyed
+    sum per destination — contributions cast to decimal(27,10) so the
+    per-vertex sum is exact and order-independent, then the new rank
+    rounds to a 10-dp shared intermediate so iteration i+1's inputs are
+    bit-identical in both engines. The vertex-count scalar rides as a
+    broadcast one-row table (no collect). Every vertex of this graph has
+    degree ≥ 1 (vertices are edge endpoints), so there is no dangling
+    mass to redistribute; the left join + coalesce keeps the plan
+    correct for general graphs anyway. Output rank is pr·N (mean 1.0),
+    rounded 6 dp. Oracle: the same iterations unrolled as CTEs."""
+    e = _affinity_edges(spark, sf_dir)
+    sym = e.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(e.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+    deg = (
+        sym.groupBy("src").agg(F.count("*").alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    nrow = F.broadcast(deg.agg(F.count("*").cast("double").alias("n")))
+    r = deg.crossJoin(nrow).select(
+        "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = sym.join(r, sym["src"] == r["node"]).select(
+            sym["dst"].alias("cn"), (r["pr"] / r["deg"]).alias("c")
+        )
+        sums = contrib.groupBy("cn").agg(
+            F.sum(F.col("c").cast(_PR_DEC)).cast("double").alias("s")
+        )
+        r = (
+            deg.crossJoin(nrow)
+            .join(sums, deg["node"] == sums["cn"], "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                _round10_det(
+                    (1.0 - PR_DAMP) / F.col("n")
+                    + F.lit(PR_DAMP) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    from ._util import round6_det
+
+    return (
+        r.select(
+            F.col("node").alias("part"),
+            round6_det(F.col("pr") * F.col("n")).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "part")
+        .limit(100)
+    )
+
+
+def _pagerank_sql() -> str:
+    base = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MINSUP}
+),
+sym AS (SELECT pa AS src, pb AS dst FROM edges
+        UNION ALL SELECT pb, pa FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nv) AS pr FROM deg)"""
+    parts = [base]
+    for i in range(PR_ITERS):
+        parts.append(
+            f""",
+c{i} AS (SELECT s.dst AS node,
+  CAST(SUM(CAST(r.pr / r.deg AS DECIMAL(27,10))) AS DOUBLE) AS s
+  FROM sym s JOIN r{i} r ON s.src = r.node GROUP BY s.dst),
+r{i + 1} AS (SELECT d.node, d.deg,
+  FLOOR(({1.0 - PR_DAMP!r} / (SELECT n FROM nv)
+         + {PR_DAMP!r} * COALESCE(c.s, 0.0)) * 10000000000.0 + 0.5)
+    / 10000000000.0 AS pr
+  FROM deg d LEFT JOIN c{i} c ON d.node = c.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part,
+       FLOOR(pr * (SELECT n FROM nv) * 1000000.0 + 0.5) / 1000000.0
+         AS pagerank
+FROM r{PR_ITERS} ORDER BY pagerank DESC, part LIMIT 100"""
+    )
+    return "".join(parts)
+
+
+def register_round7(reg) -> None:
+    reg.add("graph_pagerank", graph_pagerank, _pagerank_sql())

@@ -180,3 +180,87 @@ SELECT vec_id, dist, rnk FROM (
 ) t WHERE cut_seen = 0
 """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / pareto front
+
+
+def pareto_front(spark, sf_dir):
+    """2-D skyline over orders: the pareto front minimizing (o_orderdate,
+    o_totalprice) — rows no other row beats on both axes (ties on both
+    axes survive together). Dominance test per row is two window minima:
+
+      dominated ⇔ min(price | earlier date) ≤ price      (strict via date)
+                ∨ min(price | same date, sorted before) < price
+
+    THE SCALE SHAPE is the classic two-level skyline: stage 1 computes
+    the front within each order-month (keyed windows — fully parallel;
+    a row dominated by a same-month row is dominated globally, so local
+    filtering is safe and removes almost everything), stage 2 runs the
+    same dominance windows globally over the few surviving candidates.
+    A direct global-window skyline would serialize the whole table
+    through one task; here the serial pass sees only the per-month
+    fronts. The oracle is the single-pass global form — results are
+    identical because local pruning only drops dominated rows."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1990-01-01")).alias("dayno"),
+        F.trunc("o_orderdate", "month").alias("month"),
+    )
+
+    def survivors(df, *partition):
+        w_prev_dates = (
+            W.partitionBy(*partition)
+            .orderBy("dayno")
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        w_same_date = (
+            W.partitionBy(*partition, "dayno")
+            .orderBy("o_totalprice", "o_orderkey")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        dominated = (
+            F.coalesce(
+                F.min("o_totalprice").over(w_prev_dates)
+                <= F.col("o_totalprice"),
+                F.lit(False),
+            )
+        ) | (
+            F.coalesce(
+                F.min("o_totalprice").over(w_same_date) < F.col("o_totalprice"),
+                F.lit(False),
+            )
+        )
+        return df.withColumn("dom", dominated).filter(~F.col("dom")).drop("dom")
+
+    local = survivors(o, "month")  # keyed, parallel
+    front = survivors(local)  # global pass over the tiny candidate set
+    return front.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+_PARETO_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dayno
+  FROM orders
+),
+f AS (
+  SELECT *,
+         MIN(o_totalprice) OVER (ORDER BY dayno
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp_prev,
+         MIN(o_totalprice) OVER (PARTITION BY dayno
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp_same
+  FROM o
+)
+SELECT o_orderkey, o_orderdate, o_totalprice FROM f
+WHERE NOT (COALESCE(mp_prev <= o_totalprice, FALSE)
+           OR COALESCE(mp_same < o_totalprice, FALSE))
+"""
+
+
+def register_round7(reg):
+    reg.add("sort_pareto_front", pareto_front, _PARETO_SQL)

@@ -320,3 +320,76 @@ FROM events
 
 def register_round6b(reg):
     reg.add("window_distributed_prefix_sum", distributed_prefix_sum, _PREFIX_SQL)
+
+
+ROLL_N = 7  # trailing rows per frame (current + 6 preceding)
+
+
+def rolling_stats(spark, sf_dir):
+    """Time-series rolling statistics — trailing ROLL_N-row mean / std /
+    z-score of events.value per user (the anomaly-detection primitive a
+    monitoring pipeline runs per key). One keyed window, frame
+    rowsBetween(-6, 0), orderBy (ts, event_id) for tie-stable frames.
+    Σx and Σx² accumulate as exact decimals so mean/variance are
+    order-independent; variance clamps at 0 (double rounding can push a
+    constant frame fractionally negative — same guard as
+    feature_standardize) and z nulls where std = 0. All per-key keyed
+    windows: at 100 TB the shuffle is one exchange on user_id, frames
+    never cross keys."""
+    from ._util import DEC, round6_det
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_N - 1), 0)
+    )
+    x = F.col("value")
+    n = F.count("*").over(w)
+    s1 = F.sum(x.cast(DEC)).over(w).cast("double")
+    s2 = F.sum((x * x).cast(DEC)).over(w).cast("double")
+    mu = s1 / n
+    var = F.greatest(s2 / n - mu * mu, F.lit(0.0))
+    std = F.sqrt(var)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n.cast("bigint").alias("n_window"),
+        round6_det(mu).alias("roll_mean"),
+        round6_det(std).alias("roll_std"),
+        round6_det(
+            F.when(std > 0, (x - mu) / std)
+        ).alias("roll_z"),
+    )
+
+
+_ROLL_SQL = f"""
+WITH f AS (
+  SELECT event_id, user_id, value,
+         COUNT(*) OVER w AS n_window,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
+       FLOOR(s1 / n_window * 1000000.0 + 0.5) / 1000000.0 AS roll_mean,
+       FLOOR(sqrt(greatest(s2 / n_window - (s1 / n_window) * (s1 / n_window),
+                           0)) * 1000000.0 + 0.5) / 1000000.0 AS roll_std,
+       FLOOR(CASE WHEN sqrt(greatest(s2 / n_window
+                 - (s1 / n_window) * (s1 / n_window), 0)) > 0
+             THEN (value - s1 / n_window)
+                  / sqrt(greatest(s2 / n_window
+                         - (s1 / n_window) * (s1 / n_window), 0)) END
+             * 1000000.0 + 0.5) / 1000000.0 AS roll_z
+FROM f
+"""
+
+
+def register_round7(reg):
+    reg.add("window_rolling_stats", rolling_stats, _ROLL_SQL)
