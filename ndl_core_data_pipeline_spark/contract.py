@@ -118,6 +118,10 @@ def build_registry() -> Registry:
     graphs.register_round7(reg)
     windows.register_round7(reg)
     sorts.register_round7(reg)
+    textops.register_round7(reg)
+    joins.register_round7(reg)
+    dedup.register_round7(reg)
+    aggregates.register_round7(reg)
     _prioritize(reg)
     return reg
 

@@ -670,3 +670,110 @@ FROM m
 
 def register_round6e(reg):
     reg.add("stats_linreg", linreg_by_group, _LINREG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Information-theoretic association: mutual information
+
+_MI_DEC = "decimal(27,10)"
+
+
+def mutual_information(spark, sf_dir):
+    """Mutual information between order priority and order status — the
+    information-theoretic sibling of stats_chi_square (association
+    strength in nats, plus marginal entropies and normalized MI). Three
+    keyed counts (cells, two marginals — each map-side combined), a
+    broadcast join of the G×H cell table against both marginals, and a
+    tiny final rollup: the only data-sized work is the counting pass.
+    Per-cell terms are doubles (exact integer ratios through ln);
+    summing the ≤ G·H terms casts to decimal so the rollup is order-
+    independent; final values round deterministically."""
+    from ._util import round6_det
+
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    nrow = F.broadcast(o.agg(F.count("*").cast("double").alias("n")))
+    na = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_a"))
+    nb = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_b"))
+    nab = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_ab")
+    )
+    cells = (
+        nab.join(F.broadcast(na), "o_orderpriority")
+        .join(F.broadcast(nb), "o_orderstatus")
+        .crossJoin(nrow)
+    )
+    term = (F.col("n_ab") / F.col("n")) * F.log(
+        F.col("n_ab").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b"))
+    )
+    mi = cells.agg(
+        F.sum(term.cast(_MI_DEC)).cast("double").alias("mi"),
+        F.count("*").alias("n_cells"),
+    )
+    ent_a = (
+        na.crossJoin(nrow)
+        .agg(
+            F.sum(
+                (-(F.col("n_a") / F.col("n")) * F.log(F.col("n_a") / F.col("n")))
+                .cast(_MI_DEC)
+            )
+            .cast("double")
+            .alias("h_a")
+        )
+    )
+    ent_b = (
+        nb.crossJoin(nrow)
+        .agg(
+            F.sum(
+                (-(F.col("n_b") / F.col("n")) * F.log(F.col("n_b") / F.col("n")))
+                .cast(_MI_DEC)
+            )
+            .cast("double")
+            .alias("h_b")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(ent_a))
+        .crossJoin(F.broadcast(ent_b))
+        .select(
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            round6_det(F.col("mi")).alias("mi_nats"),
+            round6_det(F.col("h_a")).alias("h_priority"),
+            round6_det(F.col("h_b")).alias("h_status"),
+            round6_det(
+                F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b"))
+            ).alias("nmi"),
+        )
+    )
+
+
+_MI_SQL = """
+WITH nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders),
+na AS (SELECT o_orderpriority, COUNT(*) AS n_a FROM orders GROUP BY 1),
+nb AS (SELECT o_orderstatus, COUNT(*) AS n_b FROM orders GROUP BY 1),
+nab AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_ab
+        FROM orders GROUP BY 1, 2),
+cells AS (
+  SELECT n_ab, n_a, n_b, n FROM nab
+  JOIN na USING (o_orderpriority) JOIN nb USING (o_orderstatus), nrow
+),
+mi AS (
+  SELECT CAST(SUM(CAST((n_ab / n) * ln(CAST(n_ab AS DOUBLE) * n / (n_a * n_b))
+                       AS DECIMAL(27,10))) AS DOUBLE) AS mi,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+),
+ha AS (SELECT CAST(SUM(CAST(-(n_a / n) * ln(n_a / n) AS DECIMAL(27,10)))
+              AS DOUBLE) AS h_a FROM na, nrow),
+hb AS (SELECT CAST(SUM(CAST(-(n_b / n) * ln(n_b / n) AS DECIMAL(27,10)))
+              AS DOUBLE) AS h_b FROM nb, nrow)
+SELECT n_cells,
+       FLOOR(mi * 1000000.0 + 0.5) / 1000000.0 AS mi_nats,
+       FLOOR(h_a * 1000000.0 + 0.5) / 1000000.0 AS h_priority,
+       FLOOR(h_b * 1000000.0 + 0.5) / 1000000.0 AS h_status,
+       FLOOR(mi / sqrt(h_a * h_b) * 1000000.0 + 0.5) / 1000000.0 AS nmi
+FROM mi, ha, hb
+"""
+
+
+def register_round7(reg):
+    reg.add("stats_mutual_information", mutual_information, _MI_SQL)

@@ -846,3 +846,136 @@ def incremental_dedup_vs_base(spark, sf_dir):
         "doc_id", F.lit("new").alias("verdict")
     )
     return dup.unionAll(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering
+
+# Jaccard threshold 3/5 — kept as an exact rational so the >= predicate is
+# INTEGER math (inter*5 >= union*3), immune to float-literal drift
+JACC_TAU_NUM, JACC_TAU_DEN = 3, 5
+
+
+def jaccard_prefix_join(spark, sf_dir):
+    """EXACT Jaccard similarity join (τ = 0.6) over distinct part-name
+    token sets via prefix filtering (Chaudhuri et al., SSJoin) — the
+    exact counterpart of the MinHash family: no probabilistic recall
+    loss, same never-n² discipline. Tokens sort by a global total order
+    (document frequency asc, token asc — rarest first, the standard
+    choice that minimizes candidates); a pair with J ≥ τ must share a
+    token within each side's first |x| − ⌈τ|x|⌉ + 1 tokens, so
+    candidates come from an EQUI-join on exploded prefix tokens only.
+    Verification is exact: array_intersect on the full (distinct) token
+    arrays, integer predicate inter·5 ≥ union·3. Prefix length uses
+    integer arithmetic ((3n+4) DIV 5 = ⌈3n/5⌉), so both engines cut
+    identical prefixes. At 100 TB the prefix explode carries 1-3 tokens
+    per set and the join shuffles on token — work scales with prefix-
+    token collision density, never the name-pair cross product."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    tok = names.select(
+        "p_name",
+        F.explode(
+            F.array_distinct(F.split(F.col("p_name"), " "))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("tdf"))
+    arr = (
+        tok.join(dfreq, "token")
+        .groupBy("p_name")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tdf"), F.col("token")))
+            ).alias("st")
+        )
+        .select(
+            "p_name",
+            F.transform("st", lambda s: s["token"]).alias("toks"),
+            F.size("st").alias("ntok"),
+        )
+    )
+    plen = (
+        F.col("ntok")
+        - F.expr(f"({JACC_TAU_NUM} * ntok + {JACC_TAU_DEN - 1}) DIV {JACC_TAU_DEN}")
+        + 1
+    ).cast("int")
+    pref = arr.select(
+        "p_name", F.explode(F.slice("toks", F.lit(1), plen)).alias("token")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "token")
+        .filter(F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    x = arr.select(
+        F.col("p_name").alias("name_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("ntok").alias("ntok_a"),
+    )
+    y = arr.select(
+        F.col("p_name").alias("name_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("ntok").alias("ntok_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.col("ntok_a") + F.col("ntok_b") - inter
+    from ._util import round6_det
+
+    return (
+        cand.join(x, "name_a")
+        .join(y, "name_b")
+        .select(
+            "name_a",
+            "name_b",
+            inter.cast("bigint").alias("n_common"),
+            uni.cast("bigint").alias("n_union"),
+            round6_det(inter.cast("double") / uni).alias("jaccard"),
+        )
+        .filter(
+            F.col("n_common") * JACC_TAU_DEN >= F.col("n_union") * JACC_TAU_NUM
+        )
+    )
+
+
+_JACC_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+tok AS (
+  SELECT p_name, t.token
+  FROM names, UNNEST(list_distinct(string_split(p_name, ' '))) AS t(token)
+  WHERE t.token <> ''
+),
+dfreq AS (SELECT token, COUNT(*) AS tdf FROM tok GROUP BY token),
+arr AS (
+  SELECT p_name, list(t.token ORDER BY d.tdf, t.token) AS toks,
+         COUNT(*) AS ntok
+  FROM tok t JOIN dfreq d USING (token) GROUP BY p_name
+),
+pref AS (
+  SELECT p_name, t.token
+  FROM arr, UNNEST(list_slice(toks, 1,
+    CAST(ntok - (({JACC_TAU_NUM} * ntok + {JACC_TAU_DEN - 1}) // {JACC_TAU_DEN})
+         + 1 AS INT))) AS t(token)
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM pref a JOIN pref b ON a.token = b.token AND a.p_name < b.p_name
+),
+pairs AS (
+  SELECT name_a, name_b,
+         len(list_intersect(x.toks, y.toks)) AS inter,
+         x.ntok + y.ntok - len(list_intersect(x.toks, y.toks)) AS uni
+  FROM cand JOIN arr x ON name_a = x.p_name JOIN arr y ON name_b = y.p_name
+)
+SELECT name_a, name_b,
+       CAST(inter AS BIGINT) AS n_common, CAST(uni AS BIGINT) AS n_union,
+       FLOOR(CAST(inter AS DOUBLE) / uni * 1000000.0 + 0.5) / 1000000.0
+         AS jaccard
+FROM pairs WHERE inter * {JACC_TAU_DEN} >= uni * {JACC_TAU_NUM}
+"""
+
+
+def register_round7(reg):
+    reg.add("dedup_jaccard_prefix_join", jaccard_prefix_join, _JACC_SQL)

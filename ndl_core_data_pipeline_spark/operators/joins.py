@@ -431,3 +431,98 @@ def asof_join_with_tolerance(spark, sf_dir):
             ).alias("view_age_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (interval × interval, binned)
+
+OVERLAP_BIN_DAYS = 32
+OVERLAP_WINDOW_DAYS = 30
+_OVL_ANCHOR = "1990-01-01"
+
+
+def interval_overlap_join(spark, sf_dir):
+    """Interval×interval overlap join — the two-sided sibling of the
+    point-radius `join_range_binned`: shipment transit windows
+    [shipdate, shipdate + 7 + linenumber%14 days] (the testdata carries
+    no receipt date, so transit length derives deterministically from
+    the line number) against 30-day order windows [orderdate, +30d], pairs
+    that OVERLAP plus the overlap length. Naively O(n·m) with an
+    inequality predicate no hash join can use; here both sides explode
+    into the OVERLAP_BIN_DAYS-day epoch bins their interval covers
+    (sequence() — bounded by interval length / bin width, 1-2 bins for
+    these spans), candidates equi-join on the bin key, the exact overlap
+    predicate filters, and a distinct on the pair key collapses pairs
+    that met in two bins (it also collapses exact duplicate input rows,
+    so the contract is the PAIR SET — the oracle is DISTINCT too). Work scales with true temporal density. Both
+    sides are deterministically mod-sampled so the pair set stays
+    output-sized at any sf; the oracle is the direct quadratic form over
+    the same samples."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff("l_shipdate", F.lit(_OVL_ANCHOR)).alias("a_s"),
+        )
+        .withColumn(
+            "a_e", F.col("a_s") + 7 + F.col("l_linenumber").cast("bigint") % 14
+        )
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 89 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lit(_OVL_ANCHOR)).alias("b_s"),
+        )
+        .withColumn("b_e", F.col("b_s") + OVERLAP_WINDOW_DAYS)
+    )
+    wb = OVERLAP_BIN_DAYS
+    a = li.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("a_s") / wb), F.floor(F.col("a_e") / wb))),
+    )
+    b = o.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("b_s") / wb), F.floor(F.col("b_e") / wb))),
+    )
+    return (
+        a.join(b, "bin")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderkey",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + 1
+            ).cast("bigint").alias("overlap_days"),
+        )
+        .distinct()
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH a AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '{_OVL_ANCHOR}', CAST(l_shipdate AS DATE)) AS a_s,
+         date_diff('day', DATE '{_OVL_ANCHOR}', CAST(l_shipdate AS DATE))
+           + 7 + l_linenumber % 14 AS a_e
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+b AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '{_OVL_ANCHOR}', CAST(o_orderdate AS DATE)) AS b_s,
+         date_diff('day', DATE '{_OVL_ANCHOR}', CAST(o_orderdate AS DATE))
+           + {OVERLAP_WINDOW_DAYS} AS b_e
+  FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT DISTINCT l_orderkey, l_linenumber, o_orderkey,
+       CAST(LEAST(a_e, b_e) - GREATEST(a_s, b_s) + 1 AS BIGINT) AS overlap_days
+FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+"""
+
+
+def register_round7(reg):
+    reg.add("join_interval_overlap", interval_overlap_join, _OVERLAP_SQL)

@@ -1263,3 +1263,93 @@ FROM hits, UNNEST(range(1, len(ctxs) + 1)) AS u(i)
 
 def register_round6c(reg):
     reg.add("text_kwic_contexts", kwic_contexts, _KWIC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Word association: PMI co-occurrence mining
+
+PMI_VOCAB = 100  # association candidates restricted to the top-df terms
+PMI_MIN_COOC = 5
+
+
+def cooccur_pmi(spark, sf_dir):
+    """Pointwise-mutual-information word pairs: top-50 most associated
+    term pairs co-occurring in documents, PMI = ln(n_ab·N / (n_a·n_b)).
+    The quadratic pair step is bounded BEFORE it happens: candidates are
+    restricted to the PMI_VOCAB highest-document-frequency terms
+    (broadcast semi-join), so per-document pair generation is ≤ C(V,2)
+    regardless of document length or corpus size — the same
+    candidate-pruning discipline as the LSH/banded dedup families. All
+    counts are exact integers; the single ln rounds via round6_det."""
+    from ._util import round6_det
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = F.broadcast(
+        words.agg(F.count_distinct("doc_id").cast("double").alias("n_total"))
+    )
+    df_t = words.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = F.broadcast(df_t.orderBy(F.desc("df"), "term").limit(PMI_VOCAB))
+    wv = words.join(vocab, "term")
+    a = wv.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = wv.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COOC)
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("n_total")
+        / (F.col("df_a") * F.col("df_b"))
+    )
+    return (
+        pairs.crossJoin(n_docs)
+        .select("term_a", "term_b", "n_ab", round6_det(pmi).alias("pmi"))
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(50)
+    )
+
+
+_PMI_SQL = rf"""
+WITH words AS (
+  SELECT DISTINCT doc_id, t.term FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+),
+nt AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_total FROM words),
+dfs AS (SELECT term, COUNT(*) AS df FROM words GROUP BY term),
+vocab AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT {PMI_VOCAB}),
+wv AS (SELECT w.doc_id, w.term, v.df FROM words w JOIN vocab v USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS n_ab
+  FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+)
+SELECT term_a, term_b, n_ab,
+       FLOOR(ln(CAST(n_ab AS DOUBLE) * (SELECT n_total FROM nt)
+                / (df_a * df_b)) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM pairs WHERE n_ab >= {PMI_MIN_COOC}
+ORDER BY pmi DESC, term_a, term_b LIMIT 50
+"""
+
+
+def register_round7(reg):
+    reg.add("text_cooccur_pmi", cooccur_pmi, _PMI_SQL)
