@@ -169,3 +169,130 @@ def test_oriented_wedge_groups_by_low_rank_source(spark):
     src = F.when(a_first, F.col("part_a")).otherwise(F.col("part_b"))
     out_deg_hub = ranked.filter(src == hub).count()
     assert out_deg_hub == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operator batch: property tests beyond oracle parity
+
+
+def test_hll_estimate_accuracy(spark, sf_small):
+    """256 registers → ~6.5% standard error; assert a loose 25% bound
+    per group so the test pins correctness, not luck."""
+    from ndl_core_data_pipeline_spark.operators.sketches import hll_distinct
+
+    for r in hll_distinct(spark, sf_small).collect():
+        assert r["n_exact"] > 0
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.25, f"{r['event_type']}: {r['hll_estimate']} vs {r['n_exact']}"
+
+
+def test_countmin_never_underestimates(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.sketches import countmin_estimates
+
+    rows = countmin_estimates(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_est"] >= r["n_exact"]
+
+
+def test_jaccard_prefix_join_is_complete(spark, sf_small):
+    """The prefix filter must not MISS pairs: compare against a
+    brute-force exact Jaccard join over the (small) distinct-name set."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.dedup import (
+        JACC_TAU_DEN,
+        JACC_TAU_NUM,
+        jaccard_prefix_join,
+    )
+
+    got = {
+        (r["name_a"], r["name_b"]): (r["n_common"], r["n_union"])
+        for r in jaccard_prefix_join(spark, sf_small).collect()
+    }
+    names = sorted(
+        r["p_name"]
+        for r in load(spark, sf_small, "part").select("p_name").distinct().collect()
+    )
+    expect = {}
+    sets = {n: frozenset(t for t in n.split(" ") if t) for n in names}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * JACC_TAU_DEN >= uni * JACC_TAU_NUM:
+                expect[(a, b)] = (inter, uni)
+    assert got == expect
+
+
+def test_pareto_front_matches_bruteforce(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.sorts import pareto_front
+
+    got = {
+        r["o_orderkey"] for r in pareto_front(spark, sf_small).collect()
+    }
+    rows = [
+        (r["o_orderkey"], r["o_orderdate"], r["o_totalprice"])
+        for r in load(spark, sf_small, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    expect = set()
+    for k, d, p in rows:
+        dominated = any(
+            (d2 <= d and p2 <= p and (d2 < d or p2 < p))
+            for _, d2, p2 in rows
+        )
+        if not dominated:
+            expect.add(k)
+    assert got == expect
+
+
+def test_interval_overlap_matches_bruteforce(spark, sf_small):
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.joins import (
+        OVERLAP_WINDOW_DAYS,
+        interval_overlap_join,
+    )
+
+    got = {
+        (r["l_orderkey"], r["l_linenumber"], r["o_orderkey"]): r["overlap_days"]
+        for r in interval_overlap_join(spark, sf_small).collect()
+    }
+    li = [
+        (r["l_orderkey"], r["l_linenumber"], r["l_shipdate"].date())
+        for r in load(spark, sf_small, "lineitem")
+        .filter("l_orderkey % 97 = 0")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .collect()
+    ]
+    orders = [
+        (r["o_orderkey"], r["o_orderdate"].date())
+        for r in load(spark, sf_small, "orders")
+        .filter("o_orderkey % 89 = 0")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    ]
+    import datetime
+
+    expect = {}
+    for lk, ln, ship in li:
+        a_s, a_e = ship, ship + datetime.timedelta(days=7 + ln % 14)
+        for ok, od in orders:
+            b_s, b_e = od, od + datetime.timedelta(days=OVERLAP_WINDOW_DAYS)
+            if a_s <= b_e and b_s <= a_e:
+                expect[(lk, ln, ok)] = (min(a_e, b_e) - max(a_s, b_s)).days + 1
+    assert got == expect
+
+
+def test_pmi_pairs_respect_support_floor(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.textops import (
+        PMI_MIN_COOC,
+        cooccur_pmi,
+    )
+
+    rows = cooccur_pmi(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_ab"] >= PMI_MIN_COOC
+        assert r["term_a"] < r["term_b"]
