@@ -645,3 +645,48 @@ def test_mad_outliers_broadcasts_fences(spark, sf_small):
 def test_kwic_is_map_only(spark, sf_small):
     plan = plan_of(spark, "text_kwic_contexts", sf_small)
     assert "Exchange" not in plan  # scan → regexp scan → explode, no shuffle
+
+
+def test_pagerank_no_cartesian_and_partial_agg(spark, sf_small):
+    plan = plan_of(spark, "graph_pagerank", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # contribution sums map-side combined
+
+
+def test_hll_sketch_is_two_keyed_aggs(spark, sf_small):
+    plan = plan_of(spark, "agg_hll_distinct", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan  # register max map-side combined
+
+
+def test_countmin_matrix_partial_agg(spark, sf_small):
+    plan = plan_of(spark, "agg_countmin_sketch", sf_small)
+    assert "Exchange" in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_jaccard_prefix_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "dedup_jaccard_prefix_join", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_bin_equijoin(spark, sf_small):
+    plan = plan_of(spark, "join_interval_overlap", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # bin key makes it a hash join
+
+
+def test_pmi_vocab_broadcast(spark, sf_small):
+    plan = plan_of(spark, "text_cooccur_pmi", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # vocab semi-join side
+
+
+def test_rolling_stats_single_keyed_window(spark, sf_small):
+    plan = plan_of(spark, "window_rolling_stats", sf_small)
+    assert "CartesianProduct" not in plan
+    # the frame runs keyed on user_id — never a global single-partition
+    # window (which would serialize the table at 100 TB)
+    assert "partitionspec(user_id" in plan.lower().replace(" ", "") or (
+        "Window" in plan and "user_id" in plan
+    )
