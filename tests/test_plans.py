@@ -507,27 +507,37 @@ def test_fuzzy_pairs_block_join_no_cartesian(spark, sf_small):
     assert "levenshtein" in plan  # exact verify inside codegen
 
 
-def test_tree_doubling_keyed_joins_only(spark, sf_small):
-    # the registered query's final plan is a checkpoint scan (lineage cut
-    # per round, like dedup's pointer jumping) — audit one doubling round
-    # built inline: the self-join must be keyed (anc = node), no cartesian
+def test_tree_depth_closed_form_is_map_only(spark, sf_small):
+    # round 7: the implicit-heap walk is closed-form bit arithmetic —
+    # the plan must be a pure scan→project, zero shuffles, zero joins
     plan = plan_of(spark, "graph_tree_depth_root", sf_small)
-    assert "Scan ExistingRDD" in plan  # lineage actually cut
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
+
+def test_tree_doubling_over_edges_keyed_joins_only(spark, sf_small):
+    # the general explicit-edge walk: lineage cut per round (checkpoint
+    # scan in the final plan), and each doubling self-join keyed, never
+    # cartesian
     from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.graphs import (
+        tree_depth_over_edges,
+    )
 
-    part = load(spark, sf_small, "part").select(
+    edges = load(spark, sf_small, "part").select(
         F.col("p_partkey").cast("bigint").alias("node"),
         F.expr(
             "CASE WHEN p_partkey = 0 THEN CAST(0 AS BIGINT) "
             "ELSE CAST((p_partkey - 1) DIV 2 AS BIGINT) END"
-        ).alias("anc"),
-        F.lit(1).cast("bigint").alias("d"),
+        ).alias("parent"),
     )
+    plan = explain_formatted(tree_depth_over_edges(edges, rounds=2))
+    assert "Scan ExistingRDD" in plan  # lineage actually cut
+
     one_round = (
-        part.alias("a")
-        .join(part.alias("b"), F.col("a.anc") == F.col("b.node"))
-        .select(F.col("a.node"), F.col("b.anc"), (F.col("a.d") + F.col("b.d")).alias("d"))
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.parent") == F.col("b.node"))
+        .select(F.col("a.node"), F.col("b.parent"))
     )
     round_plan = explain_formatted(one_round)
     assert "CartesianProduct" not in round_plan
