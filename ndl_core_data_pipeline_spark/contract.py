@@ -122,6 +122,11 @@ def build_registry() -> Registry:
     joins.register_round7(reg)
     dedup.register_round7(reg)
     aggregates.register_round7(reg)
+    from .operators import warehouse as _wh
+
+    _wh.register_round7(reg)
+    sketches.register_round7b(reg)
+    eventwindows.register_round7(reg)
     _prioritize(reg)
     return reg
 

@@ -376,3 +376,69 @@ FROM s
 
 def register_round6c(reg):
     reg.add("events_rfm_scores", rfm_scores, _RFM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Burst debouncing
+
+DEBOUNCE_US = 60 * 1_000_000  # 60 s gap closes a burst
+
+
+def events_debounce(spark, sf_dir):
+    """Collapse event bursts: per (user, event type), events separated by
+    ≤ 60 s chain into one burst (the stream-cleaning op that dedups
+    double-clicks / retry storms before counting anything). Burst starts
+    come from one lag() gap test; a running sum of start flags numbers
+    the bursts; one keyed aggregation emits (start, size, value total)
+    per burst. Both windows and the aggregation share the (user_id,
+    event_type) key — one shuffle total, decimal-exact value sums."""
+    from pyspark.sql import Window
+    from ._util import DEC
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_start = F.when(
+        prev.isNull() | ((us - prev) > DEBOUNCE_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = ev.withColumn("is_start", is_start).withColumn(
+        "burst_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return marked.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("ts").alias("burst_start"),
+        F.count("*").alias("burst_n"),
+        F.coalesce(
+            F.sum(F.col("value").cast(DEC)).cast("double"), F.lit(0.0)
+        ).alias("burst_value"),
+    )
+
+
+_DEBOUNCE_SQL = f"""
+WITH marked AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {DEBOUNCE_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id, event_type
+    ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+  FROM marked
+)
+SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+       MIN(ts) AS burst_start, COUNT(*) AS burst_n,
+       COALESCE(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 0.0)
+         AS burst_value
+FROM numbered GROUP BY user_id, event_type, burst_id
+"""
+
+
+def register_round7(reg):
+    reg.add("events_debounce", events_debounce, _DEBOUNCE_SQL)

@@ -247,3 +247,92 @@ def register(reg) -> None:
     reg.add("agg_hll_distinct", hll_distinct, _hll_sql())
     reg.add("agg_countmin_sketch", countmin_sketch, _cm_sql())
     reg.add("agg_countmin_estimates", countmin_estimates, _cm_est_sql())
+
+
+# ------------------------------------------------ bottom-k sample quantiles
+
+BK_K = 256  # sample size per group
+
+
+def bottomk_sample_quantiles(spark, sf_dir):
+    """Mergeable quantile estimation via bottom-k hash sampling: per
+    order priority, the BK_K rows with the smallest md5(o_orderkey) form
+    a deterministic uniform sample (bottom-k of a union is the bottom-k
+    of the merged bottom-ks — the property that makes this a mergeable
+    sketch, unlike reservoir sampling whose result depends on arrival
+    order). Quantiles interpolated over the sample sit next to the exact
+    ones as the audit. Engine-specific quantile sketches (t-digest, GK)
+    can't cross-engine hash; the hash sample can, value for value. The
+    per-group bottom-k here is a keyed window sort (the topk_per_group
+    shape); at extreme group sizes the same sample falls out of
+    per-partition bottom-k heaps merged associatively."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("h", "o_orderkey")
+    sample = (
+        o.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BK_K)
+    )
+    est = sample.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_sample"),
+        F.percentile("o_totalprice", 0.5).alias("p50_est"),
+        F.percentile("o_totalprice", 0.95).alias("p95_est"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.percentile("o_totalprice", 0.5).alias("p50_exact"),
+        F.percentile("o_totalprice", 0.95).alias("p95_exact"),
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_rows",
+        "n_sample",
+        "p50_exact",
+        "p50_est",
+        "p95_exact",
+        "p95_est",
+    )
+
+
+_BK_SQL = f"""
+WITH h AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+              AS BIGINT) AS hv
+  FROM orders
+),
+sample AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY hv, o_orderkey) AS rn
+    FROM h) WHERE rn <= {BK_K}
+),
+est AS (
+  SELECT o_orderpriority, COUNT(*) AS n_sample,
+         quantile_cont(o_totalprice, 0.5) AS p50_est,
+         quantile_cont(o_totalprice, 0.95) AS p95_est
+  FROM sample GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority, COUNT(*) AS n_rows,
+         quantile_cont(o_totalprice, 0.5) AS p50_exact,
+         quantile_cont(o_totalprice, 0.95) AS p95_exact
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_rows, n_sample,
+       p50_exact, p50_est, p95_exact, p95_est
+FROM exact JOIN est USING (o_orderpriority)
+"""
+
+
+def register_round7b(reg) -> None:
+    reg.add(
+        "agg_bottomk_sample_quantiles", bottomk_sample_quantiles, _BK_SQL
+    )

@@ -534,3 +534,57 @@ def register_round6b(reg) -> None:
     reg.add("calendar_densify", calendar_densify, _CAL_SQL)
     reg.add("feature_standardize", feature_standardize, _STD_SQL)
     reg.add("feature_one_hot", feature_one_hot, _ONEHOT_SQL)
+
+
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) dimension join — the query SCD2 dimensions
+    exist to serve: each purchase event joins the state interval valid
+    AT its timestamp ([valid_from, valid_to) from scd2_intervals, open
+    current interval included). The join is an EQUI-join on the
+    dimension key (user_id) with the containment predicate applied
+    post-join: per-key interval counts are small (one per state change),
+    so candidates per probe are bounded by change frequency, never table
+    size — no binning needed, one keyed shuffle. Exactly one interval
+    matches each probe by construction (intervals partition the key's
+    timeline from its first event)."""
+    dim = scd2_intervals(spark, sf_dir).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    probes = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    return (
+        probes.join(dim, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "state", "valid_from")
+    )
+
+
+_PIT_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> event_type
+), dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+)
+SELECT e.event_id, e.user_id, e.ts, d.state, d.valid_from
+FROM events e JOIN dim d ON e.user_id = d.user_id
+WHERE e.event_type = 'purchase'
+  AND d.valid_from <= e.ts AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+"""
+
+
+def register_round7(reg) -> None:
+    reg.add("join_point_in_time_scd2", join_point_in_time_scd2, _PIT_SQL)
