@@ -296,3 +296,60 @@ def test_pmi_pairs_respect_support_floor(spark, sf_small):
     for r in rows:
         assert r["n_ab"] >= PMI_MIN_COOC
         assert r["term_a"] < r["term_b"]
+
+
+def test_pit_join_exactly_one_state_per_purchase(spark, sf_small):
+    """Intervals partition each user's timeline from their first event, so
+    every purchase matches exactly one dimension row."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.warehouse import (
+        join_point_in_time_scd2,
+    )
+
+    out = join_point_in_time_scd2(spark, sf_small).collect()
+    n_purchases = (
+        load(spark, sf_small, "events").filter("event_type = 'purchase'").count()
+    )
+    assert len(out) == n_purchases
+    assert len({r["event_id"] for r in out}) == n_purchases
+    for r in out:
+        assert r["valid_from"] <= r["ts"]
+
+
+def test_bottomk_quantile_estimates_are_close(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.sketches import (
+        bottomk_sample_quantiles,
+    )
+
+    rows = bottomk_sample_quantiles(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sample"] <= 256
+        for p in ("p50", "p95"):
+            exact, est = r[f"{p}_exact"], r[f"{p}_est"]
+            assert abs(est - exact) / exact < 0.30, (r["o_orderpriority"], p)
+
+
+def test_debounce_bursts_partition_events(spark, sf_small):
+    """Burst sizes add back to the per-(user, type) event counts, and
+    bursts are separated by > 60 s."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.eventwindows import events_debounce
+
+    bursts = events_debounce(spark, sf_small).collect()
+    per_key = {}
+    for r in bursts:
+        per_key.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    ev_counts = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in load(spark, sf_small, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {k: sum(b["burst_n"] for b in v) for k, v in per_key.items()} == ev_counts
+    for v in per_key.values():
+        starts = sorted(b["burst_start"] for b in v)
+        for a, b in zip(starts, starts[1:]):
+            assert (b - a).total_seconds() > 60
