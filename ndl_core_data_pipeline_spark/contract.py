@@ -127,6 +127,9 @@ def build_registry() -> Registry:
     _wh.register_round7(reg)
     sketches.register_round7b(reg)
     eventwindows.register_round7(reg)
+    _wh.register_round7b(reg)
+    textops.register_round7b(reg)
+    aggregates.register_round7b(reg)
     _prioritize(reg)
     return reg
 

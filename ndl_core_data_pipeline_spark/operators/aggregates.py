@@ -777,3 +777,73 @@ FROM mi, ha, hb
 
 def register_round7(reg):
     reg.add("stats_mutual_information", mutual_information, _MI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Calendar-trend analytics: weekly revenue growth
+
+def trend_weekly_growth(spark, sf_dir):
+    """Weekly revenue trend with week-over-week growth and a 4-week
+    moving average — the calendar analytics every warehouse dashboard
+    runs. The data-sized work is ONE keyed weekly aggregation with
+    decimal partials; the trailing lag/MA windows run over the ~350-row
+    weekly series (the same by-design tiny serial scan as the
+    distributed prefix sum's bucket pass). Revenue stays decimal through
+    the windows so lag/MA are exact; ratios round deterministically."""
+    from pyspark.sql import Window as W
+
+    from ._util import DEC, round6_det
+
+    o = load(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = W.orderBy("week")
+    prev = F.lag("rev_dec").over(w)
+    ma4 = (
+        F.sum("rev_dec").over(w.rowsBetween(-3, 0))
+        / F.count("*").over(w.rowsBetween(-3, 0))
+    ).cast("double")
+    return weekly.select(
+        "week",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        round6_det(
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                (F.col("rev_dec") - prev).cast("double") / prev.cast("double"),
+            )
+        ).alias("wow_pct"),
+        round6_det(ma4).alias("ma4_revenue"),
+    )
+
+
+_TREND_SQL = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT week, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
+       FLOOR(CASE WHEN lag(rev_dec) OVER w IS NOT NULL
+                   AND lag(rev_dec) OVER w <> 0
+             THEN CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)
+                  / CAST(lag(rev_dec) OVER w AS DOUBLE) END
+             * 1000000.0 + 0.5) / 1000000.0 AS wow_pct,
+       FLOOR(CAST(SUM(rev_dec) OVER (ORDER BY week
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             / COUNT(*) OVER (ORDER BY week
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ma4_revenue
+FROM weekly
+WINDOW w AS (ORDER BY week)
+"""
+
+
+def register_round7b(reg):
+    reg.add("trend_weekly_growth", trend_weekly_growth, _TREND_SQL)

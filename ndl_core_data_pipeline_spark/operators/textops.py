@@ -1353,3 +1353,126 @@ ORDER BY pmi DESC, term_a, term_b LIMIT 50
 
 def register_round7(reg):
     reg.add("text_cooccur_pmi", cooccur_pmi, _PMI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF document similarity join
+
+PAIR_MAX_DF = 50  # posting cap: pair work is bounded by Σ df² over kept terms
+PAIR_MIN_COS = 0.25
+
+
+def tfidf_doc_pairs(spark, sf_dir):
+    """All-pairs document similarity over SPARSE tf-idf vectors — the
+    lexical sibling of the embedding near-dup family: candidate pairs
+    come from shared terms (an equi-join on the term key), never a doc×
+    doc cross product, and the join is df-capped so pair work is bounded
+    by Σ df² over selective terms (stop-mass terms carry ~zero idf
+    anyway — dropping them IS the standard sparse-similarity pruning,
+    and the cosine is defined over that capped vocabulary on both
+    engines). Weights are 6-dp shared intermediates; dot products and
+    norms accumulate as decimals, so the cosine hashes identically."""
+    from ._util import round6_det
+
+    docs = load(spark, sf_dir, "documents")
+    words = _words(docs)
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        words.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= PAIR_MAX_DF)
+    )
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    wtab = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            round6_det(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+            ).alias("w"),
+        )
+    )
+    norms = wtab.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(27,10)")).cast("double")
+        ).alias("norm")
+    )
+    a = wtab.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = wtab.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(27,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round6_det(F.col("dot") / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= PAIR_MIN_COS)
+    )
+
+
+_TFIDF_PAIRS_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term
+  HAVING COUNT(*) <= {PAIR_MAX_DF}
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+wtab AS (
+  SELECT doc_id, term,
+         FLOOR(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+               * 1000000.0 + 0.5) / 1000000.0 AS w
+  FROM tf JOIN dfreq USING (term), nd
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(27,10))) AS DOUBLE)) AS norm
+  FROM wtab GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(a.w * b.w AS DECIMAL(27,10))) AS DOUBLE) AS dot
+  FROM wtab a JOIN wtab b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       FLOOR(dot / (na.norm * nb.norm) * 1000000.0 + 0.5) / 1000000.0
+         AS cos_sim
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+WHERE FLOOR(dot / (na.norm * nb.norm) * 1000000.0 + 0.5) / 1000000.0
+      >= {PAIR_MIN_COS}
+"""
+
+
+def register_round7b(reg):
+    reg.add("text_tfidf_doc_pairs", tfidf_doc_pairs, _TFIDF_PAIRS_SQL)

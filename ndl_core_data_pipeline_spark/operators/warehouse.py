@@ -588,3 +588,129 @@ WHERE e.event_type = 'purchase'
 
 def register_round7(reg) -> None:
     reg.add("join_point_in_time_scd2", join_point_in_time_scd2, _PIT_SQL)
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip a feature at its per-group [p05, p95] fences
+    (the heavy-tail tamer run before standardize/regression; clip, not
+    drop, unlike the IQR/MAD outlier FILTERS). One exact-percentile
+    aggregation per group (G fence rows, broadcast), then a map-side
+    clamp; the flag column makes downstream accounting of clipped mass
+    one filter away. Same scale posture as feature_standardize: the only
+    data-sized work is the stats pass."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    fences = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", WINSOR_LO).alias("lo"),
+        F.percentile("l_extendedprice", WINSOR_HI).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    return l.join(F.broadcast(fences), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        x.alias("price"),
+        F.least(F.greatest(x, F.col("lo")), F.col("hi")).alias("price_w"),
+        ((x < F.col("lo")) | (x > F.col("hi"))).alias("was_clipped"),
+    )
+
+
+_WINSOR_SQL = f"""
+WITH fences AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+         quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       l_extendedprice AS price,
+       LEAST(GREATEST(l_extendedprice, lo), hi) AS price_w,
+       (l_extendedprice < lo OR l_extendedprice > hi) AS was_clipped
+FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+"""
+
+
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the stats a warehouse keeps per column for
+    planning and data-quality monitoring: rows, nulls, distinct count,
+    and Shannon entropy of the value distribution, in long form (one row
+    per profiled column). Per column: one keyed value-count aggregation,
+    a broadcast one-row total, and a tiny entropy rollup with
+    decimal-exact term sums; column profiles are independent subplans
+    unioned at the end, so a 100 TB profile run is N keyed aggregations
+    that share one scan and parallelize freely."""
+    from ._util import round6_det
+
+    o = load(spark, sf_dir, "orders")
+    profiled = {
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "order_dow": F.dayofweek("o_orderdate").cast("string"),
+    }
+    outs = []
+    for cname, expr in profiled.items():
+        counts = o.select(expr.alias("v")).groupBy("v").agg(
+            F.count("*").alias("c")
+        )
+        total = F.broadcast(
+            counts.agg(F.sum("c").cast("double").alias("n_total"))
+        )
+        term = F.when(
+            F.col("v").isNotNull(),
+            -(F.col("c") / F.col("n_total"))
+            * F.log(F.col("c") / F.col("n_total")),
+        )
+        outs.append(
+            counts.crossJoin(total).agg(
+                F.lit(cname).alias("column_name"),
+                F.sum("c").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("c"))),
+                    F.lit(0),
+                ).cast("bigint").alias("n_null"),
+                F.count_if(F.col("v").isNotNull()).alias("n_distinct"),
+                round6_det(
+                    F.coalesce(
+                        F.sum(term.cast("decimal(27,10)")).cast("double"),
+                        F.lit(0.0),
+                    )
+                ).alias("entropy_nats"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _profile_sql() -> str:
+    cols = {
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "order_dow": "CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS VARCHAR)",
+    }
+    parts = []
+    for cname, expr in cols.items():
+        parts.append(f"""
+SELECT '{cname}' AS column_name, SUM(c) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT)
+         AS n_null,
+       CAST(count_if(v IS NOT NULL) AS BIGINT) AS n_distinct,
+       FLOOR(COALESCE(CAST(SUM(CAST(CASE WHEN v IS NOT NULL THEN
+           -(c / n_total) * ln(c / n_total) END AS DECIMAL(27,10)))
+           AS DOUBLE), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+FROM (SELECT v, COUNT(*) AS c FROM (SELECT {expr} AS v FROM orders)
+      GROUP BY v),
+     (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM orders)""")
+    return " UNION ALL ".join(parts)
+
+
+def register_round7b(reg) -> None:
+    reg.add("feature_winsorize", feature_winsorize, _WINSOR_SQL)
+    reg.add("profile_table_stats", profile_table_stats, _profile_sql())
