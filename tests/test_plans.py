@@ -700,3 +700,20 @@ def test_rolling_stats_single_keyed_window(spark, sf_small):
     assert "partitionspec(user_id" in plan.lower().replace(" ", "") or (
         "Window" in plan and "user_id" in plan
     )
+
+
+def test_winsorize_broadcasts_fences(spark, sf_small):
+    plan = plan_of(spark, "feature_winsorize", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_pairs_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "text_tfidf_doc_pairs", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # dots map-side combined
+
+
+def test_profile_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "profile_table_stats", sf_small)
+    assert "CartesianProduct" not in plan

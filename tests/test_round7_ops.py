@@ -353,3 +353,63 @@ def test_debounce_bursts_partition_events(spark, sf_small):
         starts = sorted(b["burst_start"] for b in v)
         for a, b in zip(starts, starts[1:]):
             assert (b - a).total_seconds() > 60
+
+
+def test_winsorize_clamps_to_fences(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.warehouse import feature_winsorize
+
+    rows = feature_winsorize(spark, sf_small).collect()
+    assert rows
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rs in by_flag.items():
+        clipped = [r for r in rs if r["was_clipped"]]
+        kept = [r for r in rs if not r["was_clipped"]]
+        assert clipped and kept
+        for r in kept:
+            assert r["price_w"] == r["price"]
+        lo = min(r["price_w"] for r in rs)
+        hi = max(r["price_w"] for r in rs)
+        for r in clipped:
+            assert r["price_w"] in (lo, hi)
+            assert r["price"] < lo or r["price"] > hi
+
+
+def test_profile_entropy_bounded_by_log_ndv(spark, sf_small):
+    import math
+
+    from ndl_core_data_pipeline_spark.operators.warehouse import profile_table_stats
+
+    rows = profile_table_stats(spark, sf_small).collect()
+    assert {r["column_name"] for r in rows} == {
+        "o_orderstatus", "o_orderpriority", "o_custkey", "order_dow",
+    }
+    for r in rows:
+        assert r["n_null"] == 0
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-6
+
+
+def test_tfidf_pairs_cosine_bounds(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.textops import (
+        PAIR_MIN_COS,
+        tfidf_doc_pairs,
+    )
+
+    rows = tfidf_doc_pairs(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert PAIR_MIN_COS <= r["cos_sim"] <= 1.0 + 1e-9
+
+
+def test_trend_first_week_has_no_wow(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.aggregates import trend_weekly_growth
+
+    rows = sorted(
+        trend_weekly_growth(spark, sf_small).collect(), key=lambda r: r["week"]
+    )
+    assert rows[0]["wow_pct"] is None
+    assert abs(rows[0]["ma4_revenue"] - rows[0]["revenue"]) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert (b["week"] - a["week"]).days % 7 == 0
