@@ -73,10 +73,13 @@ EXTENDED_BENCH = [
     "vector_kmeans_centroids",
     "window_distributed_prefix_sum",
     "events_session_paths",
-    # round 7: degree-oriented triangle count (wedge-join skew fix) and
-    # the trained IVF-PQ composition (k-means -> residual PQ -> ADC probe)
+    # round 7: degree-oriented triangle count (wedge-join skew fix), the
+    # trained IVF-PQ composition (k-means -> residual PQ -> ADC probe),
+    # the exact prefix-filter Jaccard join, and the HLL sketch family
     "graph_triangle_count",
     "vector_ivfpq_adc_search",
+    "dedup_jaccard_prefix_join",
+    "agg_hll_distinct",
 ]
 
 BENCH_QUERIES = CORE_BENCH + EXTENDED_BENCH
