@@ -1284,16 +1284,7 @@ def cooccur_pmi(spark, sf_dir):
     from ._util import round6_det
 
     docs = load(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    words = _words(docs, distinct_per_doc=True)
     n_docs = F.broadcast(
         words.agg(F.count_distinct("doc_id").cast("double").alias("n_total"))
     )

@@ -652,13 +652,14 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey": F.col("o_custkey").cast("string"),
         "order_dow": F.dayofweek("o_orderdate").cast("string"),
     }
+    # ONE row-count total shared by every column's profile (it is COUNT(*)
+    # of the table) — re-deriving it per column from that column's counts
+    # subtree would execute each keyed aggregation twice
+    total = F.broadcast(o.agg(F.count("*").cast("double").alias("n_total")))
     outs = []
     for cname, expr in profiled.items():
         counts = o.select(expr.alias("v")).groupBy("v").agg(
             F.count("*").alias("c")
-        )
-        total = F.broadcast(
-            counts.agg(F.sum("c").cast("double").alias("n_total"))
         )
         term = F.when(
             F.col("v").isNotNull(),
@@ -698,7 +699,7 @@ def _profile_sql() -> str:
     parts = []
     for cname, expr in cols.items():
         parts.append(f"""
-SELECT '{cname}' AS column_name, SUM(c) AS n_rows,
+SELECT '{cname}' AS column_name, CAST(SUM(c) AS BIGINT) AS n_rows,
        CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT)
          AS n_null,
        CAST(count_if(v IS NOT NULL) AS BIGINT) AS n_distinct,

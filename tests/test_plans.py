@@ -672,7 +672,7 @@ def test_hll_sketch_is_two_keyed_aggs(spark, sf_small):
 def test_countmin_matrix_partial_agg(spark, sf_small):
     plan = plan_of(spark, "agg_countmin_sketch", sf_small)
     assert "Exchange" in plan
-    assert "partial_count" in plan or "partial" in plan
+    assert "partial_count" in plan
 
 
 def test_jaccard_prefix_no_cartesian(spark, sf_small):
