@@ -413,3 +413,33 @@ def test_trend_first_week_has_no_wow(spark, sf_small):
     assert abs(rows[0]["ma4_revenue"] - rows[0]["revenue"]) < 1e-6
     for a, b in zip(rows, rows[1:]):
         assert (b["week"] - a["week"]).days % 7 == 0
+
+
+def test_round6_det_half_boundary_cross_engine(spark):
+    """Pins the rounding class found via the IVF-PQ residual codebook:
+    for a double whose shortest decimal repr ends in ...5 at the 7th
+    place, Spark's ROUND (HALF_UP on the shortest repr) and arithmetic
+    floor-rounding disagree — so ROUND(double, 6) is not a cross-engine-
+    stable projection, and round6_det (floor(x*1e6+0.5)/1e6, pure IEEE
+    ops) is the deliberate idiom: it yields the identical double in
+    Spark and DuckDB."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.operators._util import round6_det, sql_r6
+
+    x = -0.0158145  # shortest repr ends in 5 at 1e-7; binary value is below
+    row = spark.range(1).select(
+        F.round(F.lit(x), 6).alias("spark_round"),
+        round6_det(F.lit(x)).alias("spark_det"),
+    ).collect()[0]
+    con = duckdb.connect()
+    try:
+        duck_det = con.sql(
+            f"SELECT {sql_r6(f'CAST({x!r} AS DOUBLE)')}"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert row["spark_det"] == duck_det == -0.015814
+    assert row["spark_round"] == -0.015815  # the class this guards against
