@@ -130,6 +130,10 @@ def build_registry() -> Registry:
     _wh.register_round7b(reg)
     textops.register_round7b(reg)
     aggregates.register_round7b(reg)
+    eventwindows.register_round7b(reg)
+    vector.register_round7b(reg)
+    sketches.register_round7c(reg)
+    textops.register_round7c(reg)
     _prioritize(reg)
     return reg
 

@@ -442,3 +442,126 @@ FROM numbered GROUP BY user_id, event_type, burst_id
 
 def register_round7(reg):
     reg.add("events_debounce", events_debounce, _DEBOUNCE_SQL)
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order behavior model: the event-type transition matrix over
+    within-user sequences — counts of (prev_type → type) across all
+    users plus row-normalized probabilities. One keyed lag window (the
+    sequences live per user), one count aggregation over at most T²
+    keys, and a broadcast of the T-row marginals for normalization; at
+    100 TB only the lag window touches data-sized rows. Probabilities
+    are exact count ratios rounded deterministically."""
+    from pyspark.sql import Window
+    from ..operators._util import round6_det
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n",
+        round6_det(F.col("n") / F.col("n_prev")).alias("p"),
+    )
+
+
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM pairs
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev
+           FROM counts GROUP BY prev_type)
+SELECT prev_type, next_type, n,
+       FLOOR(CAST(n AS DOUBLE) / n_prev * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM counts JOIN totals USING (prev_type)
+"""
+
+
+def window_cusum_drift(spark, sf_dir):
+    """Cumulative-deviation drift scan (Page-style CUSUM without reset,
+    the window-expressible linear form): per event type, S_t = Σ(x_i−μ)
+    over the (ts, event_id)-ordered series; the drift score is max |S_t|
+    and where it happened. A mean shift mid-series makes |S_t| ramp, so
+    this is the batch form of change-point triage. Per-key windows with
+    decimal prefix sums; μ arrives by broadcast; the argmax is a keyed
+    max_by — one shuffle on event_type end to end."""
+    from pyspark.sql import Window
+    from ..operators._util import DEC, round6_det
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    mu = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_s = (
+        ev.join(F.broadcast(mu), "event_type")
+        .withColumn("t", F.count("*").over(w))
+        .withColumn(
+            "s_t",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            - F.col("t") * F.col("mu"),
+        )
+    )
+    flagged = with_s.withColumn(
+        "mx", F.max(F.abs("s_t")).over(Window.partitionBy("event_type"))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        round6_det(F.max(F.abs(F.col("s_t")))).alias("drift_max"),
+        F.min(F.when(F.abs("s_t") == F.col("mx"), F.col("t")))
+        .cast("bigint")
+        .alias("t_at_max"),
+    )
+
+
+_CUSUM_SQL = """
+WITH ev AS (SELECT event_type, ts, event_id, value FROM events
+            WHERE value IS NOT NULL),
+mu AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM ev GROUP BY event_type
+),
+s AS (
+  SELECT e.event_type,
+         COUNT(*) OVER w AS t,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+           - COUNT(*) OVER w * mu AS s_t
+  FROM ev e JOIN mu USING (event_type)
+  WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (SELECT event_type, MAX(ABS(s_t)) AS mx FROM s GROUP BY event_type)
+SELECT s.event_type, COUNT(*) AS n,
+       FLOOR(ANY_VALUE(mx) * 1000000.0 + 0.5) / 1000000.0 AS drift_max,
+       CAST(MIN(CASE WHEN ABS(s_t) = mx THEN t END) AS BIGINT) AS t_at_max
+FROM s JOIN m USING (event_type)
+GROUP BY s.event_type
+"""
+
+
+def register_round7b(reg):
+    reg.add("events_markov_transitions", events_markov_transitions, _MARKOV_SQL)
+    reg.add("window_cusum_drift", window_cusum_drift, _CUSUM_SQL)

@@ -336,3 +336,89 @@ def register_round7b(reg) -> None:
     reg.add(
         "agg_bottomk_sample_quantiles", bottomk_sample_quantiles, _BK_SQL
     )
+
+
+def hll_merge_proof(spark, sf_dir):
+    """Mergeability, demonstrated IN-QUERY and oracle-checked: split the
+    event stream into two halves by event_id parity, build an HLL
+    register table per half, merge them by register-wise MAX, and emit
+    the merged estimate next to the whole-stream estimate — they must be
+    IDENTICAL (max is associative/commutative/idempotent), which is the
+    property that lets 1000 executors sketch independently and a
+    coordinator fold the results. One row: both estimates plus the
+    equality flag the driver hash pins."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket, rho = _hll_parts(F.col("user_id"))
+    parts = ev.select((F.col("event_id") % 2).alias("half"), bucket, rho)
+
+    def estimate(regs):
+        inv = F.lit(1.0) / F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT)) AS DOUBLE)"
+        )
+        pt = regs.agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(inv).alias("s"),
+        )
+        empties = F.lit(HLL_M) - F.col("n_buckets")
+        raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+            F.col("s") + empties.cast("double")
+        )
+        est = F.when(
+            (empties > 0) & (raw <= F.lit(2.5 * HLL_M)),
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / empties.cast("double")),
+        ).otherwise(raw)
+        return pt.select(round6_det(est).alias("est"))
+
+    whole = estimate(parts.groupBy("bucket").agg(F.max("rho").alias("reg")))
+    halves = parts.groupBy("half", "bucket").agg(F.max("rho").alias("reg"))
+    merged = estimate(
+        halves.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    return (
+        whole.withColumnRenamed("est", "est_whole")
+        .crossJoin(F.broadcast(merged.withColumnRenamed("est", "est_merged")))
+        .select(
+            "est_whole",
+            "est_merged",
+            (F.col("est_whole") == F.col("est_merged")).alias("merge_exact"),
+        )
+    )
+
+
+def _hll_merge_sql() -> str:
+    bucket = f"CAST('0x' || substring(hx, 1, 4) AS BIGINT) % {HLL_M}"
+    w = "CAST('0x' || substring(hx, 5, 8) AS BIGINT)"
+
+    def est(src):
+        return f"""(
+  SELECT FLOOR((CASE WHEN ({HLL_M} - n_buckets) > 0 AND raw <= {2.5 * HLL_M!r}
+     THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_buckets))
+     ELSE raw END) * 1000000.0 + 0.5) / 1000000.0
+  FROM (SELECT COUNT(*) AS n_buckets,
+          {HLL_ALPHA * HLL_M * HLL_M!r} /
+          (SUM(1.0 / CAST(1::BIGINT << CAST(reg AS INT) AS DOUBLE))
+           + ({HLL_M} - COUNT(*))) AS raw
+        FROM {src}))"""
+
+    return f"""
+WITH h AS (
+  SELECT event_id % 2 AS half, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+parts AS (
+  SELECT half, {bucket} AS bucket,
+         CASE WHEN {w} = 0 THEN 33 ELSE 33 - length(bin({w})) END AS rho
+  FROM h
+),
+whole AS (SELECT bucket, MAX(rho) AS reg FROM parts GROUP BY bucket),
+halves AS (SELECT half, bucket, MAX(rho) AS reg FROM parts GROUP BY half, bucket),
+merged AS (SELECT bucket, MAX(reg) AS reg FROM halves GROUP BY bucket)
+SELECT {est('whole')} AS est_whole,
+       {est('merged')} AS est_merged,
+       {est('whole')} = {est('merged')} AS merge_exact
+"""
+
+
+def register_round7c(reg) -> None:
+    reg.add("agg_hll_merge", hll_merge_proof, _hll_merge_sql())

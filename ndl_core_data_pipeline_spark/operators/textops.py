@@ -1467,3 +1467,81 @@ WHERE FLOOR(dot / (na.norm * nb.norm) * 1000000.0 + 0.5) / 1000000.0
 
 def register_round7b(reg):
     reg.add("text_tfidf_doc_pairs", tfidf_doc_pairs, _TFIDF_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Corpus diagnostics: Zipf's-law fit
+
+
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law diagnostic: OLS of ln(freq) on ln(rank) over the term
+    frequency distribution — natural corpora fit slope ≈ −1, so the
+    slope is a one-number corpus-health check (template/boilerplate
+    corpora flatten it). The corpus collapses once to the vocab-sized
+    frequency table; ranking that table is the same vocabulary-scale
+    sort the BM25/postings family performs (at extreme vocab, fit the
+    top-K ranks only). Moments accumulate as decimals per stats_linreg's
+    discipline; per-row ln() is identical-input double math."""
+    from ._util import round6_det
+
+    docs = load(spark, sf_dir, "documents")
+    freq = _words(docs).groupBy("term").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    ranked = freq.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("n"), "term"))
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    dec = "decimal(27,10)"
+    m = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return m.select(
+        F.col("k").cast("bigint").alias("n_terms"),
+        round6_det(slope).alias("zipf_slope"),
+        round6_det(intercept).alias("zipf_intercept"),
+    )
+
+
+_ZIPF_SQL = r"""
+WITH words AS (
+  SELECT t.term FROM (
+    SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents) d, UNNEST(d.ws) AS t(term)
+  WHERE len(t.term) > 0
+),
+freq AS (SELECT term, COUNT(*) AS n FROM words GROUP BY term),
+ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM freq
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(27,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) AS sxx
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       FLOOR((k * sxy - sx * sy) / (k * sxx - sx * sx)
+             * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       FLOOR((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+             * 1000000.0 + 0.5) / 1000000.0 AS zipf_intercept
+FROM m
+"""
+
+
+def register_round7c(reg):
+    reg.add("text_zipf_fit", text_zipf_fit, _ZIPF_SQL)

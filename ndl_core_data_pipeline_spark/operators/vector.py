@@ -1085,3 +1085,96 @@ def _ivfpq_oracle_sql() -> str:
 
 def register_round7(reg):
     reg.add("vector_ivfpq_adc_search", ivfpq_adc_search, _ivfpq_oracle_sql())
+
+
+# ------------------------------------------- matryoshka prefix-dim rerank
+
+MRL_PREFIX_DIMS = 16
+MRL_CANDIDATES = 50
+
+
+def matryoshka_prefix_topk(spark, sf_dir):
+    """Dimension-adaptive retrieval (the Matryoshka-embedding pattern):
+    stage 1 scores every vector against the query on only the FIRST
+    MRL_PREFIX_DIMS dimensions (4× less arithmetic and — at scale, with
+    prefix-sliced column families — 4× less I/O), keeps MRL_CANDIDATES
+    candidates, and stage 2 exact-reranks just those on the full vector.
+    The same coarse→exact contract as IVF/PQ but along the DIMENSION
+    axis instead of the row axis. Candidate cut is a TakeOrdered top-N;
+    the rerank joins candidates back by vec_id (keyed, tiny side
+    broadcast). Scores are fold-based sequential dots rounded 6 dp."""
+    from ._util import round6_det
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.slice("embedding", 1, MRL_PREFIX_DIMS).alias("q_pre"),
+    )
+    pre_cos = _dot(F.slice("embedding", 1, MRL_PREFIX_DIMS), F.col("q_pre")) / (
+        _norm(F.slice("embedding", 1, MRL_PREFIX_DIMS)) * _norm(F.col("q_pre"))
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "q_emb",
+            round6_det(pre_cos).alias("pre_cos"),
+        )
+        .orderBy(F.desc("pre_cos"), "vec_id")
+        .limit(MRL_CANDIDATES)
+    )
+    full_cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    return (
+        cands.select(
+            "vec_id", "label", "pre_cos", round6_det(full_cos).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def _mrl_sql() -> str:
+    def dot_norm(a, b):
+        dot = (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+        na = (
+            f"sqrt(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        nb = (
+            f"sqrt(list_sum(list_transform({b}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        return f"({dot} / ({na} * {nb}))"
+
+    pre = dot_norm(
+        f"list_slice(e.embedding, 1, {MRL_PREFIX_DIMS})",
+        f"list_slice(q.embedding, 1, {MRL_PREFIX_DIMS})",
+    )
+    full = dot_norm("c.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         FLOOR({pre} * 1000000.0 + 0.5) / 1000000.0 AS pre_cos
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+cands AS (
+  SELECT * FROM scored ORDER BY pre_cos DESC, vec_id LIMIT {MRL_CANDIDATES}
+)
+SELECT c.vec_id, c.label, c.pre_cos,
+       FLOOR({full} * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+FROM cands c, q
+ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+"""
+
+
+def register_round7b(reg):
+    reg.add("vector_matryoshka_topk", matryoshka_prefix_topk, _mrl_sql())

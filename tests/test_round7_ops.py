@@ -443,3 +443,74 @@ def test_round6_det_half_boundary_cross_engine(spark):
         con.close()
     assert row["spark_det"] == duck_det == -0.015814
     assert row["spark_round"] == -0.015815  # the class this guards against
+
+
+def test_markov_rows_sum_to_one(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.eventwindows import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, sf_small).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, prev
+
+
+def test_hll_merge_is_exact(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.sketches import hll_merge_proof
+
+    row = hll_merge_proof(spark, sf_small).collect()[0]
+    assert row["merge_exact"] is True
+    assert row["est_whole"] == row["est_merged"]
+
+
+def test_matryoshka_reranks_from_prefix_candidates(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.vector import (
+        matryoshka_prefix_topk,
+    )
+
+    rows = matryoshka_prefix_topk(spark, sf_small).collect()
+    assert len(rows) == 10
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_zipf_slope_is_negative(spark, sf_small):
+    from ndl_core_data_pipeline_spark.operators.textops import text_zipf_fit
+
+    row = text_zipf_fit(spark, sf_small).collect()[0]
+    assert row["n_terms"] > 10  # sf0.001 vocab is ~31 terms
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+
+
+def test_cusum_tracks_injected_shift(spark):
+    """A series with a mean shift at its midpoint must put t_at_max at
+    the change point."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2020, 1, 1)
+    for i in range(200):
+        val = 10.0 if i < 100 else 20.0
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "shift", val))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        # minimal sf_dir with just events
+        from ndl_core_data_pipeline_spark.operators.eventwindows import (
+            window_cusum_drift,
+        )
+
+        out = {r["event_type"]: r for r in window_cusum_drift(spark, d).collect()}
+    r = out["shift"]
+    assert r["n"] == 200
+    assert r["t_at_max"] == 100  # |S_t| peaks exactly at the change point
