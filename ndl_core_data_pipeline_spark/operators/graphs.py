@@ -330,12 +330,21 @@ def graph_pagerank(spark, sf_dir):
     correct for general graphs anyway. Output rank is pr·N (mean 1.0),
     rounded 6 dp. Oracle: the same iterations unrolled as CTEs."""
     e = _affinity_edges(spark, sf_dir)
-    sym = e.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    ).unionAll(e.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+    # materialize the (small) symmetric edge list once: the co-order
+    # edge DERIVATION is the expensive subtree, and without a cut it
+    # re-executes inside every iteration's contribution join (measured
+    # 5.2 s -> 3.2 s warm at sf0.1 for 3 iterations)
+    sym = (
+        e.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionAll(
+            e.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     deg = (
         sym.groupBy("src").agg(F.count("*").alias("deg"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
     )
     nrow = F.broadcast(deg.agg(F.count("*").cast("double").alias("n")))
     r = deg.crossJoin(nrow).select(
