@@ -497,8 +497,10 @@ def window_cusum_drift(spark, sf_dir):
     over the (ts, event_id)-ordered series; the drift score is max |S_t|
     and where it happened. A mean shift mid-series makes |S_t| ramp, so
     this is the batch form of change-point triage. Per-key windows with
-    decimal prefix sums; μ arrives by broadcast; the argmax is a keyed
-    max_by — one shuffle on event_type end to end."""
+    decimal prefix sums; μ arrives by broadcast; the argmax is a second
+    per-key window max plus an equality filter feeding MIN(t) (ties →
+    earliest position) — every stage shares the event_type key, so the
+    plan is one shuffle on event_type end to end."""
     from pyspark.sql import Window
     from ..operators._util import DEC, round6_det
 

@@ -54,6 +54,32 @@ def _hll_parts(col):
     return bucket, rho
 
 
+def _hll_estimate(n_buckets, sum_inv_nonempty):
+    """The HLL estimator on (non-empty register count, Σ2^-reg over
+    them): harmonic-mean raw estimate with the standard small-range
+    linear-counting correction. ONE implementation shared by
+    hll_distinct and hll_merge_proof so the constants (alpha, 2.5·m
+    threshold, empty-register correction) can never desynchronize;
+    _sql_est is its SQL twin."""
+    empties = F.lit(HLL_M) - n_buckets
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        sum_inv_nonempty + empties.cast("double")
+    )
+    return F.when(
+        (empties > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empties.cast("double")),
+    ).otherwise(raw)
+
+
+def _sql_est(n_buckets: str, raw: str) -> str:
+    """SQL twin of _hll_estimate's correction step (raw precomputed)."""
+    return (
+        f"CASE WHEN ({HLL_M} - {n_buckets}) > 0 AND {raw} <= {2.5 * HLL_M!r} "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - {n_buckets})) "
+        f"ELSE {raw} END"
+    )
+
+
 def hll_distinct(spark, sf_dir):
     """Per-event-type HLL distinct-user estimate next to the exact count
     (the audit a profiling layer runs at small scale before trusting the
@@ -77,14 +103,7 @@ def hll_distinct(spark, sf_dir):
         F.count("*").alias("n_buckets"),
         F.sum(inv).alias("sum_inv_nonempty"),
     )
-    empties = F.lit(HLL_M) - F.col("n_buckets")
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
-        F.col("sum_inv_nonempty") + empties.cast("double")
-    )
-    est = F.when(
-        (empties > 0) & (raw <= F.lit(2.5 * HLL_M)),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empties.cast("double")),
-    ).otherwise(raw)
+    est = _hll_estimate(F.col("n_buckets"), F.col("sum_inv_nonempty"))
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
     )
@@ -102,11 +121,7 @@ def hll_distinct(spark, sf_dir):
 def _hll_sql() -> str:
     bucket = f"CAST('0x' || substring(hx, 1, 4) AS BIGINT) % {HLL_M}"
     w = "CAST('0x' || substring(hx, 5, 8) AS BIGINT)"
-    est = (
-        f"CASE WHEN ({HLL_M} - n_buckets) > 0 AND raw <= {2.5 * HLL_M!r} "
-        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_buckets)) "
-        f"ELSE raw END"
-    )
+    est = _sql_est("n_buckets", "raw")
     return f"""
 WITH h AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx, user_id
@@ -359,15 +374,7 @@ def hll_merge_proof(spark, sf_dir):
             F.count("*").alias("n_buckets"),
             F.sum(inv).alias("s"),
         )
-        empties = F.lit(HLL_M) - F.col("n_buckets")
-        raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
-            F.col("s") + empties.cast("double")
-        )
-        est = F.when(
-            (empties > 0) & (raw <= F.lit(2.5 * HLL_M)),
-            F.lit(float(HLL_M))
-            * F.log(F.lit(float(HLL_M)) / empties.cast("double")),
-        ).otherwise(raw)
+        est = _hll_estimate(F.col("n_buckets"), F.col("s"))
         return pt.select(round6_det(est).alias("est"))
 
     whole = estimate(parts.groupBy("bucket").agg(F.max("rho").alias("reg")))
@@ -392,9 +399,7 @@ def _hll_merge_sql() -> str:
 
     def est(src):
         return f"""(
-  SELECT FLOOR((CASE WHEN ({HLL_M} - n_buckets) > 0 AND raw <= {2.5 * HLL_M!r}
-     THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_buckets))
-     ELSE raw END) * 1000000.0 + 0.5) / 1000000.0
+  SELECT FLOOR(({_sql_est("n_buckets", "raw")}) * 1000000.0 + 0.5) / 1000000.0
   FROM (SELECT COUNT(*) AS n_buckets,
           {HLL_ALPHA * HLL_M * HLL_M!r} /
           (SUM(1.0 / CAST(1::BIGINT << CAST(reg AS INT) AS DOUBLE))

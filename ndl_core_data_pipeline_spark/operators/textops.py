@@ -1482,7 +1482,7 @@ def text_zipf_fit(spark, sf_dir):
     sort the BM25/postings family performs (at extreme vocab, fit the
     top-K ranks only). Moments accumulate as decimals per stats_linreg's
     discipline; per-row ln() is identical-input double math."""
-    from ._util import round6_det
+    from ._util import DEC_HI as dec, round6_det
 
     docs = load(spark, sf_dir, "documents")
     freq = _words(docs).groupBy("term").agg(F.count("*").alias("n"))
@@ -1494,7 +1494,6 @@ def text_zipf_fit(spark, sf_dir):
         F.log(F.col("r").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
-    dec = "decimal(27,10)"
     m = ranked.agg(
         F.count("*").cast("double").alias("k"),
         F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),

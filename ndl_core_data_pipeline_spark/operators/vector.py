@@ -1100,9 +1100,11 @@ def matryoshka_prefix_topk(spark, sf_dir):
     prefix-sliced column families — 4× less I/O), keeps MRL_CANDIDATES
     candidates, and stage 2 exact-reranks just those on the full vector.
     The same coarse→exact contract as IVF/PQ but along the DIMENSION
-    axis instead of the row axis. Candidate cut is a TakeOrdered top-N;
-    the rerank joins candidates back by vec_id (keyed, tiny side
-    broadcast). Scores are fold-based sequential dots rounded 6 dp."""
+    axis instead of the row axis. Candidate cut is a TakeOrdered top-N
+    that CARRIES the full vectors through (N rows × dim floats — cheap
+    at this N; with millions of candidates you would project them away
+    and rejoin by vec_id instead). Scores are fold-based sequential
+    dots rounded 6 dp."""
     from ._util import round6_det
 
     emb = load(spark, sf_dir, "embeddings")
