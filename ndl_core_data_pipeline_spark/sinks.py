@@ -26,6 +26,17 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 sibling: ORC write (the other columnar lakehouse format Spark
+    ships natively — same pushdown/pruning machinery as parquet, chosen
+    where the surrounding Hive/Trino estate is ORC-first)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_partitioned_with_status(
     df: DataFrame,
     path: str,

@@ -1,0 +1,135 @@
+"""Round-7 source-format additions: fixed-width text, zip archives, ORC."""
+
+from __future__ import annotations
+
+import zipfile
+
+from pyspark.sql import functions as F
+
+from ndl_core_data_pipeline_spark.sources.fixedwidth import (
+    FwColumn,
+    read_fixed_width,
+)
+
+
+LAYOUT = [
+    FwColumn("station", 1, 8),
+    FwColumn("level", 9, 8),
+    FwColumn("reading_date", 17, 10),
+    FwColumn("open_flag", 27, 5),
+]
+
+
+def _write_fw(path):
+    lines = [
+        "STATION LEVEL   DATE      OPEN ",  # header
+        "ALPHA      12.5 2020-01-02 true",
+        "BRAVO     -3.25 2020-02-03false",
+        "CHARLIE       7 2020-03-04 true",
+        "DELTA",  # short line: trailing fields empty
+    ]
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_fixed_width_parses_and_infers(spark, tmp_path):
+    f = tmp_path / "stations.txt"
+    _write_fw(f)
+    df = read_fixed_width(spark, str(f), LAYOUT, header_lines=1)
+    rows = {r["station"]: r for r in df.collect()}
+    assert set(rows) == {"ALPHA", "BRAVO", "CHARLIE", "DELTA"}
+    # inference: level numeric, date typed, flag boolean (same two-phase
+    # rules as the CSV reader)
+    assert rows["ALPHA"]["level"] == 12.5
+    assert rows["BRAVO"]["level"] == -3.25
+    assert rows["CHARLIE"]["level"] == 7.0
+    assert str(rows["ALPHA"]["reading_date"]).startswith("2020-01-02")
+    # the inference rule set (reference §1.4) has no boolean tier: flags
+    # stay strings, like the CSV reader
+    assert rows["BRAVO"]["open_flag"] == "false"
+    # short line: missing fields are null/empty, row not dropped
+    assert rows["DELTA"]["level"] is None
+
+
+def test_fixed_width_all_string_when_not_inferring(spark, tmp_path):
+    f = tmp_path / "s.txt"
+    _write_fw(f)
+    df = read_fixed_width(spark, str(f), LAYOUT, header_lines=1, infer=False)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 4
+    got = {r["station"]: r["level"] for r in df.collect()}
+    assert got["BRAVO"] == "-3.25"  # pad-trimmed, untyped
+
+
+def _make_zip(path, members):
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, text in members.items():
+            zf.writestr(name, text)
+
+
+def test_zip_scan_fans_out_members(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.sources.archives import scan_zip_tables
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    _make_zip(
+        d / "release1.zip",
+        {
+            "a.csv": "id,name\n1,x\n2,y\n",
+            "sub/b.tsv": "k\tv\n10\tfoo\n",
+            "notes.txt": "ignored",
+        },
+    )
+    _make_zip(d / "release2.zip", {"c.csv": "h\n7\n"})
+    (d / "decoy.csv").write_text("not,an,archive\n")
+    rows = scan_zip_tables(spark, str(d)).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(
+            (r["archive"].split("/")[-1], r["member"]), []
+        ).append((r["row_idx"], r["cells"]))
+    assert set(by) == {
+        ("release1.zip", "a.csv"),
+        ("release1.zip", "sub/b.tsv"),
+        ("release2.zip", "c.csv"),
+    }
+    a = sorted(by[("release1.zip", "a.csv")])
+    assert a[0] == (0, ["id", "name"])
+    assert a[1] == (1, ["1", "x"])
+    b = sorted(by[("release1.zip", "sub/b.tsv")])
+    assert b[1] == (1, ["10", "foo"])  # TSV delimiter honored
+
+
+def test_zip_scan_quarantines_corrupt_archive(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.quality import ERRORS_COL
+    from ndl_core_data_pipeline_spark.sources.archives import (
+        scan_zip_tables_quarantined,
+    )
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    _make_zip(d / "good.zip", {"t.csv": "x\n1\n"})
+    (d / "bad.zip").write_bytes(b"PK\x03\x04 truncated")
+    cells, errors = scan_zip_tables_quarantined(spark, str(d))
+    ok = cells.collect()
+    assert all(r["member"] != "__error__" for r in ok)
+    assert any(r["archive"].endswith("good.zip") for r in ok)
+    errs = errors.collect()
+    assert len(errs) == 1
+    assert errs[0]["archive"].endswith("bad.zip")
+    assert errs[0][ERRORS_COL] == ["archive_readable", "member_readable"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.plans import explain_formatted
+    from ndl_core_data_pipeline_spark.sinks import read_orc, write_orc
+
+    src = load(spark, sf_small, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src.select("o_orderkey", "o_totalprice", "o_orderpriority"), out)
+    back = read_orc(spark, out).filter(F.col("o_orderpriority") == "1-URGENT")
+    assert back.count() == src.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    plan = explain_formatted(back)
+    # the same pushdown machinery as parquet: the predicate reaches the scan
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
