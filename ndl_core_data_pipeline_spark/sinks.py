@@ -37,6 +37,39 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def _avro_available(spark) -> bool:
+    """spark-avro is an EXTERNAL module (not on this sandbox's
+    classpath); probe once so callers fail with a clear tier message
+    instead of an AnalysisException mid-write."""
+    try:
+        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        return True
+    except Exception:  # noqa: BLE001 — class lookup is the probe
+        return False
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro write — gated on the spark-avro module (same declared-tier
+    posture as tesseract/presidio/sentence-transformers: the engine
+    surface exists, the environment decides availability)."""
+    spark = df.sparkSession
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "avro tier unavailable: spark-avro external module not on the "
+            "classpath (add org.apache.spark:spark-avro to --packages)"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark, path: str) -> DataFrame:
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "avro tier unavailable: spark-avro external module not on the "
+            "classpath (add org.apache.spark:spark-avro to --packages)"
+        )
+    return spark.read.format("avro").load(path)
+
+
 def write_partitioned_with_status(
     df: DataFrame,
     path: str,
@@ -163,6 +196,39 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def _avro_available(spark) -> bool:
+    """spark-avro is an EXTERNAL module (not on this sandbox's
+    classpath); probe once so callers fail with a clear tier message
+    instead of an AnalysisException mid-write."""
+    try:
+        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        return True
+    except Exception:  # noqa: BLE001 — class lookup is the probe
+        return False
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro write — gated on the spark-avro module (same declared-tier
+    posture as tesseract/presidio/sentence-transformers: the engine
+    surface exists, the environment decides availability)."""
+    spark = df.sparkSession
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "avro tier unavailable: spark-avro external module not on the "
+            "classpath (add org.apache.spark:spark-avro to --packages)"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark, path: str) -> DataFrame:
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "avro tier unavailable: spark-avro external module not on the "
+            "classpath (add org.apache.spark:spark-avro to --packages)"
+        )
+    return spark.read.format("avro").load(path)
 
 
 def write_zordered(

@@ -133,3 +133,27 @@ def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
     plan = explain_formatted(back)
     # the same pushdown machinery as parquet: the predicate reaches the scan
     assert "PushedFilters" in plan and "o_orderpriority" in plan
+
+
+def test_avro_tier_gates_cleanly(spark, tmp_path):
+    """spark-avro is an external module; in this sandbox the tier must
+    refuse with the declared-tier message (and work transparently when
+    the jar is present)."""
+    import pytest
+
+    from ndl_core_data_pipeline_spark.sinks import (
+        _avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(3)
+    out = str(tmp_path / "a")
+    if _avro_available(spark):
+        write_avro(df, out)
+        assert read_avro(spark, out).count() == 3
+    else:
+        with pytest.raises(NotImplementedError, match="avro tier unavailable"):
+            write_avro(df, out)
+        with pytest.raises(NotImplementedError, match="avro tier unavailable"):
+            read_avro(spark, out)
