@@ -42,9 +42,14 @@ def _avro_available(spark) -> bool:
     classpath); probe once so callers fail with a clear tier message
     instead of an AnalysisException mid-write."""
     try:
-        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        # resolve through Spark's own provider lookup — a bundled class
+        # can exist while the DataSource registration is absent, so
+        # Class.forName probes the wrong thing
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
         return True
-    except Exception:  # noqa: BLE001 — class lookup is the probe
+    except Exception:  # noqa: BLE001 — lookup failure == tier absent
         return False
 
 
@@ -203,9 +208,14 @@ def _avro_available(spark) -> bool:
     classpath); probe once so callers fail with a clear tier message
     instead of an AnalysisException mid-write."""
     try:
-        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        # resolve through Spark's own provider lookup — a bundled class
+        # can exist while the DataSource registration is absent, so
+        # Class.forName probes the wrong thing
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
         return True
-    except Exception:  # noqa: BLE001 — class lookup is the probe
+    except Exception:  # noqa: BLE001 — lookup failure == tier absent
         return False
 
 
