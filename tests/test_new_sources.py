@@ -157,3 +157,56 @@ def test_avro_tier_gates_cleanly(spark, tmp_path):
             write_avro(df, out)
         with pytest.raises(NotImplementedError, match="avro tier unavailable"):
             read_avro(spark, out)
+
+
+_DOCX_DOC = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Col A</w:t><w:tab/><w:t>Col B</w:t></w:r></w:p>
+  <w:p><w:r><w:t>line one</w:t><w:br/><w:t>line two</w:t></w:r></w:p>
+  <w:p/>
+ </w:body>
+</w:document>
+"""
+
+_DOCX_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/word/document.xml"
+  ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+</Types>
+"""
+
+
+def _make_docx(path):
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _DOCX_CT)
+        zf.writestr("word/document.xml", _DOCX_DOC)
+
+
+def test_extract_docx_text_paragraphs_tabs_breaks(tmp_path):
+    from ndl_core_data_pipeline_spark.sources.docx import extract_docx_text
+
+    f = tmp_path / "d.docx"
+    _make_docx(f)
+    text = extract_docx_text(f.read_bytes())
+    assert text == "Hello world\nCol A\tCol B\nline one\nline two\n"
+
+
+def test_scan_docx_fans_out_with_error_isolation(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.sources.docx import scan_docx
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    _make_docx(d / "good.docx")
+    (d / "corrupt.docx").write_bytes(b"PK\x03\x04 nope")
+    (d / "ignored.txt").write_text("decoy")
+    rows = {r["path"].split("/")[-1]: r for r in scan_docx(spark, str(d)).collect()}
+    assert set(rows) == {"good.docx", "corrupt.docx"}
+    good = rows["good.docx"]
+    assert good["error"] is None
+    assert good["text"].startswith("Hello world")
+    assert good["n_paragraphs"] == 5  # 4 w:p, one containing a w:br
+    bad = rows["corrupt.docx"]
+    assert bad["error"] and bad["text"] == ""
