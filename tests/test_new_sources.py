@@ -210,3 +210,51 @@ def test_scan_docx_fans_out_with_error_isolation(spark, tmp_path):
     assert good["n_paragraphs"] == 5  # 4 w:p, one containing a w:br
     bad = rows["corrupt.docx"]
     assert bad["error"] and bad["text"] == ""
+
+
+def test_front_matter_parsing():
+    from ndl_core_data_pipeline_spark.sources.markdown import split_front_matter
+
+    md = '---\ntitle: "My Doc"\ndate: 2024-01-05\ntags: a, b\n---\n# Body\n'
+    meta, body = split_front_matter(md)
+    assert meta == {"title": "My Doc", "date": "2024-01-05", "tags": "a, b"}
+    assert body == "# Body\n"
+    # no fence / unclosed fence: input passes through untouched
+    assert split_front_matter("plain text") == ({}, "plain text")
+    unclosed = "---\ntitle: x\nno close"
+    assert split_front_matter(unclosed) == ({}, unclosed)
+
+
+def test_markdown_to_text_rules():
+    from ndl_core_data_pipeline_spark.sources.markdown import markdown_to_text
+
+    md = (
+        "# Title\n\nSome **bold** and *em* and `code`.\n\n"
+        "- item one\n1. numbered\n\n"
+        "See [the docs](https://example.org/d).\n\n"
+        "```python\nx = 1\n```\n\n> quoted\n\n---\n"
+    )
+    text = markdown_to_text(md)
+    assert text.startswith("Title")
+    assert "**" not in text and "`" not in text and "#" not in text
+    assert "- item one" in text and "- numbered" in text
+    assert "the docs (https://example.org/d)" in text
+    assert "x = 1" in text  # fence content kept, fence markers dropped
+    assert "quoted" in text and ">" not in text
+
+
+def test_scan_markdown_meta_and_isolation(spark, tmp_path):
+    from ndl_core_data_pipeline_spark.sources.markdown import scan_markdown
+
+    d = tmp_path / "md"
+    d.mkdir()
+    (d / "a.md").write_text("---\ntitle: A\n---\n# Hi\nbody text\n")
+    (d / "b.markdown").write_text("no front matter, just text")
+    (d / "bad.md").write_bytes(b"\xff\xfe invalid \x80 utf8 \xff")
+    (d / "decoy.rst").write_text("ignored")
+    rows = {r["path"].split("/")[-1]: r for r in scan_markdown(spark, str(d)).collect()}
+    assert set(rows) == {"a.md", "b.markdown", "bad.md"}
+    assert rows["a.md"]["meta"] == {"title": "A"}
+    assert rows["a.md"]["text"] == "Hi\nbody text"
+    assert rows["b.markdown"]["meta"] == {}
+    assert rows["bad.md"]["error"] and rows["bad.md"]["text"] == ""
