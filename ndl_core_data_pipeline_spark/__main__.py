@@ -61,6 +61,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "--cols", required=True, help="two numeric columns, comma-separated"
     )
     zp.add_argument("--files", type=int, default=16, help="output file count")
+    fp = sub.add_parser(
+        "profile",
+        help="long-form column profile (rows/nulls/ndv/entropy) of a "
+        "parquet directory",
+    )
+    fp.add_argument("--input", required=True, help="parquet directory")
+    fp.add_argument(
+        "--cols",
+        default=None,
+        help="comma-separated columns (default: every non-binary column)",
+    )
+    ep = sub.add_parser(
+        "extract",
+        help="distributed text extraction over a document directory "
+        "-> parquet",
+    )
+    ep.add_argument(
+        "--kind",
+        required=True,
+        choices=["pdf", "docx", "markdown", "workbook", "zip"],
+    )
+    ep.add_argument("--input", required=True, help="document directory")
+    ep.add_argument("--output", required=True, help="output parquet directory")
     return p
 
 
@@ -113,6 +136,57 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"compacted {stats['n_files_in']} files "
                 f"({stats['bytes_in']} bytes) -> {stats['n_files_out']}"
             )
+        elif args.cmd == "profile":
+            from pyspark.sql import functions as F
+
+            from .operators.warehouse import profile_columns
+
+            df = spark.read.parquet(args.input)
+            if args.cols:
+                cols = [c.strip() for c in args.cols.split(",")]
+                missing = [c for c in cols if c not in df.columns]
+                if missing:
+                    print(f"unknown columns: {missing}", file=sys.stderr)
+                    return 2
+            else:
+                cols = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.simpleString() != "binary"
+                ]
+            prof = profile_columns(
+                df, {c: F.col(c).cast("string") for c in cols}
+            )
+            for r in prof.collect():
+                print(
+                    f"{r['column_name']}: rows={r['n_rows']} "
+                    f"nulls={r['n_null']} ndv={r['n_distinct']} "
+                    f"entropy={r['entropy_nats']}"
+                )
+        elif args.cmd == "extract":
+            scans = {
+                "pdf": "ndl_core_data_pipeline_spark.sources.pdfs:scan_pdfs",
+                "docx": "ndl_core_data_pipeline_spark.sources.docx:scan_docx",
+                "markdown": (
+                    "ndl_core_data_pipeline_spark.sources.markdown:scan_markdown"
+                ),
+                "workbook": (
+                    "ndl_core_data_pipeline_spark.sources.spreadsheet"
+                    ":scan_workbooks"
+                ),
+                "zip": (
+                    "ndl_core_data_pipeline_spark.sources.archives"
+                    ":scan_zip_tables"
+                ),
+            }
+            import importlib
+
+            mod_name, fn_name = scans[args.kind].split(":")
+            scan = getattr(importlib.import_module(mod_name), fn_name)
+            out = scan(spark, args.input)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"extracted {n} rows from {args.kind} corpus -> {args.output}")
         elif args.cmd == "zorder":
             from pyspark.sql import functions as F
 

@@ -634,31 +634,26 @@ FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
 """
 
 
-def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling — the stats a warehouse keeps per column for
-    planning and data-quality monitoring: rows, nulls, distinct count,
-    and Shannon entropy of the value distribution, in long form (one row
-    per profiled column). Per column: one keyed value-count aggregation,
-    a broadcast one-row total, and a tiny entropy rollup with
-    decimal-exact term sums; column profiles are independent subplans
-    unioned at the end, so a 100 TB profile run is N keyed aggregations
-    that share one scan and parallelize freely."""
+def profile_columns(df: DataFrame, profiled: dict) -> DataFrame:
+    """Generic long-form column profile over ANY DataFrame: rows, nulls,
+    distinct count, and Shannon entropy per profiled expression. Per
+    column: one keyed value-count aggregation, a shared broadcast
+    one-row total, and a tiny entropy rollup with decimal-exact term
+    sums; column profiles are independent subplans unioned at the end,
+    so a 100 TB profile run is N keyed aggregations that share one scan
+    and parallelize freely. Backs both the registered
+    profile_table_stats query and the `profile` CLI command."""
     from ._util import round6_det
 
-    o = load(spark, sf_dir, "orders")
-    profiled = {
-        "o_orderstatus": F.col("o_orderstatus"),
-        "o_orderpriority": F.col("o_orderpriority"),
-        "o_custkey": F.col("o_custkey").cast("string"),
-        "order_dow": F.dayofweek("o_orderdate").cast("string"),
-    }
+    if not profiled:
+        raise ValueError("profile_columns: need at least one column")
     # ONE row-count total shared by every column's profile (it is COUNT(*)
     # of the table) — re-deriving it per column from that column's counts
     # subtree would execute each keyed aggregation twice
-    total = F.broadcast(o.agg(F.count("*").cast("double").alias("n_total")))
+    total = F.broadcast(df.agg(F.count("*").cast("double").alias("n_total")))
     outs = []
     for cname, expr in profiled.items():
-        counts = o.select(expr.alias("v")).groupBy("v").agg(
+        counts = df.select(expr.alias("v")).groupBy("v").agg(
             F.count("*").alias("c")
         )
         term = F.when(
@@ -684,9 +679,25 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
+    for part in outs[1:]:
+        out = out.unionByName(part)
     return out
+
+
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query form of profile_columns over the orders table
+    (two categoricals, one high-cardinality key, one derived calendar
+    bucket)."""
+    o = load(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        {
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_orderpriority": F.col("o_orderpriority"),
+            "o_custkey": F.col("o_custkey").cast("string"),
+            "order_dow": F.dayofweek("o_orderdate").cast("string"),
+        },
+    )
 
 
 def _profile_sql() -> str:

@@ -78,3 +78,46 @@ def test_cli_zorder(spark, tmp_path, capsys):
     assert "wrote 4 z-ordered files" in printed
     back = spark.read.parquet(out)
     assert back.count() == 2000
+
+
+def test_profile_command(spark, sf_small, tmp_path, capsys):
+    from ndl_core_data_pipeline_spark.io import load
+
+    inp = str(tmp_path / "orders_pq")
+    load(spark, sf_small, "orders").write.parquet(inp)
+    assert (
+        main(
+            ["profile", "--input", inp, "--cols", "o_orderstatus,o_orderpriority"],
+            spark=spark,
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "o_orderstatus: rows=" in out and "entropy=" in out
+    assert "o_orderpriority" in out
+
+
+def test_profile_unknown_column_errors(spark, sf_small, tmp_path, capsys):
+    from ndl_core_data_pipeline_spark.io import load
+
+    inp = str(tmp_path / "o2")
+    load(spark, sf_small, "orders").select("o_orderkey").write.parquet(inp)
+    assert main(["profile", "--input", inp, "--cols", "nope"], spark=spark) == 2
+    assert "unknown columns" in capsys.readouterr().err
+
+
+def test_extract_command_markdown(spark, tmp_path, capsys):
+    d = tmp_path / "md"
+    d.mkdir()
+    (d / "a.md").write_text("---\ntitle: A\n---\nHello extraction")
+    outp = str(tmp_path / "out_pq")
+    assert (
+        main(
+            ["extract", "--kind", "markdown", "--input", str(d), "--output", outp],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "extracted 1 rows" in capsys.readouterr().out
+    back = spark.read.parquet(outp).collect()
+    assert back[0]["text"] == "Hello extraction"
