@@ -258,3 +258,61 @@ def test_scan_markdown_meta_and_isolation(spark, tmp_path):
     assert rows["a.md"]["text"] == "Hi\nbody text"
     assert rows["b.markdown"]["meta"] == {}
     assert rows["bad.md"]["error"] and rows["bad.md"]["text"] == ""
+
+
+def test_fixed_width_roundtrip_random_layouts(spark, tmp_path):
+    """Format random records into a random fixed-width layout, parse,
+    and compare — widths/values generated with a fixed seed, values
+    free of pad chars and narrower than their field."""
+    import random
+
+    rng = random.Random(2024)
+    for trial in range(3):
+        n_cols = rng.randint(2, 5)
+        widths = [rng.randint(3, 10) for _ in range(n_cols)]
+        layout, start = [], 1
+        for i, w in enumerate(widths):
+            layout.append(FwColumn(f"c{i}", start, w))
+            start += w
+        alphabet = "abcXYZ019_"
+        records = [
+            [
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, w - 1)))
+                for w in widths
+            ]
+            for _ in range(20)
+        ]
+        lines = [
+            "".join(v.ljust(w) for v, w in zip(rec, widths)) for rec in records
+        ]
+        f = tmp_path / f"fw{trial}.txt"
+        f.write_text("\n".join(lines) + "\n")
+        df = read_fixed_width(spark, str(f), layout, infer=False)
+        got = sorted(tuple(r) for r in df.collect())
+        expect = sorted(tuple(rec) for rec in records)
+        assert got == expect
+
+
+def test_front_matter_roundtrip_random_scalars():
+    import random
+
+    from ndl_core_data_pipeline_spark.sources.markdown import split_front_matter
+
+    rng = random.Random(5)
+    for _ in range(20):
+        meta = {
+            f"k{i}": "".join(
+                rng.choice("abc XYZ 019 .,;") for _ in range(rng.randint(0, 12))
+            ).strip()
+            for i in range(rng.randint(1, 6))
+        }
+        body = "# body\ncontent\n"
+        md = (
+            "---\n"
+            + "".join(f"{k}: {v}\n" for k, v in meta.items())
+            + "---\n"
+            + body
+        )
+        got_meta, got_body = split_front_matter(md)
+        assert got_meta == meta
+        assert got_body == body
