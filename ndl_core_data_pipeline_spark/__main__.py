@@ -154,8 +154,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     for f in df.schema.fields
                     if f.dataType.simpleString() != "binary"
                 ]
+            if not cols:
+                print("no profilable (non-binary) columns", file=sys.stderr)
+                return 2
+            # df[c] resolves names with dots/specials literally; F.col
+            # would parse them as nested-field paths
             prof = profile_columns(
-                df, {c: F.col(c).cast("string") for c in cols}
+                df, {c: df[c].cast("string") for c in cols}
             )
             for r in prof.collect():
                 print(

@@ -27,9 +27,10 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """K1 sibling: ORC write (the other columnar lakehouse format Spark
-    ships natively — same pushdown/pruning machinery as parquet, chosen
-    where the surrounding Hive/Trino estate is ORC-first)."""
+    """K1 sibling: ORC write — the other native columnar format, same
+    task-commit atomicity and pushdown/pruning machinery as parquet
+    (tests/test_new_sources.py pins PushedFilters on the read-back path
+    so format choice never silently costs the scan optimizations)."""
     df.write.mode(mode).orc(path)
 
 
@@ -37,10 +38,16 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+_AVRO_PROBE: dict[int, bool] = {}  # per-JVM memo — the probe is a py4j call
+
+
 def _avro_available(spark) -> bool:
     """spark-avro is an EXTERNAL module (not on this sandbox's
-    classpath); probe once so callers fail with a clear tier message
-    instead of an AnalysisException mid-write."""
+    classpath); probe once per session so callers fail with a clear tier
+    message instead of an AnalysisException mid-write."""
+    key = id(spark._jvm)
+    if key in _AVRO_PROBE:
+        return _AVRO_PROBE[key]
     try:
         # resolve through Spark's own provider lookup — a bundled class
         # can exist while the DataSource registration is absent, so
@@ -48,9 +55,10 @@ def _avro_available(spark) -> bool:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jsparkSession.sessionState().conf()
         )
-        return True
+        _AVRO_PROBE[key] = True
     except Exception:  # noqa: BLE001 — lookup failure == tier absent
-        return False
+        _AVRO_PROBE[key] = False
+    return _AVRO_PROBE[key]
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -188,57 +196,6 @@ def compact_parquet(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(out_path)
     return {"n_files_in": n_in, "n_files_out": n_out, "bytes_in": total}
-
-
-def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """ORC sink — second columnar format (native Spark datasource, same
-    task-commit atomicity as parquet). ORC scans support the same
-    predicate pushdown / column pruning; tests/test_sources_sinks.py pins
-    PushedFilters on the read-back path so format choice never silently
-    costs the 100 TB scan optimizations."""
-    df.write.mode(mode).orc(path)
-
-
-def read_orc(spark, path: str) -> DataFrame:
-    return spark.read.orc(path)
-
-
-def _avro_available(spark) -> bool:
-    """spark-avro is an EXTERNAL module (not on this sandbox's
-    classpath); probe once so callers fail with a clear tier message
-    instead of an AnalysisException mid-write."""
-    try:
-        # resolve through Spark's own provider lookup — a bundled class
-        # can exist while the DataSource registration is absent, so
-        # Class.forName probes the wrong thing
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsparkSession.sessionState().conf()
-        )
-        return True
-    except Exception:  # noqa: BLE001 — lookup failure == tier absent
-        return False
-
-
-def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Avro write — gated on the spark-avro module (same declared-tier
-    posture as tesseract/presidio/sentence-transformers: the engine
-    surface exists, the environment decides availability)."""
-    spark = df.sparkSession
-    if not _avro_available(spark):
-        raise NotImplementedError(
-            "avro tier unavailable: spark-avro external module not on the "
-            "classpath (add org.apache.spark:spark-avro to --packages)"
-        )
-    df.write.mode(mode).format("avro").save(path)
-
-
-def read_avro(spark, path: str) -> DataFrame:
-    if not _avro_available(spark):
-        raise NotImplementedError(
-            "avro tier unavailable: spark-avro external module not on the "
-            "classpath (add org.apache.spark:spark-avro to --packages)"
-        )
-    return spark.read.format("avro").load(path)
 
 
 def write_zordered(

@@ -60,7 +60,7 @@ def scan_zip_tables(spark: SparkSession, path: str) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{zip,ZIP}")
+        .option("pathGlobFilter", "*.[zZ][iI][pP]")
         .load(path)
         .where(F.col("path").rlike(r"(?i)\.zip$"))
         .select("path", "content")

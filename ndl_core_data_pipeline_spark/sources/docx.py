@@ -59,7 +59,7 @@ def scan_docx(spark: SparkSession, path: str) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{docx,DOCX}")
+        .option("pathGlobFilter", "*.[dD][oO][cC][xX]")
         .load(path)
         .where(F.col("path").rlike(r"(?i)\.docx$"))
         .select("path", "content")

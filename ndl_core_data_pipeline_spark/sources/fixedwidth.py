@@ -45,6 +45,11 @@ def parse_fixed_width(
         seen.add(c.name)
         if c.start < 1 or c.width < 1:
             raise ValueError(f"column {c.name!r}: start/width must be >= 1")
+    # non-default pads build a Java regex char class: escape the pad so
+    # regex-special characters ('^', ']', '\\') cannot corrupt the class
+    esc = "".join(
+        ch if ch.isalnum() else "\\" + ch for ch in pad
+    )
     cols = [
         F.rtrim(
             F.ltrim(F.substring(F.col(value_col), c.start, c.width))
@@ -52,7 +57,7 @@ def parse_fixed_width(
         if pad == " "
         else F.regexp_replace(
             F.substring(F.col(value_col), c.start, c.width),
-            f"^[{pad}]+|[{pad}]+$",
+            f"^[{esc}]+|[{esc}]+$",
             "",
         ).alias(c.name)
         for c in layout
@@ -67,16 +72,25 @@ def read_fixed_width(
     header_lines: int = 0,
     infer: bool = True,
 ) -> DataFrame:
-    """Fixed-width file → typed DataFrame. `header_lines` leading lines
-    are dropped by position (monotonically_increasing_id is ordering-
-    safe here because spark.read.text preserves line order within a
-    file split and headers sit in the first split)."""
+    """Fixed-width file(s) → typed DataFrame. `header_lines` leading
+    lines are dropped PER FILE: rows rank by monotonically_increasing_id
+    within input_file_name(), so a directory/glob input drops every
+    file's header, not just the first-scheduled file's (a bare global
+    id filter gets that wrong — partition 0 is the only partition whose
+    ids start at 0). Line order within a file holds because splits of
+    one file enter the scan in offset order for equal-size splits
+    (stable sort) and headers live in the first split."""
     lines = spark.read.text(path)
     if header_lines:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
         lines = (
-            lines.withColumn("_lineno", F.monotonically_increasing_id())
-            .filter(F.col("_lineno") >= header_lines)
-            .drop("_lineno")
+            lines.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > header_lines)
+            .drop("_rn")
         )
     raw = parse_fixed_width(lines, layout)
     return infer_and_cast(raw) if infer else raw

@@ -87,7 +87,7 @@ def scan_markdown(spark: SparkSession, path: str) -> DataFrame:
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{md,MD,markdown}")
+        .option("pathGlobFilter", "*.{[mM][dD],[mM][aA][rR][kK][dD][oO][wW][nN]}")
         .load(path)
         .where(F.col("path").rlike(r"(?i)\.(md|markdown)$"))
         .select("path", "content")

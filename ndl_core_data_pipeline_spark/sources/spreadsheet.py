@@ -100,7 +100,7 @@ def scan_workbooks(spark: SparkSession, path: str) -> DataFrame:
         # pathGlobFilter prunes at the LISTING, so non-workbook files are
         # never read at all (binaryFile pushes down only length/modtime
         # predicates — a post-hoc rlike on path would still load bytes)
-        .option("pathGlobFilter", "*.{xlsx,ods,XLSX,ODS}")
+        .option("pathGlobFilter", "*.{[xX][lL][sS][xX],[oO][dD][sS]}")
         .load(path)
         .where(F.col("path").rlike(r"(?i)\.(xlsx|ods)$"))
         .select("path", "content")

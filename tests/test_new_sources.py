@@ -316,3 +316,49 @@ def test_front_matter_roundtrip_random_scalars():
         got_meta, got_body = split_front_matter(md)
         assert got_meta == meta
         assert got_body == body
+
+
+def test_fixed_width_header_skip_per_file(spark, tmp_path):
+    """Review finding: a global id filter drops headers only from the
+    first-scheduled file. The per-file window must drop EVERY file's
+    header."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    for n in ("p1.txt", "p2.txt", "p3.txt"):
+        (d / n).write_text(
+            "STATION LEVEL   DATE      OPEN \n"
+            f"{n[:2].upper()}X        1.5 2020-05-06 true\n"
+        )
+    df = read_fixed_width(spark, str(d), LAYOUT, header_lines=1, infer=False)
+    rows = df.collect()
+    assert len(rows) == 3  # one data row per file, zero surviving headers
+    assert all(r["station"] != "STATION" for r in rows)
+    assert {r["station"] for r in rows} == {"P1X", "P2X", "P3X"}
+
+
+def test_scan_handles_mixed_case_extensions(spark, tmp_path):
+    """Review finding: case-sensitive listing globs silently dropped
+    'Data.Zip'-style names Windows tooling produces."""
+    from ndl_core_data_pipeline_spark.sources.archives import scan_zip_tables
+    from ndl_core_data_pipeline_spark.sources.markdown import scan_markdown
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    _make_zip(d / "Data.Zip", {"t.csv": "x\n1\n"})
+    (d / "Read.Md").write_text("hello")
+    zrows = scan_zip_tables(spark, str(d)).collect()
+    assert any(r["archive"].endswith("Data.Zip") for r in zrows)
+    mrows = scan_markdown(spark, str(d)).collect()
+    assert any(r["path"].endswith("Read.Md") for r in mrows)
+
+
+def test_fixed_width_custom_regex_special_pad(spark, tmp_path):
+    """Review finding: regex-special pad chars must be escaped."""
+    from ndl_core_data_pipeline_spark.sources.fixedwidth import parse_fixed_width
+
+    lines = spark.createDataFrame([("^^ab^^^cd^",)], "value string")
+    out = parse_fixed_width(
+        lines, [FwColumn("a", 1, 4), FwColumn("b", 5, 6)], pad="^"
+    ).collect()[0]
+    assert out["a"] == "ab"
+    assert out["b"] == "cd"
