@@ -134,6 +134,7 @@ def build_registry() -> Registry:
     vector.register_round7b(reg)
     sketches.register_round7c(reg)
     textops.register_round7c(reg)
+    _wh.register_round7c(reg)
     _prioritize(reg)
     return reg
 

@@ -726,3 +726,115 @@ FROM (SELECT v, COUNT(*) AS c FROM (SELECT {expr} AS v FROM orders)
 def register_round7b(reg) -> None:
     reg.add("feature_winsorize", feature_winsorize, _WINSOR_SQL)
     reg.add("profile_table_stats", profile_table_stats, _profile_sql())
+
+
+_SNAP_CUTOFF = "1997-06-01"
+
+
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, key: str, compare: list[str]
+) -> DataFrame:
+    """Row-level snapshot diff — the regression gate a pipeline runs
+    between yesterday's and today's build: one full-outer join on the
+    key tags every row added / removed / changed / unchanged, with the
+    changed-column names listed. ONE shuffle on the key (both sides);
+    at scale both snapshots would be bucketed on the key so the diff is
+    exchange-free. Null-safe equality (<=>) so NULL→value transitions
+    count as changes, not matches."""
+    o = old.select(key, *compare).alias("o")
+    n = new.select(key, *compare).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    both = F.col(f"o.{key}").isNotNull() & F.col(f"n.{key}").isNotNull()
+    # changed-column lists are meaningful only when BOTH sides exist;
+    # added/removed rows get an empty list, not every-column-changed
+    changed_cols = F.when(
+        both,
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                    )
+                    for c in compare
+                ]
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    op = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        op.alias("op"),
+        changed_cols.alias("changed_cols"),
+    )
+
+
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of diff_snapshots: the orders table before
+    _SNAP_CUTOFF (with totals as-of then simulated by zeroing late
+    orders' comment-ish field) vs the full table — i.e. the diff a
+    daily rebuild would show. Output: counts per op plus the rows that
+    changed columns, aggregated to per-op counts for a stable scalar
+    summary."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(_SNAP_CUTOFF).cast("timestamp")
+    old = o.filter(F.col("o_orderdate") < cutoff)
+    # "today": every order, and pending-at-cutoff orders resolved to 'F'
+    new = o.withColumn(
+        "o_orderstatus",
+        F.when(
+            (F.col("o_orderdate") >= cutoff) | (F.col("o_orderstatus") == "P"),
+            F.lit("F"),
+        ).otherwise(F.col("o_orderstatus")),
+    )
+    d = diff_snapshots(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return d.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.size("changed_cols")).cast("bigint"), F.lit(0)
+        ).alias("n_col_changes"),
+    )
+
+
+_SNAPDIFF_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFF} 00:00:00'
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderdate >= TIMESTAMP '{_SNAP_CUTOFF} 00:00:00'
+                OR o_orderstatus = 'P'
+              THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+              THEN 'changed' ELSE 'unchanged' END AS op,
+         (CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+               THEN 1 ELSE 0 END
+          + CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                  AND NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                 THEN 1 ELSE 0 END) AS nch
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT op, COUNT(*) AS n,
+       CAST(COALESCE(SUM(nch), 0) AS BIGINT) AS n_col_changes
+FROM d GROUP BY op
+"""
+
+
+def register_round7c(reg) -> None:
+    reg.add("snapshot_diff_summary", snapshot_diff_summary, _SNAPDIFF_SQL)

@@ -514,3 +514,26 @@ def test_cusum_tracks_injected_shift(spark):
     r = out["shift"]
     assert r["n"] == 200
     assert r["t_at_max"] == 100  # |S_t| peaks exactly at the change point
+
+
+def test_diff_snapshots_tags_all_ops(spark):
+    from ndl_core_data_pipeline_spark.operators.warehouse import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    got = {
+        r["k"]: (r["op"], sorted(r["changed_cols"]))
+        for r in diff_snapshots(old, new, "k", ["s", "v"]).collect()
+    }
+    assert got == {
+        1: ("removed", []),
+        2: ("unchanged", []),
+        3: ("changed", ["v"]),  # NULL -> 30.0 counts as a change
+        4: ("added", []),
+    }
