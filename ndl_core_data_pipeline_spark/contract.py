@@ -135,6 +135,7 @@ def build_registry() -> Registry:
     sketches.register_round7c(reg)
     textops.register_round7c(reg)
     _wh.register_round7c(reg)
+    vector.register_round7c(reg)
     _prioritize(reg)
     return reg
 

@@ -1180,3 +1180,174 @@ ORDER BY cos_sim DESC, c.vec_id LIMIT 10
 
 def register_round7b(reg):
     reg.add("vector_matryoshka_topk", matryoshka_prefix_topk, _mrl_sql())
+
+
+# ------------------------------------------------- ANN quality evaluation
+
+ANN_RECALL_QUERIES = 5
+ANN_RECALL_K = 10
+
+
+def ann_recall_report(spark, sf_dir):
+    """Recall@k report for the IVF index — the evaluation primitive an
+    ANN deployment runs before trusting probes at scale: for each of
+    ANN_RECALL_QUERIES query vectors, exact cosine top-k over the whole
+    corpus vs top-k within the query's IVF_NPROBE probed cells, plus
+    the candidate-set size the probe actually scanned. recall = |∩|/k.
+    Everything reuses the deterministic IVF machinery (label-derived
+    centroids, struct-min assignment), so the report is itself
+    oracle-checkable — approximation quality measured exactly. Plan:
+    centroid/assignment subtrees computed once (cached K×dim / keyed),
+    per-query work is broadcast joins + per-query-key windows."""
+    from ._util import round6_det
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroid_arrays(emb).cache()
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    scored = (
+        emb.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    probed = (
+        cents.crossJoin(queries)
+        .select(
+            "query_id",
+            "cell_id",
+            _sq_l2(F.col("q_emb"), F.col("centroid")).alias("qd2"),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("qd2", "cell_id")
+            ),
+        )
+        .filter(F.col("crnk") <= IVF_NPROBE)
+        .select("query_id", "cell_id")
+    )
+    members = ivf_cell_assignments(spark, sf_dir, cents=cents).select(
+        "vec_id", "cell_id"
+    )
+    cands = (
+        members.join(F.broadcast(probed), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    n_cand = cands.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    approx = (
+        cands.join(scored, ["query_id", "vec_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        n_cand.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_candidates",
+            round6_det(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(ANN_RECALL_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(e.embedding, q.q_emb), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(e.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nb = (
+        "sqrt(list_sum(list_transform(q.q_emb, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    sq = (
+        "list_sum(list_transform(list_zip(q.q_emb, c.centroid), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
+    )
+    asq = (
+        "list_sum(list_transform(list_zip(e.embedding, c.centroid), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT label AS cell_id, list(cval ORDER BY pos) AS centroid FROM (
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cval
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, pos) GROUP BY label
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {ANN_RECALL_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, ROUND({dot} / ({na} * {nb}), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored) WHERE rnk <= {ANN_RECALL_K}
+),
+probed AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {sq}, c.cell_id) AS crnk
+    FROM cent c, q) WHERE crnk <= {IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {asq}, c.cell_id) AS rnk
+    FROM embeddings e, cent c) WHERE rnk = 1
+),
+cands AS (
+  SELECT p.query_id, a.vec_id FROM assign a JOIN probed p USING (cell_id)
+  WHERE a.vec_id <> p.query_id
+),
+ncand AS (SELECT query_id, COUNT(*) AS n_candidates FROM cands
+          GROUP BY query_id),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY s.cos_sim DESC, s.vec_id) AS rnk
+    FROM cands JOIN scored s USING (query_id, vec_id)) WHERE rnk <= {ANN_RECALL_K}
+),
+hits AS (
+  SELECT query_id, COUNT(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, vec_id) GROUP BY query_id
+)
+SELECT n.query_id, n.n_candidates,
+       FLOOR(COALESCE(h.n_hits, 0) / {float(ANN_RECALL_K)!r}
+             * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
+FROM ncand n LEFT JOIN hits h USING (query_id)
+"""
+
+
+def register_round7c(reg):
+    reg.add("vector_ann_recall_report", ann_recall_report, _ann_recall_sql())
