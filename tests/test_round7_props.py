@@ -163,3 +163,52 @@ def test_debounce_matches_python_reference(spark, tmp_path):
     }
     expect = _py_debounce(rows, DEBOUNCE_US)
     assert got == expect
+
+
+def _py_hash48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_hash48_spark_matches_python(spark):
+    from ndl_core_data_pipeline_spark.operators.training import _hash48
+
+    vals = [str(i) for i in range(0, 3000, 11)] + ["", "a b", "ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", _hash48(F.col("s")).alias("h")).collect()
+    }
+    assert got == {v: _py_hash48(v) for v in vals}
+
+
+def test_minhash_permutations_spark_match_python(spark):
+    """The affine MinHash family h_j(x) = (A_j x + B_j) mod P over the
+    48-bit md5 base hash, against a pure-Python reference."""
+    from ndl_core_data_pipeline_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_MINHASH,
+    )
+
+    shingles = [f"tok{i} tok{i+1} tok{i+2}" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in shingles], "shingle string")
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    cols = [
+        ((x * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P))
+        .alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+    got = {
+        r["shingle"]: tuple(r[f"h{j}"] for j in range(N_MINHASH))
+        for r in df.select("shingle", *cols).collect()
+    }
+    for s in shingles:
+        base = _py_hash48(s)
+        expect = tuple(
+            (MINHASH_A[j] * base + MINHASH_B[j]) % MINHASH_P
+            for j in range(N_MINHASH)
+        )
+        assert got[s] == expect
