@@ -137,8 +137,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"({stats['bytes_in']} bytes) -> {stats['n_files_out']}"
             )
         elif args.cmd == "profile":
-            from pyspark.sql import functions as F
-
             from .operators.warehouse import profile_columns
 
             df = spark.read.parquet(args.input)
@@ -157,10 +155,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if not cols:
                 print("no profilable (non-binary) columns", file=sys.stderr)
                 return 2
-            # df[c] resolves names with dots/specials literally; F.col
-            # would parse them as nested-field paths
+            # backtick-quote so dotted names resolve literally (both
+            # F.col and plain df[c] parse dots as nested-field paths)
             prof = profile_columns(
-                df, {c: df[c].cast("string") for c in cols}
+                df,
+                {
+                    c: df["`" + c.replace("`", "``") + "`"].cast("string")
+                    for c in cols
+                },
             )
             for r in prof.collect():
                 print(

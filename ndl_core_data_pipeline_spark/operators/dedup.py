@@ -86,6 +86,18 @@ MINHASH_A = tuple(2 * k + 1 for k in range(1, N_MINHASH + 1))  # odd, nonzero
 MINHASH_B = tuple(7919 * (k + 1) for k in range(N_MINHASH))
 
 
+def minhash_base48(col):
+    """48-bit md5 base hash (x < 2^48 << P, so no second mod) — THE
+    per-shingle hash minhash_signatures feeds the affine family; factored
+    out so parity tests exercise the production expression, not a copy."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def minhash_affine(x, j: int):
+    """h_j(x) = (A_j·x + B_j) mod P for permutation j."""
+    return (x * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+
+
 def minhash_signatures(spark, sf_dir):
     """MinHash signatures, standard construction: base hash per shingle
     x = md5[0:12 bytes] as bigint mod P, then N_MINHASH affine
@@ -99,15 +111,12 @@ def minhash_signatures(spark, sf_dir):
     shingled = docs.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).filter(F.length("shingle") > 0)
-    # 12 hex chars = 48 bits << P, so x < P without a second mod
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("bigint")
-    hashed = shingled.select("doc_id", x.alias("x"))
+    hashed = shingled.select(
+        "doc_id", minhash_base48(F.col("shingle")).alias("x")
+    )
     wide = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.col("x") * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]))
-                % F.lit(MINHASH_P)
-            ).alias(f"h{j}")
+            F.min(minhash_affine(F.col("x"), j)).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )

@@ -1212,10 +1212,14 @@ def ann_recall_report(spark, sf_dir):
     cos = _dot(F.col("embedding"), F.col("q_emb")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_emb"))
     )
+    # scored feeds BOTH the exact subtree and the approx rerank — cache
+    # it so the corpus-wide cosine scan runs once (cents is cheap; this
+    # is the expensive side)
     scored = (
         emb.crossJoin(queries)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .cache()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     exact = (
@@ -1257,11 +1261,19 @@ def ann_recall_report(spark, sf_dir):
     hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count("*").alias("n_hits")
     )
+    # anchor on the QUERIES relation so a query whose probed cells held
+    # zero candidates still reports (n_candidates=0, recall 0) instead
+    # of vanishing — the worst-performing query is the one the report
+    # must not drop
     return (
-        n_cand.join(hits, "query_id", "left")
+        queries.select("query_id")
+        .join(n_cand, "query_id", "left")
+        .join(hits, "query_id", "left")
         .select(
             "query_id",
-            "n_candidates",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
             round6_det(
                 F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(ANN_RECALL_K))
             ).alias("recall_at_k"),
@@ -1342,10 +1354,11 @@ hits AS (
   SELECT query_id, COUNT(*) AS n_hits
   FROM exact JOIN approx USING (query_id, vec_id) GROUP BY query_id
 )
-SELECT n.query_id, n.n_candidates,
+SELECT q.query_id,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
        FLOOR(COALESCE(h.n_hits, 0) / {float(ANN_RECALL_K)!r}
              * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
-FROM ncand n LEFT JOIN hits h USING (query_id)
+FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)
 """
 
 

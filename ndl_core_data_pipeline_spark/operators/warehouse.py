@@ -739,12 +739,29 @@ def diff_snapshots(
     key tags every row added / removed / changed / unchanged, with the
     changed-column names listed. ONE shuffle on the key (both sides);
     at scale both snapshots would be bucketed on the key so the diff is
-    exchange-free. Null-safe equality (<=>) so NULL→value transitions
-    count as changes, not matches."""
-    o = old.select(key, *compare).alias("o")
-    n = new.select(key, *compare).alias("n")
-    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    both = F.col(f"o.{key}").isNotNull() & F.col(f"n.{key}").isNotNull()
+    exchange-free. Column values compare null-safely (<=>), so
+    NULL→value transitions count as changes. Presence is tracked with
+    marker columns rather than key nullness, so a NULL-keyed row (which
+    can never match across sides under SQL join semantics) reports
+    honestly as removed/added instead of being mis-tagged; columns are
+    backtick-quoted at resolution, so dotted names work."""
+    def col(df, name):
+        # backtick-quote so dotted names resolve as literal column names,
+        # not nested-field paths (escape embedded backticks per Spark)
+        return df["`" + name.replace("`", "``") + "`"]
+
+    o = old.select(
+        col(old, key).alias("_ko"),
+        F.lit(True).alias("_po"),
+        *[col(old, c).alias(f"_o{i}") for i, c in enumerate(compare)],
+    )
+    n = new.select(
+        col(new, key).alias("_kn"),
+        F.lit(True).alias("_pn"),
+        *[col(new, c).alias(f"_n{i}") for i, c in enumerate(compare)],
+    )
+    joined = o.join(n, F.col("_ko") == F.col("_kn"), "full_outer")
+    both = F.col("_po").isNotNull() & F.col("_pn").isNotNull()
     # changed-column lists are meaningful only when BOTH sides exist;
     # added/removed rows get an empty list, not every-column-changed
     changed_cols = F.when(
@@ -753,21 +770,21 @@ def diff_snapshots(
             F.array(
                 *[
                     F.when(
-                        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                        ~F.col(f"_o{i}").eqNullSafe(F.col(f"_n{i}")), F.lit(c)
                     )
-                    for c in compare
+                    for i, c in enumerate(compare)
                 ]
             )
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     op = (
-        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
-        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
         .when(F.size(changed_cols) > 0, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(
-        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        F.coalesce(F.col("_ko"), F.col("_kn")).alias(key),
         op.alias("op"),
         changed_cols.alias("changed_cols"),
     )
@@ -775,11 +792,10 @@ def diff_snapshots(
 
 def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of diff_snapshots: the orders table before
-    _SNAP_CUTOFF (with totals as-of then simulated by zeroing late
-    orders' comment-ish field) vs the full table — i.e. the diff a
-    daily rebuild would show. Output: counts per op plus the rows that
-    changed columns, aggregated to per-op counts for a stable scalar
-    summary."""
+    _SNAP_CUTOFF vs a simulated "today" (every order present, and
+    orders pending at the cutoff resolved to status 'F') — the diff a
+    daily rebuild would show. Output: per-op row counts plus the total
+    number of changed column slots."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )

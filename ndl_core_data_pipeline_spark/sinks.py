@@ -38,14 +38,16 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-_AVRO_PROBE: dict[int, bool] = {}  # per-JVM memo — the probe is a py4j call
+_AVRO_PROBE: dict[str, bool] = {}  # per-application memo (py4j call)
 
 
 def _avro_available(spark) -> bool:
     """spark-avro is an EXTERNAL module (not on this sandbox's
-    classpath); probe once per session so callers fail with a clear tier
-    message instead of an AnalysisException mid-write."""
-    key = id(spark._jvm)
+    classpath); probe once per application so callers fail with a clear
+    tier message instead of an AnalysisException mid-write. Keyed by
+    applicationId, not id(jvm) — CPython recycles ids after GC, so an
+    id key could serve a stale verdict across a gateway restart."""
+    key = spark.sparkContext.applicationId
     if key in _AVRO_PROBE:
         return _AVRO_PROBE[key]
     try:

@@ -537,3 +537,27 @@ def test_diff_snapshots_tags_all_ops(spark):
         3: ("changed", ["v"]),  # NULL -> 30.0 counts as a change
         4: ("added", []),
     }
+
+
+def test_diff_snapshots_null_key_and_dotted_columns(spark):
+    """Review findings: NULL-keyed rows must tag by PRESENCE (a NULL key
+    never matches across sides, so an old-only NULL row is 'removed',
+    not 'added'), and dotted column names must resolve literally."""
+    from ndl_core_data_pipeline_spark.operators.warehouse import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(None, "gone")], "k string, s string"
+    )
+    new = spark.createDataFrame(
+        [(None, "fresh")], "k string, s string"
+    )
+    got = sorted(
+        (r["op"],) for r in diff_snapshots(old, new, "k", ["s"]).collect()
+    )
+    assert got == [("added",), ("removed",)]
+
+    old2 = spark.createDataFrame([(1, 5.0)]).toDF("the.key", "a.b")
+    new2 = spark.createDataFrame([(1, 6.0)]).toDF("the.key", "a.b")
+    out = diff_snapshots(old2, new2, "the.key", ["a.b"]).collect()
+    assert len(out) == 1
+    assert out[0]["op"] == "changed" and out[0]["changed_cols"] == ["a.b"]

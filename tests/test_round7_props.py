@@ -189,18 +189,16 @@ def test_minhash_permutations_spark_match_python(spark):
         MINHASH_B,
         MINHASH_P,
         N_MINHASH,
+        minhash_affine,
+        minhash_base48,
     )
 
     shingles = [f"tok{i} tok{i+1} tok{i+2}" for i in range(50)]
     df = spark.createDataFrame([(s,) for s in shingles], "shingle string")
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast(
-        "bigint"
-    )
-    cols = [
-        ((x * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P))
-        .alias(f"h{j}")
-        for j in range(N_MINHASH)
-    ]
+    # the PRODUCTION expressions, not a copy — drift in minhash_signatures
+    # now fails here
+    x = minhash_base48(F.col("shingle"))
+    cols = [minhash_affine(x, j).alias(f"h{j}") for j in range(N_MINHASH)]
     got = {
         r["shingle"]: tuple(r[f"h{j}"] for j in range(N_MINHASH))
         for r in df.select("shingle", *cols).collect()
