@@ -717,3 +717,59 @@ def test_tfidf_pairs_no_cartesian(spark, sf_small):
 def test_profile_no_cartesian(spark, sf_small):
     plan = plan_of(spark, "profile_table_stats", sf_small)
     assert "CartesianProduct" not in plan
+
+
+def test_pit_scd2_keyed_join_only(spark, sf_small):
+    plan = plan_of(spark, "join_point_in_time_scd2", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_debounce_no_cartesian_partial_agg(spark, sf_small):
+    plan = plan_of(spark, "events_debounce", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # burst rollup map-side combined
+
+
+def test_trend_partial_agg_before_window(spark, sf_small):
+    plan = plan_of(spark, "trend_weekly_growth", sf_small)
+    assert "partial_sum" in plan  # weekly rollup combines map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_broadcast_marginals(spark, sf_small):
+    plan = plan_of(spark, "events_markov_transitions", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_take_ordered(spark, sf_small):
+    plan = plan_of(spark, "vector_matryoshka_topk", sf_small)
+    assert "TakeOrderedAndProject" in plan  # both cuts, never global sorts
+
+
+def test_snapshot_diff_single_key_join(spark, sf_small):
+    plan = plan_of(spark, "snapshot_diff_summary", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+
+
+def test_recall_report_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, "vector_ann_recall_report", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_keyed_windows_only(spark, sf_small):
+    plan = plan_of(spark, "window_cusum_drift", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "event_type" in plan  # windows keyed, never empty-partition
+
+
+def test_bottomk_keyed_window_then_percentiles(spark, sf_small):
+    plan = plan_of(spark, "agg_bottomk_sample_quantiles", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_merge_partial_max(spark, sf_small):
+    plan = plan_of(spark, "agg_hll_merge", sf_small)
+    assert "partial_max" in plan  # register folds map-side combined
+    assert "CartesianProduct" not in plan
