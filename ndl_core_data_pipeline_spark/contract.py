@@ -149,13 +149,10 @@ def build_registry() -> Registry:
 # changed this round are forced to the front regardless of record age — their
 # old green rows attest to the old definition.
 _FORCE_FRONT: list[str] = [
-    # round 7: oracle SQL changed (HUGEINT/DECIMAL -> BIGINT/DOUBLE casts per
-    # VERDICT r6 item 1) — any prior row attests the old oracle text, so these
-    # must re-earn hash-green rows this round.
-    "text_token_entropy",
-    "pipeline_corpus_summary",
-    "agg_bool_counters",
-    "agg_value_histogram",
+    # round 8: the four r7 pins re-earned green rows and were released
+    # (VERDICT r7 item 2). func_map_family needs no pin — its oracle changed
+    # (arrays serialized to strings) but it has never had a green row, so it
+    # sorts front automatically via last_green == 0.
 ]
 
 # Round 6 deferred its 39 trivial-semantics additions behind the stale-refresh

@@ -700,7 +700,7 @@ def mutual_information(spark, sf_dir):
     cells = (
         nab.join(F.broadcast(na), "o_orderpriority")
         .join(F.broadcast(nb), "o_orderstatus")
-        .crossJoin(nrow)
+        .crossJoin(nrow)  # nrow carries a broadcast hint at definition
     )
     term = (F.col("n_ab") / F.col("n")) * F.log(
         F.col("n_ab").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b"))

@@ -176,7 +176,10 @@ def map_family(spark, sf_dir):
     map ops are in-row JVM expressions — map-only plan. The oracle
     computes the same final values directly (DuckDB's map HOF surface is
     thinner, and the CONTRACT is the output values, not the intermediate
-    representation)."""
+    representation). The sorted key/entry lists are serialized to
+    comma-joined strings: the driver's canonicalizer sorts rows
+    pandas-side, which cannot hash ArrayType cells (r7 driver red), and
+    the contract is the VALUES, not the container type."""
     from ..io import load
 
     ev = load(spark, sf_dir, "events")
@@ -191,8 +194,10 @@ def map_family(spark, sf_dir):
         F.element_at(m, F.lit("props_k")).cast("bigint").alias("k_val"),
         F.element_at(m, F.lit("type")).alias("type_val"),
         F.size(m).cast("bigint").alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
-        F.array_sort(F.map_values(m2)).alias("entries_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_values(m2)), ",").alias(
+            "entries_sorted"
+        ),
     )
 
 
@@ -201,9 +206,10 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        event_type AS type_val,
        CAST(2 AS BIGINT) AS n_keys,
-       ['props_k', 'type'] AS keys_sorted,
-       list_sort([concat_ws('=', 'props_k', json_extract_string(props, '$.k')),
-                  concat_ws('=', 'type', event_type)]) AS entries_sorted
+       'props_k,type' AS keys_sorted,
+       array_to_string(
+         list_sort([concat_ws('=', 'props_k', json_extract_string(props, '$.k')),
+                    concat_ws('=', 'type', event_type)]), ',') AS entries_sorted
 FROM events
 """
 

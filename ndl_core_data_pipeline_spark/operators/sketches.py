@@ -295,15 +295,20 @@ def bottomk_sample_quantiles(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BK_K)
     )
+    # round6_det: interpolated percentiles are derived doubles (Spark
+    # percentile vs DuckDB quantile_cont differ at ulp level) — 6-dp
+    # determinization per _util.round6_det's discipline.
+    from ._util import round6_det
+
     est = sample.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_sample"),
-        F.percentile("o_totalprice", 0.5).alias("p50_est"),
-        F.percentile("o_totalprice", 0.95).alias("p95_est"),
+        round6_det(F.percentile("o_totalprice", 0.5)).alias("p50_est"),
+        round6_det(F.percentile("o_totalprice", 0.95)).alias("p95_est"),
     )
     exact = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),
-        F.percentile("o_totalprice", 0.5).alias("p50_exact"),
-        F.percentile("o_totalprice", 0.95).alias("p95_exact"),
+        round6_det(F.percentile("o_totalprice", 0.5)).alias("p50_exact"),
+        round6_det(F.percentile("o_totalprice", 0.95)).alias("p95_exact"),
     )
     return exact.join(est, "o_orderpriority").select(
         "o_orderpriority",
@@ -331,14 +336,18 @@ sample AS (
 ),
 est AS (
   SELECT o_orderpriority, COUNT(*) AS n_sample,
-         quantile_cont(o_totalprice, 0.5) AS p50_est,
-         quantile_cont(o_totalprice, 0.95) AS p95_est
+         FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5)
+           / 1000000.0 AS p50_est,
+         FLOOR(quantile_cont(o_totalprice, 0.95) * 1000000.0 + 0.5)
+           / 1000000.0 AS p95_est
   FROM sample GROUP BY o_orderpriority
 ),
 exact AS (
   SELECT o_orderpriority, COUNT(*) AS n_rows,
-         quantile_cont(o_totalprice, 0.5) AS p50_exact,
-         quantile_cont(o_totalprice, 0.95) AS p95_exact
+         FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5)
+           / 1000000.0 AS p50_exact,
+         FLOOR(quantile_cont(o_totalprice, 0.95) * 1000000.0 + 0.5)
+           / 1000000.0 AS p95_exact
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n_rows, n_sample,

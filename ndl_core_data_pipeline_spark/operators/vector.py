@@ -1218,7 +1218,7 @@ def ann_recall_report(spark, sf_dir):
     scored = (
         emb.crossJoin(queries)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .select("query_id", "vec_id", round6_det(cos).alias("cos_sim"))
         .cache()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
@@ -1313,7 +1313,8 @@ WITH cent AS (
 q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
       WHERE vec_id < {ANN_RECALL_QUERIES}),
 scored AS (
-  SELECT q.query_id, e.vec_id, ROUND({dot} / ({na} * {nb}), 6) AS cos_sim
+  SELECT q.query_id, e.vec_id,
+         FLOOR({dot} / ({na} * {nb}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
   FROM embeddings e, q WHERE e.vec_id <> q.query_id
 ),
 exact AS (

@@ -604,9 +604,15 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
+    # round6_det on the fences: interpolated percentiles are derived
+    # doubles and are NOT bit-identical across engines (Spark percentile
+    # vs DuckDB quantile_cont); 6-dp determinization makes the fences —
+    # and everything downstream of them (price_w, was_clipped) — match.
+    from ._util import round6_det
+
     fences = l.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", WINSOR_LO).alias("lo"),
-        F.percentile("l_extendedprice", WINSOR_HI).alias("hi"),
+        round6_det(F.percentile("l_extendedprice", WINSOR_LO)).alias("lo"),
+        round6_det(F.percentile("l_extendedprice", WINSOR_HI)).alias("hi"),
     )
     x = F.col("l_extendedprice")
     return l.join(F.broadcast(fences), "l_returnflag").select(
@@ -622,8 +628,10 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINSOR_SQL = f"""
 WITH fences AS (
   SELECT l_returnflag,
-         quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
-         quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+         FLOOR(quantile_cont(l_extendedprice, {WINSOR_LO}) * 1000000.0 + 0.5)
+           / 1000000.0 AS lo,
+         FLOOR(quantile_cont(l_extendedprice, {WINSOR_HI}) * 1000000.0 + 0.5)
+           / 1000000.0 AS hi
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_orderkey, l_linenumber, l.l_returnflag,

@@ -65,7 +65,12 @@ def test_no_hugeint_or_decimal_in_oracle_projections(sf_small):
             hits = [
                 (c, str(ty))
                 for c, ty in zip(rel.columns, rel.types)
-                if "HUGEINT" in str(ty) or "DECIMAL" in str(ty)
+                if "HUGEINT" in str(ty)
+                or "DECIMAL" in str(ty)
+                # container types crash the driver's pandas-side row sort
+                # (VERDICT r7 item 1) — serialize to strings on both sides
+                or "[]" in str(ty)
+                or str(ty).startswith(("STRUCT", "MAP", "UNION"))
             ]
             if hits:
                 offenders[name] = hits
@@ -75,3 +80,33 @@ def test_no_hugeint_or_decimal_in_oracle_projections(sf_small):
         )
     finally:
         con.close()
+
+
+def test_no_container_types_in_query_output(spark, sf_small):
+    """Registry-wide container-type guard (VERDICT r7 items 1 and 3).
+
+    The driver canonicalizes results by sorting all columns pandas-side;
+    an ArrayType/MapType/StructType cell arrives as a Python list/dict and
+    sorting throws `unhashable type: 'list'` BEFORE any value comparison
+    (this exact class red-flagged func_map_family in round 7). Same genus
+    as the dtype guard above: driver canonicalization is stricter than the
+    local value compare. Assert structurally that no registered query's
+    top-level output schema contains a container type — serialize to a
+    joined string instead (the contract is values, not representation).
+    Schema access triggers analysis only, no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_small)
+        hits = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "query outputs with driver-unsortable container columns "
+        f"(serialize with array_join/to_json): {offenders}"
+    )
