@@ -336,18 +336,14 @@ sample AS (
 ),
 est AS (
   SELECT o_orderpriority, COUNT(*) AS n_sample,
-         FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5)
-           / 1000000.0 AS p50_est,
-         FLOOR(quantile_cont(o_totalprice, 0.95) * 1000000.0 + 0.5)
-           / 1000000.0 AS p95_est
+         {sql_r6("quantile_cont(o_totalprice, 0.5)")} AS p50_est,
+         {sql_r6("quantile_cont(o_totalprice, 0.95)")} AS p95_est
   FROM sample GROUP BY o_orderpriority
 ),
 exact AS (
   SELECT o_orderpriority, COUNT(*) AS n_rows,
-         FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5)
-           / 1000000.0 AS p50_exact,
-         FLOOR(quantile_cont(o_totalprice, 0.95) * 1000000.0 + 0.5)
-           / 1000000.0 AS p95_exact
+         {sql_r6("quantile_cont(o_totalprice, 0.5)")} AS p50_exact,
+         {sql_r6("quantile_cont(o_totalprice, 0.95)")} AS p95_exact
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n_rows, n_sample,
@@ -408,7 +404,7 @@ def _hll_merge_sql() -> str:
 
     def est(src):
         return f"""(
-  SELECT FLOOR(({_sql_est("n_buckets", "raw")}) * 1000000.0 + 0.5) / 1000000.0
+  SELECT {sql_r6(f'({_sql_est("n_buckets", "raw")})')}
   FROM (SELECT COUNT(*) AS n_buckets,
           {HLL_ALPHA * HLL_M * HLL_M!r} /
           (SUM(1.0 / CAST(1::BIGINT << CAST(reg AS INT) AS DOUBLE))

@@ -1165,14 +1165,14 @@ def _mrl_sql() -> str:
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, e.label, e.embedding,
-         FLOOR({pre} * 1000000.0 + 0.5) / 1000000.0 AS pre_cos
+         {_sql_r6(pre)} AS pre_cos
   FROM embeddings e, q WHERE e.vec_id <> 0
 ),
 cands AS (
   SELECT * FROM scored ORDER BY pre_cos DESC, vec_id LIMIT {MRL_CANDIDATES}
 )
 SELECT c.vec_id, c.label, c.pre_cos,
-       FLOOR({full} * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+       {_sql_r6(full)} AS cos_sim
 FROM cands c, q
 ORDER BY cos_sim DESC, c.vec_id LIMIT 10
 """
@@ -1314,7 +1314,7 @@ q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
       WHERE vec_id < {ANN_RECALL_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         FLOOR({dot} / ({na} * {nb}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         {_sql_r6(f"{dot} / ({na} * {nb})")} AS cos_sim
   FROM embeddings e, q WHERE e.vec_id <> q.query_id
 ),
 exact AS (
@@ -1357,8 +1357,8 @@ hits AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
-       FLOOR(COALESCE(h.n_hits, 0) / {float(ANN_RECALL_K)!r}
-             * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
+       {_sql_r6(f"COALESCE(h.n_hits, 0) / {float(ANN_RECALL_K)!r}")}
+         AS recall_at_k
 FROM q LEFT JOIN ncand n USING (query_id) LEFT JOIN hits h USING (query_id)
 """
 

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import DEC, WS_ASCII_RE, dsum, rebalance_narrow_scan, sql_dsum
+from ._util import DEC, WS_ASCII_RE, dsum, rebalance_narrow_scan, sql_dsum, sql_r6
 
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance
@@ -628,10 +628,8 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINSOR_SQL = f"""
 WITH fences AS (
   SELECT l_returnflag,
-         FLOOR(quantile_cont(l_extendedprice, {WINSOR_LO}) * 1000000.0 + 0.5)
-           / 1000000.0 AS lo,
-         FLOOR(quantile_cont(l_extendedprice, {WINSOR_HI}) * 1000000.0 + 0.5)
-           / 1000000.0 AS hi
+         {sql_r6(f"quantile_cont(l_extendedprice, {WINSOR_LO})")} AS lo,
+         {sql_r6(f"quantile_cont(l_extendedprice, {WINSOR_HI})")} AS hi
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_orderkey, l_linenumber, l.l_returnflag,
@@ -715,6 +713,11 @@ def _profile_sql() -> str:
         "o_custkey": "CAST(o_custkey AS VARCHAR)",
         "order_dow": "CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS VARCHAR)",
     }
+    entropy = (
+        "COALESCE(CAST(SUM(CAST(CASE WHEN v IS NOT NULL THEN "
+        "-(c / n_total) * ln(c / n_total) END AS DECIMAL(27,10))) "
+        "AS DOUBLE), 0.0)"
+    )
     parts = []
     for cname, expr in cols.items():
         parts.append(f"""
@@ -722,9 +725,7 @@ SELECT '{cname}' AS column_name, CAST(SUM(c) AS BIGINT) AS n_rows,
        CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT)
          AS n_null,
        CAST(count_if(v IS NOT NULL) AS BIGINT) AS n_distinct,
-       FLOOR(COALESCE(CAST(SUM(CAST(CASE WHEN v IS NOT NULL THEN
-           -(c / n_total) * ln(c / n_total) END AS DECIMAL(27,10)))
-           AS DOUBLE), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+       {sql_r6(entropy)} AS entropy_nats
 FROM (SELECT v, COUNT(*) AS c FROM (SELECT {expr} AS v FROM orders)
       GROUP BY v),
      (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM orders)""")

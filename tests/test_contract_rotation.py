@@ -68,6 +68,29 @@ def test_no_query_starves_while_greens_recycle():
     assert freshest_inside - stalest_outside <= 3
 
 
+def test_steady_state_window_is_exactly_the_50_stalest():
+    """VERDICT r8 item 3: once the never-checked backlog is empty and no
+    pins are active, the 50-slot driver window must be exactly the 50
+    stalest oracle-backed queries. The rotation silently mis-allocated
+    slots twice (r6 defer list, r7 stale pins); this pins the steady
+    state structurally so a stray pin or starved query fails loudly."""
+    import pytest
+
+    reg = contract.build_registry()
+    last = contract._last_green_rounds()
+    backed = [n for n in reg.queries if n in reg.oracles]
+    never_checked = [n for n in backed if last.get(n, 0) == 0]
+    if contract._FORCE_FRONT or contract._DEFER_NEW or never_checked:
+        pytest.skip("not steady state: pins or never-checked queries present")
+    window = backed[:50]
+    boundary = max(last[n] for n in window)
+    # every query strictly staler than the window boundary holds a slot...
+    must_include = {n for n in backed if last[n] < boundary}
+    assert must_include <= set(window)
+    # ...and nothing fresher than the boundary displaced a boundary query
+    assert all(last[n] >= boundary for n in backed[50:])
+
+
 def test_every_query_has_oracle_or_is_declared():
     reg = contract.build_registry()
     # ordering rewrite must not drop oracle entries

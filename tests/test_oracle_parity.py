@@ -7,6 +7,7 @@ Default scale is sf0.001 (fast suite). Set SPARK_GRAFT_PARITY_SF_DIR=
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -68,8 +69,10 @@ def test_no_hugeint_or_decimal_in_oracle_projections(sf_small):
                 if "HUGEINT" in str(ty)
                 or "DECIMAL" in str(ty)
                 # container types crash the driver's pandas-side row sort
-                # (VERDICT r7 item 1) — serialize to strings on both sides
-                or "[]" in str(ty)
+                # (VERDICT r7 item 1) — serialize to strings on both sides.
+                # \[\d*\] matches LIST (VARCHAR[]) and fixed-size ARRAY
+                # (INTEGER[3]) renderings alike (ADVICE r8).
+                or re.search(r"\[\d*\]", str(ty))
                 or str(ty).startswith(("STRUCT", "MAP", "UNION"))
             ]
             if hits:
@@ -80,6 +83,23 @@ def test_no_hugeint_or_decimal_in_oracle_projections(sf_small):
         )
     finally:
         con.close()
+
+
+def test_r6_rounding_form_is_canonical():
+    """Every deterministic-rounding occurrence in an oracle must be the
+    exact sql_r6 form FLOOR(x * 1000000.0 + 0.5) / 1000000.0 (ADVICE r8:
+    hand-copied forms can drift from round6_det). The three files the
+    advice named now build these via sql_r6; remaining inline sites are
+    pinned textually here so a scale or half-offset edit in one place
+    fails loudly."""
+    canonical = re.compile(r"\*\s*1000000\.0\s*\+\s*0\.5\s*\)\s*/\s*1000000\.0")
+    for name, sql in ORACLES.items():
+        n_marker = sql.count("1000000.0 + 0.5")
+        n_canonical = len(canonical.findall(sql))
+        assert n_marker == n_canonical, (
+            f"{name}: {n_marker - n_canonical} rounding site(s) deviate "
+            "from the sql_r6 form FLOOR(x * 1000000.0 + 0.5) / 1000000.0"
+        )
 
 
 def test_no_container_types_in_query_output(spark, sf_small):
@@ -93,7 +113,10 @@ def test_no_container_types_in_query_output(spark, sf_small):
     local value compare. Assert structurally that no registered query's
     top-level output schema contains a container type — serialize to a
     joined string instead (the contract is values, not representation).
-    Schema access triggers analysis only, no execution."""
+    The schema read itself triggers analysis only, but CONSTRUCTING some
+    queries runs real driver-side work (the size-adaptive probes in
+    bpe.py/dedup.py collect, files.py counts), so the 221-query sweep is
+    not free — it just never executes the returned plans (ADVICE r8)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = {}
