@@ -642,52 +642,66 @@ FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
 
 def profile_columns(df: DataFrame, profiled: dict) -> DataFrame:
     """Generic long-form column profile over ANY DataFrame: rows, nulls,
-    distinct count, and Shannon entropy per profiled expression. Per
-    column: one keyed value-count aggregation, a shared broadcast
-    one-row total, and a tiny entropy rollup with decimal-exact term
-    sums; column profiles are independent subplans unioned at the end,
-    so a 100 TB profile run is N keyed aggregations that share one scan
-    and parallelize freely. Backs both the registered
+    distinct count, and Shannon entropy per profiled expression.
+
+    Shape (VERDICT r8 item 6): melt each input row into one
+    (column_name, value-as-string) pair per profiled expression, then a
+    single (column_name, v) value-count aggregation and a single
+    column_name rollup — TWO shuffles total regardless of how many
+    columns are profiled, so a wide (1000-column) profile costs the
+    same plan as a 4-column one (the previous per-column-subplan shape
+    grew one aggregation per column). Both shuffles partial-aggregate
+    map-side, so a high-cardinality column never funnels raw rows to
+    one reducer. A shared broadcast one-row COUNT(*) supplies n_total
+    for the entropy terms, which stay decimal(27,10)-summed in the
+    exact per-term form the oracle uses. Values are compared by their
+    string form (callers profiling non-string columns cast as part of
+    the profiled expression). Backs both the registered
     profile_table_stats query and the `profile` CLI command."""
     from ._util import round6_det
 
     if not profiled:
         raise ValueError("profile_columns: need at least one column")
     # ONE row-count total shared by every column's profile (it is COUNT(*)
-    # of the table) — re-deriving it per column from that column's counts
-    # subtree would execute each keyed aggregation twice
+    # of the table) — deriving it from the melted counts would need the
+    # per-group total inside the same aggregate that consumes it
     total = F.broadcast(df.agg(F.count("*").cast("double").alias("n_total")))
-    outs = []
-    for cname, expr in profiled.items():
-        counts = df.select(expr.alias("v")).groupBy("v").agg(
-            F.count("*").alias("c")
-        )
-        term = F.when(
-            F.col("v").isNotNull(),
-            -(F.col("c") / F.col("n_total"))
-            * F.log(F.col("c") / F.col("n_total")),
-        )
-        outs.append(
-            counts.crossJoin(total).agg(
-                F.lit(cname).alias("column_name"),
-                F.sum("c").alias("n_rows"),
-                F.coalesce(
-                    F.sum(F.when(F.col("v").isNull(), F.col("c"))),
-                    F.lit(0),
-                ).cast("bigint").alias("n_null"),
-                F.count_if(F.col("v").isNotNull()).alias("n_distinct"),
-                round6_det(
-                    F.coalesce(
-                        F.sum(term.cast("decimal(27,10)")).cast("double"),
-                        F.lit(0.0),
-                    )
-                ).alias("entropy_nats"),
+    stacked = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(cname).alias("column_name"),
+                    expr.cast("string").alias("v"),
+                )
+                for cname, expr in profiled.items()
+            ])
+        ).alias("kv")
+    ).select("kv.column_name", "kv.v")
+    counts = stacked.groupBy("column_name", "v").agg(F.count("*").alias("c"))
+    term = F.when(
+        F.col("v").isNotNull(),
+        -(F.col("c") / F.col("n_total"))
+        * F.log(F.col("c") / F.col("n_total")),
+    )
+    out = counts.crossJoin(total).groupBy("column_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("c"))),
+            F.lit(0),
+        ).cast("bigint").alias("n_null"),
+        F.count_if(F.col("v").isNotNull()).alias("n_distinct"),
+        round6_det(
+            F.coalesce(
+                F.sum(term.cast("decimal(27,10)")).cast("double"),
+                F.lit(0.0),
             )
-        )
-    out = outs[0]
-    for part in outs[1:]:
-        out = out.unionByName(part)
-    return out
+        ).alias("entropy_nats"),
+    )
+    # registration order of profiled columns, not grouped-key order
+    order = F.array(*[F.lit(c) for c in profiled])
+    return out.orderBy(F.array_position(order, F.col("column_name"))).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "entropy_nats"
+    )
 
 
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

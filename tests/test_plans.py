@@ -719,6 +719,26 @@ def test_profile_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_profile_shuffles_independent_of_column_count(spark, sf_small):
+    """VERDICT r8 item 6: profile_columns melts to (column_name, v) pairs
+    and aggregates once, so a wide profile costs the same constant number
+    of exchanges as a narrow one (the old per-column-subplan shape added
+    an aggregation per column — linear jobs on a 1000-column table)."""
+    from ndl_core_data_pipeline_spark.operators.warehouse import profile_columns
+
+    df = spark.read.parquet(f"{sf_small}/orders.parquet")
+
+    def n_exchanges(k):
+        prof = profile_columns(
+            df, {c: F.col(c).cast("string") for c in df.columns[:k]}
+        )
+        return explain_formatted(prof).count("Exchange (")
+
+    narrow, wide = n_exchanges(2), n_exchanges(8)
+    assert narrow == wide
+    assert wide <= 5  # melt agg + total + rollup + output sort, no more
+
+
 def test_pit_scd2_keyed_join_only(spark, sf_small):
     plan = plan_of(spark, "join_point_in_time_scd2", sf_small)
     assert "CartesianProduct" not in plan
