@@ -271,6 +271,41 @@ def sessionized_stream(
     )
 
 
+def debounced_stream(stream: DataFrame, gap_us: int | None = None) -> DataFrame:
+    """Streaming twin of operators/eventwindows.events_debounce: collapse
+    per-(user, event-type) bursts of events separated by ≤ 60 s into one
+    row (start, size, decimal-exact value total).
+
+    The batch operator starts a new burst when the gap STRICTLY exceeds
+    DEBOUNCE_US; session_window extends a session while the gap is
+    strictly LESS than its duration — so the streaming gap is
+    DEBOUNCE_US + 1 µs, making both forms break exactly at gap > 60 s.
+    Burst identity differs by representation only (batch: running burst_id
+    per key; here: the session window itself), so parity compares on
+    (user_id, event_type, burst_start, burst_n, burst_value)."""
+    from ..operators._util import DEC
+    from ..operators.eventwindows import DEBOUNCE_US
+
+    gap = f"{(DEBOUNCE_US if gap_us is None else gap_us) + 1} microseconds"
+    return (
+        stream.groupBy(
+            F.session_window("ts", gap).alias("w"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.count("*").alias("burst_n"),
+            F.coalesce(
+                F.sum(F.col("value").cast(DEC)).cast("double"), F.lit(0.0)
+            ).alias("burst_value"),
+        )
+        .select(
+            "user_id", "event_type", "burst_start", "burst_n", "burst_value"
+        )
+    )
+
+
 def stateful_funnel(stream: DataFrame) -> DataFrame:
     """Streaming form of the batch `events_funnel_steps` operator: a
     per-user view→click→purchase stage machine carried across
