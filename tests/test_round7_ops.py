@@ -376,6 +376,41 @@ def test_winsorize_clamps_to_fences(spark, sf_small):
             assert r["price"] < lo or r["price"] > hi
 
 
+def test_profile_columns_nulls_and_entropy_exact(spark):
+    """Pin the melted profile shape against hand-computed truth on a
+    frame WITH nulls (the registered orders profile has none, so the
+    null-count path was previously untested): null cells count into
+    n_rows and n_null, stay out of n_distinct, and contribute no
+    entropy term — entropy is over the full-row distribution including
+    the null bucket's complement, i.e. -(c/N)ln(c/N) summed over
+    non-null values only."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.operators.warehouse import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("b", "x"), (None, "x"), (None, None)],
+        "c1 string, c2 string",
+    )
+    got = {
+        r["column_name"]: r
+        for r in profile_columns(
+            df, {"c1": F.col("c1"), "c2": F.col("c2")}
+        ).collect()
+    }
+
+    def entropy(counts, n):
+        return sum(-(c / n) * math.log(c / n) for c in counts)
+
+    assert (got["c1"]["n_rows"], got["c1"]["n_null"], got["c1"]["n_distinct"]) == (5, 2, 2)
+    assert got["c1"]["entropy_nats"] == pytest.approx(entropy([2, 1], 5), abs=1e-6)
+    assert (got["c2"]["n_rows"], got["c2"]["n_null"], got["c2"]["n_distinct"]) == (5, 2, 1)
+    assert got["c2"]["entropy_nats"] == pytest.approx(entropy([3], 5), abs=1e-6)
+
+
 def test_profile_entropy_bounded_by_log_ndv(spark, sf_small):
     import math
 
