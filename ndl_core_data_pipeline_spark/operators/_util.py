@@ -46,8 +46,10 @@ def round6_det(col: Column) -> Column:
 
 
 def sql_r6(x: str) -> str:
-    """DuckDB form of round6_det."""
-    return f"FLOOR({x} * 1000000.0 + 0.5) / 1000000.0"
+    """DuckDB form of round6_det. The argument is parenthesized so
+    low-precedence expressions ('a - b') cannot silently bind as
+    a - (b * 1000000.0) — callers need not pre-wrap."""
+    return f"FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
 
 def dsum(col: Column, alias: str, dec: str = DEC) -> Column:

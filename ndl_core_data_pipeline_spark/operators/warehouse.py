@@ -697,10 +697,23 @@ def profile_columns(df: DataFrame, profiled: dict) -> DataFrame:
             )
         ).alias("entropy_nats"),
     )
-    # registration order of profiled columns, not grouped-key order
-    order = F.array(*[F.lit(c) for c in profiled])
-    return out.orderBy(F.array_position(order, F.col("column_name"))).select(
-        "column_name", "n_rows", "n_null", "n_distinct", "entropy_nats"
+    # an empty input melts to zero rows and would otherwise profile to an
+    # empty frame; anchor on the literal column list so every profiled
+    # column always emits a row (all-zero on empty input), matching the
+    # old per-column-global-agg behavior — and keeping registration order
+    names = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(profiled)], "_ord int, column_name string"
+    )
+    return (
+        names.join(F.broadcast(out), "column_name", "left")
+        .orderBy("_ord")
+        .select(
+            "column_name",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.col("n_null"), F.lit(0)).cast("bigint").alias("n_null"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct"),
+            F.coalesce(F.col("entropy_nats"), F.lit(0.0)).alias("entropy_nats"),
+        )
     )
 
 

@@ -4,6 +4,8 @@ CORRECTNESS_r*.json records rather than a hand-kept list."""
 
 from __future__ import annotations
 
+import pytest
+
 from ndl_core_data_pipeline_spark import contract
 
 
@@ -74,8 +76,6 @@ def test_steady_state_window_is_exactly_the_50_stalest():
     stalest oracle-backed queries. The rotation silently mis-allocated
     slots twice (r6 defer list, r7 stale pins); this pins the steady
     state structurally so a stray pin or starved query fails loudly."""
-    import pytest
-
     reg = contract.build_registry()
     last = contract._last_green_rounds()
     backed = [n for n in reg.queries if n in reg.oracles]
@@ -84,11 +84,11 @@ def test_steady_state_window_is_exactly_the_50_stalest():
         pytest.skip("not steady state: pins or never-checked queries present")
     window = backed[:50]
     boundary = max(last[n] for n in window)
-    # every query strictly staler than the window boundary holds a slot...
+    # every query strictly staler than the window boundary holds a slot
+    # (equivalently: nothing at/under the boundary was displaced by a
+    # fresher query — one containment check pins the whole composition)
     must_include = {n for n in backed if last[n] < boundary}
     assert must_include <= set(window)
-    # ...and nothing fresher than the boundary displaced a boundary query
-    assert all(last[n] >= boundary for n in backed[50:])
 
 
 def test_every_query_has_oracle_or_is_declared():

@@ -86,19 +86,36 @@ def test_no_hugeint_or_decimal_in_oracle_projections(sf_small):
 
 
 def test_r6_rounding_form_is_canonical():
-    """Every deterministic-rounding occurrence in an oracle must be the
-    exact sql_r6 form FLOOR(x * 1000000.0 + 0.5) / 1000000.0 (ADVICE r8:
-    hand-copied forms can drift from round6_det). The three files the
-    advice named now build these via sql_r6; remaining inline sites are
-    pinned textually here so a scale or half-offset edit in one place
-    fails loudly."""
+    """Inline r6-rounding sites must match the sql_r6 form
+    FLOOR(x * 1000000.0 + 0.5) / 1000000.0 exactly (ADVICE r8:
+    hand-copied forms can drift from round6_det). Drift classes caught:
+    offset edits (`+ 0.4`), a drifted denominator after the canonical
+    multiplier, a drifted multiplier before the canonical tail, and
+    CEIL/ROUND directly substituted for FLOOR around the scale.
+    Out of scope: editing BOTH constants symmetrically (no textual
+    anchor survives), and other-scale rounding families (pagerank's
+    round-10, bm25/bigram additive smoothing) which carry their own
+    value-level parity tests."""
     canonical = re.compile(r"\*\s*1000000\.0\s*\+\s*0\.5\s*\)\s*/\s*1000000\.0")
+    half_tail = re.compile(r"\+\s*0\.5\s*\)\s*/\s*1000000\.0")
+    wrong_fn = re.compile(r"\b(CEIL\w*|ROUND)\s*\([^()]*\*\s*1000000\.0")
     for name, sql in ORACLES.items():
-        n_marker = sql.count("1000000.0 + 0.5")
-        n_canonical = len(canonical.findall(sql))
-        assert n_marker == n_canonical, (
-            f"{name}: {n_marker - n_canonical} rounding site(s) deviate "
-            "from the sql_r6 form FLOOR(x * 1000000.0 + 0.5) / 1000000.0"
+        # every `* 1000000.0 +` begins the full canonical tail
+        n_mult = len(re.findall(r"\*\s*1000000\.0\s*\+", sql))
+        assert n_mult == len(canonical.findall(sql)), (
+            f"{name}: a `* 1000000.0 +` site deviates from the sql_r6 "
+            "form FLOOR(x * 1000000.0 + 0.5) / 1000000.0"
+        )
+        # every `+ 0.5) / 1000000.0` tail is preceded by the canonical
+        # multiplier (catches a drifted multiplier like `* 100000.0`)
+        for m in half_tail.finditer(sql):
+            head = sql[max(0, m.start() - 32):m.start()]
+            assert re.search(r"\*\s*1000000\.0\s*$", head), (
+                f"{name}: half-rounding tail at char {m.start()} lacks "
+                "the canonical * 1000000.0 multiplier"
+            )
+        assert not wrong_fn.search(sql), (
+            f"{name}: CEIL/ROUND wraps the r6 scale — use FLOOR via sql_r6"
         )
 
 

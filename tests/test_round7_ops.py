@@ -410,6 +410,12 @@ def test_profile_columns_nulls_and_entropy_exact(spark):
     assert (got["c2"]["n_rows"], got["c2"]["n_null"], got["c2"]["n_distinct"]) == (5, 2, 1)
     assert got["c2"]["entropy_nats"] == pytest.approx(entropy([3], 5), abs=1e-6)
 
+    # an EMPTY input still profiles to one all-zero row per column (the
+    # melt produces no rows; the literal column-name anchor fills them in)
+    empty = spark.createDataFrame([], "c1 string, c2 string")
+    rows = profile_columns(empty, {"c1": F.col("c1"), "c2": F.col("c2")}).collect()
+    assert [tuple(r) for r in rows] == [("c1", 0, 0, 0, 0.0), ("c2", 0, 0, 0, 0.0)]
+
 
 def test_profile_entropy_bounded_by_log_ndv(spark, sf_small):
     import math

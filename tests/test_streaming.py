@@ -414,7 +414,12 @@ def test_debounced_stream_matches_batch(spark, tmp_path, sf_small):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout WITHOUT raising — a
+        # slow host must fail here, not on a partial-data value diff
+        assert q.awaitTermination(120), "debounce stream did not finish"
+    finally:
+        q.stop()
     key = lambda r: (  # noqa: E731
         r["user_id"], r["event_type"], r["burst_start"],
         r["burst_n"], round(r["burst_value"], 6),
