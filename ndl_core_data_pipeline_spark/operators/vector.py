@@ -1203,11 +1203,13 @@ def ann_recall_report(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     cents = _centroid_arrays(emb).cache()
-    queries = F.broadcast(
-        emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-        )
+    # broadcast at the crossJoin USE sites, not at definition: this
+    # relation is also the preserved side of the final left joins, where
+    # a broadcast hint is unsupported and Spark silently ignores it
+    # (HintErrorLogger warned on every run)
+    queries = emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
     )
     cos = _dot(F.col("embedding"), F.col("q_emb")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_emb"))
@@ -1216,7 +1218,7 @@ def ann_recall_report(spark, sf_dir):
     # it so the corpus-wide cosine scan runs once (cents is cheap; this
     # is the expensive side)
     scored = (
-        emb.crossJoin(queries)
+        emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", round6_det(cos).alias("cos_sim"))
         .cache()
@@ -1228,7 +1230,7 @@ def ann_recall_report(spark, sf_dir):
         .select("query_id", "vec_id")
     )
     probed = (
-        cents.crossJoin(queries)
+        cents.crossJoin(F.broadcast(queries))
         .select(
             "query_id",
             "cell_id",
@@ -1267,8 +1269,8 @@ def ann_recall_report(spark, sf_dir):
     # must not drop
     return (
         queries.select("query_id")
-        .join(n_cand, "query_id", "left")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(n_cand), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_candidates"), F.lit(0))
