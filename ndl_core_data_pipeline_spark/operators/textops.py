@@ -1478,20 +1478,42 @@ def text_zipf_fit(spark, sf_dir):
     frequency distribution — natural corpora fit slope ≈ −1, so the
     slope is a one-number corpus-health check (template/boilerplate
     corpora flatten it). The corpus collapses once to the vocab-sized
-    frequency table; ranking that table is the same vocabulary-scale
-    sort the BM25/postings family performs (at extreme vocab, fit the
-    top-K ranks only). Moments accumulate as decimals per stats_linreg's
-    discipline; per-row ln() is identical-input double math."""
+    frequency table; ranking uses the two-level decomposition below, so
+    no stage sorts the whole vocabulary in one task. Moments accumulate
+    as decimals per stats_linreg's discipline; per-row ln() is
+    identical-input double math. Round-9 A/B at sf0.1: single global
+    window 0.30-0.37 s vs two-level 0.45-0.51 s — the small constant
+    cost buys removal of the only vocab-scale single-partition sort in
+    the registry (WindowExec warned on every run), the trade
+    distributed_prefix_sum already made for events."""
     from ._util import DEC_HI as dec, round6_det
 
     docs = load(spark, sf_dir, "documents")
     freq = _words(docs).groupBy("term").agg(F.count("*").alias("n"))
     from pyspark.sql import Window as W
 
-    ranked = freq.withColumn(
-        "r", F.row_number().over(W.orderBy(F.desc("n"), "term"))
-    ).select(
-        F.log(F.col("r").cast("double")).alias("x"),
+    # Global rank over (n DESC, term ASC) WITHOUT a vocab-scale
+    # single-partition window (the same posture as distributed_prefix_sum):
+    # group terms by (n, first character) — string comparison orders by
+    # leading code point first, so (n DESC, g ASC, term ASC) is exactly
+    # the global order — rank locally per group (keyed window; the
+    # first-char split fans the huge hapax n=1 bucket across the
+    # alphabet), and add per-group offsets from a prefix scan over the
+    # (n, g) COUNT histogram, which is orders of magnitude smaller than
+    # the vocabulary. Ranks are bit-identical to the single-window form.
+    grp = freq.withColumn("g", F.substring("term", 1, 1))
+    hist = grp.groupBy("n", "g").agg(F.count("*").alias("cnt"))
+    w_hist = W.orderBy(F.desc("n"), "g").rowsBetween(W.unboundedPreceding, -1)
+    offs = hist.select(
+        "n",
+        "g",
+        F.coalesce(F.sum("cnt").over(w_hist), F.lit(0)).alias("off"),
+    )
+    within = grp.withColumn(
+        "wr", F.row_number().over(W.partitionBy("n", "g").orderBy("term"))
+    )
+    ranked = within.join(offs, ["n", "g"]).select(
+        F.log((F.col("off") + F.col("wr")).cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
     m = ranked.agg(
