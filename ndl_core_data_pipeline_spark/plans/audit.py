@@ -36,14 +36,29 @@ def audit_plan(df: DataFrame) -> list[str]:
     warnings: list[str] = []
     if "CartesianProduct" in plan:
         warnings.append("CartesianProduct: unconditional n×m join — add a join key or broadcast")
-    if "BroadcastNestedLoopJoin" in plan and "Inner" not in plan.split("BroadcastNestedLoopJoin")[1][:60]:
+    # read the join type from each node's Arguments detail section (the
+    # tree line alone never carries it). An INNER BroadcastNestedLoopJoin
+    # is the designed broadcast-crossJoin shape (tiny side replicated,
+    # e.g. a one-row total or a K×dim centroid table) — flag only the
+    # outer/semi variants, where the stream side re-scans the broadcast
+    # per row with no early-out.
+    bnlj_args = _re.findall(
+        r"\) BroadcastNestedLoopJoin\s*\nArguments: ([^\n]*)", plan
+    )
+    if any("Inner" not in a and "Cross" not in a for a in bnlj_args):
         warnings.append("BroadcastNestedLoopJoin: non-equi join replicated per row")
     if "Scan parquet" in plan and "PushedFilters: []" in plan and "Filter" in plan:
         warnings.append(
             "Filter present but no PushedFilters on a parquet scan — "
             "predicate not reaching storage (cast/UDF in the predicate?)"
         )
-    if "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan:
+    # full-outer preserves both sides, so neither can broadcast — a
+    # sort-merge FullOuter is the correct strategy, not a missed hint
+    smj_args = _re.findall(r"\) SortMergeJoin\s*\nArguments: ([^\n]*)", plan)
+    if (
+        any("FullOuter" not in a for a in smj_args)
+        and "BroadcastHashJoin" not in plan
+    ):
         warnings.append(
             "only sort-merge joins — if one side is a dimension, broadcast() it"
         )

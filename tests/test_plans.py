@@ -794,3 +794,20 @@ def test_hll_merge_partial_max(spark, sf_small):
     plan = plan_of(spark, "agg_hll_merge", sf_small)
     assert "partial_max" in plan  # register folds map-side combined
     assert "CartesianProduct" not in plan
+
+
+def test_registry_wide_plan_audit_clean(spark, sf_small):
+    """Round-9 closure of the plan-audit loop: audit_plan flags ZERO scale
+    risks across every registered query — no cartesian products, no
+    outer/semi nested-loop joins, no pushdown-less filtered parquet scans,
+    no broadcast-less SMJ-only plans (full-outer exempt: neither side of a
+    preserved-both join can broadcast), no combiner-less aggregations.
+    Per-query tests above pin specific shapes; this sweep pins the floor
+    for queries added later. Plans only — nothing executes."""
+    from collections import defaultdict
+
+    flagged = defaultdict(list)
+    for name, fn in QUERIES.items():
+        for w in audit_plan(fn(spark, sf_small)):
+            flagged[name].append(w)
+    assert not flagged, dict(flagged)
