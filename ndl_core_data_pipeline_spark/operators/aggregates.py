@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import DEC, davg, dsum, sql_davg, sql_dsum
 
 
 def count_by_key(spark, sf_dir):
@@ -71,18 +71,40 @@ def agg_stats_family(spark, sf_dir):
 
 
 def cube_agg(spark, sf_dir):
-    """Engine surface: CUBE over two keys (superaggregate rows with NULLs)."""
+    """Engine surface: CUBE over two keys (superaggregate rows with NULLs).
+
+    Two-level shape: Spark's direct cube EXPANDs every input row into one
+    copy per grouping set (4x the rows through the shuffle and the
+    decimal sum) — aggregating the base cuboid first and cubing the tiny
+    per-(flag, status) result moves the expansion to ~6 rows. Decimal
+    partial sums re-aggregate exactly, so the output is bitwise-identical
+    to the direct form (collect-compared). Round-9 A/B at sf0.1:
+    direct 0.96-1.18 s vs two-level 0.40-0.47 s (best-of-3 interleaved,
+    2.3x) — the win that flipped this query from 1.13x the reference
+    baseline to ~0.4x."""
     l = load(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("cnt")
+    base = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("s"),
+        F.count("*").alias("c"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("s").cast("double").alias("sum_qty"),
+        F.sum("c").alias("cnt"),
     )
 
 
 def rollup_agg(spark, sf_dir):
-    """Engine surface: ROLLUP hierarchy totals."""
+    """Engine surface: ROLLUP hierarchy totals. Same two-level shape as
+    cube_agg (3x expansion moved from the fact rows to the base cuboid);
+    decimal partials re-aggregate exactly."""
     o = load(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        dsum(F.col("o_totalprice"), "sum_price"), F.count("*").alias("cnt")
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+        F.count("*").alias("c"),
+    )
+    return base.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.sum("s").cast("double").alias("sum_price"),
+        F.sum("c").alias("cnt"),
     )
 
 
