@@ -150,12 +150,18 @@ def pivot_agg(spark, sf_dir):
 def grouping_sets_agg(spark, sf_dir):
     """Engine surface: GROUPING SETS — the general form cube/rollup
     specialize; expressed in SQL since the DataFrame API has no direct
-    grouping-sets builder."""
+    grouping-sets builder. Same two-level shape as cube_agg: the fact
+    rows aggregate once to the base cuboid, and only that handful of
+    rows expands per grouping set (decimal partials re-aggregate
+    exactly)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
+        "WITH base AS (SELECT o_orderstatus, o_orderpriority, "
+        "SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s, COUNT(*) AS c "
+        "FROM orders_v GROUP BY o_orderstatus, o_orderpriority) "
         "SELECT o_orderstatus, o_orderpriority, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price, "
-        "COUNT(*) AS cnt FROM orders_v "
+        "CAST(SUM(s) AS DOUBLE) AS sum_price, "
+        "SUM(c) AS cnt FROM base "
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
     )
 
