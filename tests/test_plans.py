@@ -796,6 +796,24 @@ def test_hll_merge_partial_max(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_cube_expands_base_cuboid_not_fact_rows(spark, sf_small):
+    """Round-9 two-level cube/rollup: the Expand node (one copy of its
+    input per grouping set) must sit ABOVE the base aggregation, so only
+    the tiny cuboid multiplies — a regression to the direct form would
+    put Expand right over the scan and push the fact table through the
+    shuffle once per grouping set."""
+    for name in ("agg_cube", "agg_rollup", "agg_grouping_sets"):
+        plan = plan_of(spark, name, sf_small)
+        assert "Expand" in plan, name
+        # formatted plans list the tree root-first: the scan-side partial
+        # aggregate must appear BELOW (after) the Expand line, i.e. the
+        # expand consumes an aggregate, not the scan
+        first_expand = plan.index("Expand")
+        scan = plan.index("Scan parquet")
+        agg_before_expand = "HashAggregate" in plan[first_expand:scan]
+        assert agg_before_expand, f"{name}: Expand feeds on raw scan rows"
+
+
 def test_registry_wide_plan_audit_clean(spark, sf_small):
     """Round-9 closure of the plan-audit loop: audit_plan flags ZERO scale
     risks across every registered query — no cartesian products, no
