@@ -548,12 +548,16 @@ def chi_square_independence(spark, sf_dir):
     The contingency table is |flags|×|statuses| rows; everything after
     the first keyed count is broadcast-sized."""
     l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    # one counting pass: marginals and total re-aggregate exactly from
+    # the checkpointed contingency table (same cut as
+    # mutual_information — previously four independent counting subtrees
+    # scanned the fact table once each)
     cells = l.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("o")
-    )
-    row_tot = l.groupBy("l_returnflag").agg(F.count("*").alias("rt"))
-    col_tot = l.groupBy("l_linestatus").agg(F.count("*").alias("ct"))
-    n_tot = l.groupBy().agg(F.count("*").alias("n"))
+    ).localCheckpoint(eager=True)
+    row_tot = cells.groupBy("l_returnflag").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("l_linestatus").agg(F.sum("o").alias("ct"))
+    n_tot = cells.groupBy().agg(F.sum("o").alias("n"))
     joined = (
         cells.join(F.broadcast(row_tot), "l_returnflag")
         .join(F.broadcast(col_tot), "l_linestatus")
@@ -719,12 +723,18 @@ def mutual_information(spark, sf_dir):
     from ._util import round6_det
 
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
-    nrow = F.broadcast(o.agg(F.count("*").cast("double").alias("n")))
-    na = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_a"))
-    nb = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_b"))
+    # ONE counting pass: the G×H contingency table is the sufficient
+    # statistic — both marginals and the grand total re-aggregate from it
+    # exactly (integer sums). Checkpointing the ≤ G·H-row table means the
+    # fact table is scanned once, where the four independent counting
+    # subtrees previously scanned it 8× across their consumers (round-9
+    # multi-scan sweep).
     nab = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n_ab")
-    )
+    ).localCheckpoint(eager=True)
+    nrow = F.broadcast(nab.agg(F.sum("n_ab").cast("double").alias("n")))
+    na = nab.groupBy("o_orderpriority").agg(F.sum("n_ab").alias("n_a"))
+    nb = nab.groupBy("o_orderstatus").agg(F.sum("n_ab").alias("n_b"))
     cells = (
         nab.join(F.broadcast(na), "o_orderpriority")
         .join(F.broadcast(nb), "o_orderstatus")

@@ -275,8 +275,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the basket-affinity graph (edges = part pairs
     frequently co-ordered, from aggregates.frequent_pairs), computed with
     degree orientation so per-key wedge work is arboricity-bounded — see
-    _triangle_count_from_edges. Output: one row (n_edges, n_triangles)."""
-    return _triangle_count_from_edges(_affinity_edges(spark, sf_dir))
+    _triangle_count_from_edges. Output: one row (n_edges, n_triangles).
+
+    The edge list is localCheckpointed once (the same cut graph_pagerank
+    makes): the co-order derivation feeds FIVE consumers in the wedge
+    plan (degrees, both wedge sides, the closing edge, n_edges), and
+    without the cut each re-derived it from lineitem — 16 fact-table
+    scans in one plan. Round-9 A/B at sf0.1, best-of-3 interleaved:
+    2.36-2.61 s direct vs 2.03-2.15 s cut, identical output; at 100 TB
+    the win is the 15 saved fact scans, not the 20%."""
+    e = _affinity_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return _triangle_count_from_edges(e)
 
 
 def _triangle_sql() -> str:
