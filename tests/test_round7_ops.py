@@ -602,3 +602,32 @@ def test_diff_snapshots_null_key_and_dotted_columns(spark):
     out = diff_snapshots(old2, new2, "the.key", ["a.b"]).collect()
     assert len(out) == 1
     assert out[0]["op"] == "changed" and out[0]["changed_cols"] == ["a.b"]
+
+
+def test_two_level_cube_equals_direct_with_null_keys(spark):
+    """Guard for the round-9 base-cuboid cube/rollup shape: the two-level
+    form must equal Spark's direct cube INCLUDING when group keys contain
+    real NULLs (data-NULL rows fold into the same output groups as the
+    superaggregate NULLs in both forms — pin it rather than reason about
+    it)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", None, 2.0), (None, "x", 4.0),
+         (None, None, 8.0), ("b", "x", 16.0)],
+        "k1 string, k2 string, v double",
+    )
+    direct = (
+        df.cube("k1", "k2")
+        .agg(F.sum(F.col("v").cast("decimal(25,6)")).cast("double").alias("s"),
+             F.count("*").alias("c"))
+    )
+    base = df.groupBy("k1", "k2").agg(
+        F.sum(F.col("v").cast("decimal(25,6)")).alias("s0"),
+        F.count("*").alias("c0"),
+    )
+    two = base.cube("k1", "k2").agg(
+        F.sum("s0").cast("double").alias("s"), F.sum("c0").alias("c")
+    )
+    key = lambda r: (r["k1"] or "", r["k2"] or "", r["s"], r["c"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, two.collect()))
