@@ -29,23 +29,38 @@ def explain_formatted(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _join_types(plan: str, node: str) -> list[str]:
+    """Join types of every `node` occurrence, read from the 'Join type:'
+    line inside each node's detail block ('(9) SortMergeJoin' followed by
+    key lines, then 'Join type: Inner'). Join nodes never print an
+    Arguments: section — pinned by test_audit_join_type_parsing."""
+    return _re.findall(
+        rf"\(\d+\) {node}\n(?:[^\n]+\n){{0,4}}?Join type: (\w+)", plan
+    )
+
+
 def audit_plan(df: DataFrame) -> list[str]:
     """Return scale-risk warnings for a DataFrame's physical plan (empty =
-    nothing flagged). Heuristic, read-only, cheap — no execution."""
+    nothing flagged). Heuristic and read-only: the audit itself only
+    formats the plan. NB: a handful of registry query BUILDERS execute
+    eagerly while constructing their DataFrame (localCheckpoint of a
+    small shared table in triangles/chi²/MI/IVF-PQ/PageRank, the
+    size-adaptive probes in bpe/dedup) — auditing an already-built
+    DataFrame is always free; building one may not be."""
     plan = explain_formatted(df)
     warnings: list[str] = []
     if "CartesianProduct" in plan:
         warnings.append("CartesianProduct: unconditional n×m join — add a join key or broadcast")
-    # read the join type from each node's Arguments detail section (the
-    # tree line alone never carries it). An INNER BroadcastNestedLoopJoin
-    # is the designed broadcast-crossJoin shape (tiny side replicated,
-    # e.g. a one-row total or a K×dim centroid table) — flag only the
-    # outer/semi variants, where the stream side re-scans the broadcast
-    # per row with no early-out.
-    bnlj_args = _re.findall(
-        r"\) BroadcastNestedLoopJoin\s*\nArguments: ([^\n]*)", plan
-    )
-    if any("Inner" not in a and "Cross" not in a for a in bnlj_args):
+    # read each join node's type from its "Join type:" detail line (join
+    # nodes print that, not an Arguments: section — pinned by
+    # test_audit_join_type_parsing so a Spark format change fails loudly
+    # instead of silently disabling these checks). An INNER/CROSS
+    # BroadcastNestedLoopJoin is the designed broadcast-crossJoin shape
+    # (tiny side replicated, e.g. a one-row total or a K×dim centroid
+    # table) — flag only the outer/semi variants, where the stream side
+    # re-scans the broadcast per row with no early-out.
+    bnlj_types = _join_types(plan, "BroadcastNestedLoopJoin")
+    if any(t not in ("Inner", "Cross") for t in bnlj_types):
         warnings.append("BroadcastNestedLoopJoin: non-equi join replicated per row")
     if "Scan parquet" in plan and "PushedFilters: []" in plan and "Filter" in plan:
         warnings.append(
@@ -54,9 +69,9 @@ def audit_plan(df: DataFrame) -> list[str]:
         )
     # full-outer preserves both sides, so neither can broadcast — a
     # sort-merge FullOuter is the correct strategy, not a missed hint
-    smj_args = _re.findall(r"\) SortMergeJoin\s*\nArguments: ([^\n]*)", plan)
+    smj_types = _join_types(plan, "SortMergeJoin")
     if (
-        any("FullOuter" not in a for a in smj_args)
+        any(t != "FullOuter" for t in smj_types)
         and "BroadcastHashJoin" not in plan
     ):
         warnings.append(

@@ -121,6 +121,31 @@ def test_audit_flags_cartesian(spark, sf_small):
                for w in audit_plan(bad)) or "Broadcast" in explain_formatted(bad)
 
 
+def test_audit_join_type_parsing(spark):
+    """Round-9 review: the join checks once matched a detail syntax
+    ('Arguments:') that join nodes never print, making both silently
+    dead — the registry 'audits clean' because nothing could fire. Pin
+    each check's POSITIVE direction against real plans so a Spark
+    formatted-explain change disables them loudly."""
+    a = spark.range(50).withColumnRenamed("id", "k")
+    b = spark.range(50).withColumnRenamed("id", "k2")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj_only = a.join(b, a.k == b.k2)  # missed-broadcast shape
+        assert any("sort-merge" in w for w in audit_plan(smj_only))
+        full_outer = a.join(b, a.k == b.k2, "full_outer")  # exempt
+        assert not any("sort-merge" in w for w in audit_plan(full_outer))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    outer_bnlj = a.join(F.broadcast(b), a.k < b.k2, "left")
+    assert any("BroadcastNestedLoopJoin" in w for w in audit_plan(outer_bnlj))
+    inner_bnlj = a.join(F.broadcast(b), a.k < b.k2)  # designed shape
+    assert not any(
+        "BroadcastNestedLoopJoin" in w for w in audit_plan(inner_bnlj)
+    )
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
     # co-located join: both sides bucketed on the key → SortMergeJoin with
     # NO Exchange in the plan (the 100 TB repeated-join strategy: shuffle
@@ -821,7 +846,10 @@ def test_registry_wide_plan_audit_clean(spark, sf_small):
     no broadcast-less SMJ-only plans (full-outer exempt: neither side of a
     preserved-both join can broadcast), no combiner-less aggregations.
     Per-query tests above pin specific shapes; this sweep pins the floor
-    for queries added later. Plans only — nothing executes."""
+    for queries added later. The audit reads plans only, but a few query
+    BUILDERS run real jobs while constructing their DataFrame (eager
+    localCheckpoints in triangles/chi²/MI, size-adaptive probes), so the
+    sweep is plan-only in what it checks, not free in what it builds."""
     from collections import defaultdict
 
     flagged = defaultdict(list)
