@@ -306,6 +306,53 @@ def debounced_stream(stream: DataFrame, gap_us: int | None = None) -> DataFrame:
     )
 
 
+def markov_pairs_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of operators/eventwindows.events_markov_transitions:
+    emit one row per observed within-user (prev_type → next_type)
+    transition, with each user's LAST event carried across micro-batches
+    in GroupState — so a sequence split over many batches chains exactly
+    as the batch lag() window chains it. Rows within a batch apply in
+    (ts, event_id) order (concat all Arrow chunks, sort once — the
+    stateful_funnel chunk-boundary lesson); like the funnel, in-order
+    streams reproduce the batch operator exactly, and the count/
+    normalize rollup stays a downstream batch aggregation over the
+    emitted pairs (one stateful operator per query)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last_us, last_eid, last_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        prevs: list[str] = []
+        nexts: list[str] = []
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts, eid, etype in zip(
+                batch["ts"], batch["event_id"], batch["event_type"]
+            ):
+                if last_type is not None:
+                    prevs.append(last_type)
+                    nexts.append(etype)
+                last_us = int(pd.Timestamp(ts).value // 1000)
+                last_eid = int(eid)
+                last_type = etype
+        state.update((last_us, last_eid, last_type))
+        if prevs:
+            yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="prev_type STRING, next_type STRING",
+        stateStructType="last_us BIGINT, last_eid BIGINT, last_type STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_funnel(stream: DataFrame) -> DataFrame:
     """Streaming form of the batch `events_funnel_steps` operator: a
     per-user view→click→purchase stage machine carried across

@@ -432,3 +432,63 @@ def test_debounced_stream_matches_batch(spark, tmp_path, sf_small):
         .collect()
     )
     assert got and got == want
+
+
+def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
+    """Cross-batch state parity: events land time-split across TWO files
+    consumed one per micro-batch; the per-user last-event state must
+    chain transitions over the batch boundary so the aggregated pairs
+    equal the batch events_markov_transitions counts exactly."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.eventwindows import (
+        events_markov_transitions,
+    )
+    from ndl_core_data_pipeline_spark.streaming.jobs import markov_pairs_stream
+
+    ev = load(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()["c"]
+    src = tmp_path / "markov_src"
+    src.mkdir()
+    # time-ordered files: batch 1 = first half, batch 2 = second half, so
+    # cross-batch arrival order matches event-time order (the documented
+    # in-order contract, same as stateful_funnel)
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        markov_pairs_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("markov_pairs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "markov stream did not finish"
+    finally:
+        q.stop()
+    assert q.lastProgress is not None
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n FROM markov_pairs "
+            "GROUP BY prev_type, next_type"
+        ).collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in events_markov_transitions(spark, sf_small).collect()
+    }
+    assert got and got == want
