@@ -59,6 +59,17 @@ def audit_plan(df: DataFrame) -> list[str]:
     # (tiny side replicated, e.g. a one-row total or a K×dim centroid
     # table) — flag only the outer/semi variants, where the stream side
     # re-scans the broadcast per row with no early-out.
+    for node in ("BroadcastNestedLoopJoin", "SortMergeJoin"):
+        n_nodes = len(_re.findall(rf"\(\d+\) {node}\b", plan))
+        if n_nodes != len(_join_types(plan, node)):
+            # parse drift (a Spark version adding/reordering detail
+            # lines) must fail the audit loudly, not silently disable
+            # the join checks below (ADVICE r9; the pinning test covers
+            # current Spark, this covers the next one at audit time)
+            raise RuntimeError(
+                f"plan-audit parse drift: {n_nodes} {node} node(s) but "
+                f"{len(_join_types(plan, node))} 'Join type:' lines parsed"
+            )
     bnlj_types = _join_types(plan, "BroadcastNestedLoopJoin")
     if any(t not in ("Inner", "Cross") for t in bnlj_types):
         warnings.append("BroadcastNestedLoopJoin: non-equi join replicated per row")

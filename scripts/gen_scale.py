@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Synthesize a larger scale factor of the driver's test tables.
+
+The driver ships sf0.001/0.01/0.1 only (TESTDATA.md); the 100-TB posture
+of this engine rests on sf0.01->sf0.1 scaling ratios plus plan-shape
+arguments. This script converts that extrapolation into a measurement by
+generating an sf1-equivalent dataset (10x sf0.1 rows in every table)
+whose distributions are calibrated against the real sf0.1 parquet:
+
+- value columns (acctbal, totalprice, extendedprice, discount, tax,
+  event value, mktsegment, priority, ...) are EMPIRICALLY RESAMPLED from
+  sf0.1, so marginals match exactly;
+- key ranges scale linearly (customer 150k, part 200k, supplier 10k,
+  orders 1.5M) and lineitem keeps the measured lines-per-order
+  distribution (mean 4.08, max 17) and uniform (partkey, suppkey) pairs
+  (590,973 distinct pairs per 600k rows at sf0.1);
+- cross-column independence mirrors the driver's generator (measured:
+  corr(l_extendedprice, l_quantity) = 0.001, shipdate independent of
+  orderdate spanning the same 1995-2001 window);
+- documents keep the 30-word uniform vocab + the rare 'dup' token at the
+  same 5% doc incidence and ~0.16% planted exact-duplicate rate, with
+  10..100 words/doc — so minhash/simhash band-bucket densities scale the
+  way the driver's corpus would;
+- embeddings are unit-norm float32 dim-64 with uniform labels 0..9 (the
+  sf0.1 table has no cluster structure: per-label centroid norm 0.07 ~
+  1/sqrt(n), i.e. random directions).
+
+Deterministic (fixed rng seed). Writes parquet with the same column
+names/types as the driver tables. Never touches /root/testdata.
+
+Usage: python scripts/gen_scale.py --mult 10 --out .scale/sf1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "row",
+    "the", "agg", "key", "query", "a", "scan", "batch",
+]
+
+
+def _read_col(table: str, col: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(SRC, f"{table}.parquet"), columns=[col])
+    return t.column(col).to_numpy(zero_copy_only=False)
+
+
+def _resample(rng: np.random.Generator, vals: np.ndarray, n: int) -> np.ndarray:
+    return vals[rng.integers(0, len(vals), size=n)]
+
+
+def _write(out: str, name: str, cols: dict, schema_like: str | None = None) -> None:
+    """Write `cols` as parquet, casting to the sf0.1 schema of `name`."""
+    ref_schema = pq.read_schema(os.path.join(SRC, f"{schema_like or name}.parquet"))
+    arrays = []
+    for field in ref_schema:
+        arr = pa.array(cols[field.name])
+        if arr.type != field.type:
+            arr = arr.cast(field.type)
+        arrays.append(arr)
+    table = pa.Table.from_arrays(arrays, schema=ref_schema)
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    print(f"wrote {name}: {table.num_rows} rows")
+
+
+def gen(mult: int, out: str, seed: int = 4242) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+
+    # fixed dimensions: copy verbatim (region 5, nation 25 rows)
+    for t in ("region", "nation"):
+        pq.write_table(
+            pq.read_table(os.path.join(SRC, f"{t}.parquet")),
+            os.path.join(out, f"{t}.parquet"),
+        )
+
+    n_cust, n_supp, n_part = 15000 * mult, 1000 * mult, 20000 * mult
+    n_orders, n_events = 150000 * mult, 100000 * mult
+    n_docs, n_vecs = 5000 * mult, 2000 * mult
+
+    # --- customer ---
+    _write(out, "customer", {
+        "c_custkey": np.arange(n_cust),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 25, n_cust),
+        "c_acctbal": _resample(rng, _read_col("customer", "c_acctbal"), n_cust),
+        "c_mktsegment": _resample(rng, _read_col("customer", "c_mktsegment"), n_cust),
+    })
+
+    # --- supplier ---
+    _write(out, "supplier", {
+        "s_suppkey": np.arange(n_supp),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 25, n_supp),
+        "s_acctbal": _resample(rng, _read_col("supplier", "s_acctbal"), n_supp),
+    })
+
+    # --- part ---
+    _write(out, "part", {
+        "p_partkey": np.arange(n_part),
+        "p_name": _resample(rng, _read_col("part", "p_name"), n_part),
+        "p_brand": _resample(rng, _read_col("part", "p_brand"), n_part),
+        "p_type": _resample(rng, _read_col("part", "p_type"), n_part),
+        "p_size": _resample(rng, _read_col("part", "p_size"), n_part),
+        "p_retailprice": _resample(rng, _read_col("part", "p_retailprice"), n_part),
+    })
+
+    # --- orders --- (dates uniform over the measured 1995-01..2001-08 span)
+    date_lo = np.datetime64("1995-01-01")
+    date_hi = np.datetime64("2001-08-02")
+    span_days = int((date_hi - date_lo) / np.timedelta64(1, "D"))
+    o_dates = date_lo + rng.integers(0, span_days, n_orders).astype("timedelta64[D]")
+    _write(out, "orders", {
+        "o_orderkey": np.arange(n_orders),
+        "o_custkey": rng.integers(0, n_cust, n_orders),
+        "o_orderstatus": _resample(rng, _read_col("orders", "o_orderstatus"), n_orders),
+        "o_totalprice": _resample(rng, _read_col("orders", "o_totalprice"), n_orders),
+        "o_orderdate": o_dates.astype("datetime64[us]"),
+        "o_orderpriority": _resample(rng, _read_col("orders", "o_orderpriority"), n_orders),
+    })
+
+    # --- lineitem --- lines-per-order resampled from the sf0.1 empirical
+    # distribution (mean 4.08), orderkeys repeated accordingly.
+    lk = _read_col("lineitem", "l_orderkey")
+    _, per_order = np.unique(lk, return_counts=True)
+    counts = _resample(rng, per_order, n_orders)
+    l_orderkey = np.repeat(np.arange(n_orders), counts)
+    n_li = len(l_orderkey)
+    l_linenumber = np.concatenate([np.arange(1, c + 1) for c in counts])
+    ship_lo = np.datetime64("1995-01-02")
+    ship_span = int((np.datetime64("2001-11-05") - ship_lo) / np.timedelta64(1, "D"))
+    _write(out, "lineitem", {
+        "l_orderkey": l_orderkey,
+        "l_partkey": rng.integers(0, n_part, n_li),
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_linenumber": l_linenumber,
+        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+        "l_extendedprice": _resample(rng, _read_col("lineitem", "l_extendedprice"), n_li),
+        "l_discount": _resample(rng, _read_col("lineitem", "l_discount"), n_li),
+        "l_tax": _resample(rng, _read_col("lineitem", "l_tax"), n_li),
+        "l_returnflag": _resample(rng, _read_col("lineitem", "l_returnflag"), n_li),
+        "l_linestatus": _resample(rng, _read_col("lineitem", "l_linestatus"), n_li),
+        "l_shipdate": (ship_lo + rng.integers(0, ship_span, n_li).astype("timedelta64[D]")).astype("datetime64[us]"),
+    })
+
+    # --- events --- event_id ordered by ts (measured property), 30-day
+    # window, 10x users, value resampled (exponential-shaped, mean ~50).
+    n_users = 1500 * mult
+    ts_lo = np.datetime64("2024-01-01T00:00:00.000000")
+    ts_span_us = 30 * 86400 * 1_000_000
+    ts = np.sort(rng.integers(0, ts_span_us, n_events))
+    _write(out, "events", {
+        "event_id": np.arange(n_events),
+        "ts": (ts_lo + ts.astype("timedelta64[us]")),
+        "user_id": rng.integers(0, n_users, n_events),
+        "event_type": _resample(rng, _read_col("events", "event_type"), n_events),
+        "value": _resample(rng, _read_col("events", "value"), n_events),
+        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)],
+    })
+
+    # --- documents --- 30-word uniform vocab, 10..100 words, 5% of docs
+    # carry the rare 'dup' token, ~0.16% planted exact duplicates.
+    lengths = rng.integers(10, 101, n_docs)
+    langs = _resample(rng, _read_col("documents", "lang"), n_docs)
+    sources = _resample(rng, _read_col("documents", "source"), n_docs)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for i in range(n_docs):
+        words = vocab[rng.integers(0, len(vocab), lengths[i])]
+        if rng.random() < 0.05:
+            words = words.copy()
+            words[rng.integers(0, len(words))] = "dup"
+        texts.append(" ".join(words))
+    # plant exact duplicates at the measured sf0.1 rate (8 per 5000)
+    for _ in range(8 * mult):
+        texts[int(rng.integers(0, n_docs))] = texts[int(rng.integers(0, n_docs))]
+    _write(out, "documents", {
+        "doc_id": np.arange(n_docs),
+        "text": texts,
+        "lang": langs,
+        "source": sources,
+        "n_chars": np.array([len(t) for t in texts]),
+    })
+
+    # --- embeddings --- unit-norm float32 dim-64, uniform labels 0..9
+    X = rng.standard_normal((n_vecs, 64)).astype("float32")
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    _write(out, "embeddings", {
+        "vec_id": np.arange(n_vecs),
+        "embedding": list(X),
+        "label": rng.integers(0, 10, n_vecs),
+    })
+
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump({"mult": mult, "seed": seed, "base": SRC}, f)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10, help="row multiplier vs sf0.1")
+    ap.add_argument("--out", default=".scale/sf1")
+    ap.add_argument("--seed", type=int, default=4242)
+    args = ap.parse_args()
+    gen(args.mult, args.out, args.seed)

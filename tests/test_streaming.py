@@ -460,6 +460,15 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
     ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
         str(src / "b")
     )
+    # FileStreamSource orders same-trigger files by modification time;
+    # two writes landing in one mtime granule could flip batch order and
+    # violate the in-order contract this test exercises (ADVICE r9).
+    # Force b strictly after every a file.
+    import os as _os
+
+    newest_a = max(p.stat().st_mtime for p in (src / "a").iterdir())
+    for p in (src / "b").iterdir():
+        _os.utime(p, (p.stat().st_atime, max(p.stat().st_mtime, newest_a + 2)))
     stream = (
         spark.readStream.schema(
             "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
