@@ -161,9 +161,80 @@ def setup_ivf_probe(spark, sf_dir: str, tmp: str):
     return timed
 
 
+def setup_zip_scan(spark, sf_dir: str, tmp: str):
+    """Zip-archive table extraction micro-bench: 128 archives × 3 CSV/TSV
+    members × 200 rows, written once; the timed path is the distributed
+    member fan-out + row parse (binaryFile listing → mapInPandas)."""
+    import zipfile
+
+    from ndl_core_data_pipeline_spark.sources.archives import scan_zip_tables
+
+    corpus = os.path.join(tmp, "zip_corpus")
+    os.makedirs(corpus, exist_ok=True)
+    body_csv = "id,name,qty\n" + "\n".join(
+        f"{i},row{i},{i % 97}" for i in range(200)
+    )
+    body_tsv = "k\tv\n" + "\n".join(f"{i}\tval{i}" for i in range(200))
+    for a in range(128):
+        with zipfile.ZipFile(os.path.join(corpus, f"rel_{a:03d}.zip"), "w") as zf:
+            zf.writestr("a.csv", body_csv)
+            zf.writestr("sub/b.tsv", body_tsv)
+            zf.writestr(f"c_{a}.csv", body_csv)
+
+    def timed(spark, sf_dir):
+        return scan_zip_tables(spark, corpus)
+
+    return timed
+
+
+_DOCX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>'
+)
+
+
+def setup_docx_scan(spark, sf_dir: str, tmp: str):
+    """DOCX text-extraction micro-bench: 256 synthetic OOXML documents of
+    ~80 paragraphs each, written once; the timed path is the distributed
+    scan (binaryFile listing → mapInPandas stdlib-XML extraction)."""
+    import zipfile
+
+    from ndl_core_data_pipeline_spark.sources.docx import scan_docx
+
+    corpus = os.path.join(tmp, "docx_corpus")
+    os.makedirs(corpus, exist_ok=True)
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    for i in range(256):
+        paras = "".join(
+            f"<w:p><w:r><w:t>doc {i} paragraph {j} with several words"
+            "</w:t></w:r></w:p>"
+            for j in range(80)
+        )
+        doc = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:document xmlns:w="{ns}"><w:body>{paras}</w:body></w:document>'
+        )
+        with zipfile.ZipFile(os.path.join(corpus, f"doc_{i:04d}.docx"), "w") as zf:
+            zf.writestr("[Content_Types].xml", _DOCX_CT)
+            zf.writestr("word/document.xml", doc)
+
+    def timed(spark, sf_dir):
+        return scan_docx(spark, corpus)
+
+    return timed
+
+
 # build-once / probe-many entries: setup runs untimed, the returned
 # callable is what the reps measure
-SETUP_BENCH = {"vector_ivf_probe": setup_ivf_probe, "pdf_text_scan": setup_pdf_scan}
+SETUP_BENCH = {
+    "vector_ivf_probe": setup_ivf_probe,
+    "pdf_text_scan": setup_pdf_scan,
+    "zip_table_scan": setup_zip_scan,
+    "docx_text_scan": setup_docx_scan,
+}
 
 
 def main() -> None:

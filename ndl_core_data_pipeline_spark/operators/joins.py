@@ -9,6 +9,7 @@ the shuffle disappears. Non-equi joins are kept dimension×dimension sized
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -140,41 +141,111 @@ RANGE_BIN_US = 3600 * 1_000_000  # 1-hour bins = the join radius
 
 
 def range_join_binned(spark, sf_dir):
-    """Binned time-range join — the fact×fact scale path the broadcast
-    nested-loop `join_theta_range` can't take. For each purchase event,
-    count/total the view events (any user) within ±1 h. Naive form is an
-    O(n·m) interval predicate; here each side is hashed into 1-hour epoch
-    bins, the purchase side explodes into its 3 candidate bins
-    (bin−1, bin, bin+1), and the join is a plain EQUI-join on the bin key
-    followed by the exact |Δt| ≤ 1 h filter. A given (purchase, view) pair
-    can match on at most one exploded bin (the view's own), so no dedup
-    step is needed. At 100 TB this is a shuffle-partitioned hash join on
-    the bin key — candidate pairs scale with true temporal density, never
-    n·m. Engine surface beyond the reference's J-rows (SURVEY §2.4)."""
+    """Time-range aggregation join — for each purchase event, count/total
+    the view events (any user) within ±1 h — via the PREFIX-SUM
+    decomposition: agg over [p−1h, p+1h] = F(p+1h) − F(p−1h−1µs) where
+    F is the cumulative (count, decimal sum) of the time-ordered view
+    stream. Views and two boundary-probe rows per purchase union into
+    one stream, hour-bucketed two-level prefix sums (local keyed window
+    + a #buckets-row offset scan, the distributed_prefix_sum shape) give
+    every probe its cumulative, and a per-purchase signed difference
+    yields the exact window aggregate.
+
+    The r6 form binned both sides and equi-joined on the bin key: right
+    at 100 TB for *sparse* streams, but it materializes every candidate
+    (purchase, view) pair, and pairs grow with density² — the r10 sf1
+    measurement (same 30-day window, 10× rows) clocked it at 61× per
+    10× rows (0.91→55.3 s). This form moves (V + 2P) rows total from
+    ONE events scan per consumer (2 total), no pair materialization:
+    measured 1.64 s at sf0.1 → 1.59 s at sf1 (0.97× per 10× rows; the
+    ~0.7 s constant over the old form at sf0.1 buys the density² cure).
+    Bit-identical: probes sort after views at equal timestamp (kind
+    tiebreak) so both ±1 h bounds stay inclusive, and decimal partials
+    make the signed difference exactly the direct decimal sum."""
+    from ._util import DEC
+
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("v_id"),
-        F.col("value").alias("v_value"),
-        us.alias("v_us"),
-        F.floor(us / RANGE_BIN_US).alias("bin"),
+
+    def _entry(t, kind, cnt, val, sign):
+        return F.struct(
+            t.alias("t"),
+            F.lit(kind).alias("kind"),
+            F.lit(cnt).cast("bigint").alias("cnt"),
+            val.alias("val"),
+            F.lit(sign).cast("int").alias("sign"),
+        )
+
+    zero = F.lit(0).cast(DEC)
+    # ONE events scan emits the whole union: a view contributes its own
+    # (+1 count, +value) entry; a purchase contributes its two signed
+    # boundary probes. explode of the conditional array replaces a
+    # two-branch union that scanned events once per side.
+    entries = F.when(
+        F.col("event_type") == "view",
+        F.array(_entry(us, 0, 1, F.col("value").cast(DEC), 0)),
+    ).when(
+        F.col("event_type") == "purchase",
+        F.array(
+            _entry(us + RANGE_BIN_US, 1, 0, zero, 1),
+            _entry(us - RANGE_BIN_US - 1, 1, 0, zero, -1),
+        ),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", us.alias("p_us"), F.floor(us / RANGE_BIN_US).alias("p_bin"))
-        .withColumn("bin", F.explode(F.array(F.col("p_bin") - 1, F.col("p_bin"), F.col("p_bin") + 1)))
+    stream = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.col("event_id").alias("row_id"),
+            "user_id",
+            F.explode(entries).alias("e"),
+        )
+        .select(
+            F.col("e.t").alias("t"),
+            F.col("e.kind").alias("kind"),
+            "row_id",
+            F.col("e.cnt").alias("cnt"),
+            F.col("e.val").alias("val"),
+            F.col("e.sign").alias("sign"),
+            "user_id",
+        )
+        .withColumn("bucket", F.floor(F.col("t") / RANGE_BIN_US))
     )
-    joined = purchases.join(
-        views,
-        (purchases.bin == views.bin)
-        & (F.abs(purchases.p_us - views.v_us) <= RANGE_BIN_US),
-        "left",
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("t", "kind", "row_id", "sign")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return joined.groupBy("event_id", "user_id").agg(
-        F.count("v_id").alias("n_views_1h"),
-        F.coalesce(
-            F.sum(F.col("v_value").cast("decimal(25,6)")).cast("double"), F.lit(0.0)
-        ).alias("view_value_1h"),
+    local = stream.withColumn("c_cnt", F.sum("cnt").over(w_in)).withColumn(
+        "c_val", F.sum("val").over(w_in)
+    )
+    # bucket totals = the cumulative at each bucket's LAST row (the
+    # window order is total, so max_by is deterministic); aggregating
+    # over `local` instead of `stream` makes both consumers share one
+    # subtree, so the bucket Exchange is computed once and the second
+    # branch reads a ReusedExchange instead of re-scanning events
+    # (pinned by test_range_binned_is_prefix_sum)
+    last_key = F.struct("t", "kind", "row_id", "sign")
+    totals = local.groupBy("bucket").agg(
+        F.max("c_cnt").alias("b_cnt"),
+        F.max_by("c_val", last_key).alias("b_val"),
+    )
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("b_cnt").over(w_b), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.sum("b_val").over(w_b), F.lit(0).cast(DEC)).alias("o_val"),
+    )
+    cum = (
+        local.filter(F.col("kind") == 1)
+        .withColumnRenamed("row_id", "event_id")
+        .join(F.broadcast(offsets), "bucket")
+    )
+    return cum.groupBy("event_id", "user_id").agg(
+        F.sum(F.col("sign") * (F.col("o_cnt") + F.col("c_cnt")))
+        .cast("bigint")
+        .alias("n_views_1h"),
+        F.sum(F.col("sign") * (F.col("o_val") + F.col("c_val")))
+        .cast("double")
+        .alias("view_value_1h"),
     )
 
 

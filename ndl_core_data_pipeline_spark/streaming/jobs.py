@@ -353,6 +353,76 @@ def markov_pairs_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of operators/eventwindows.window_cusum_drift: emit
+    one row per event with its position `t` and exact running value
+    prefix `prefix_micro` (decimal micro-units) within the per-
+    event-type (ts, event_id)-ordered series, the ACCUMULATING-state
+    step up from the Markov twin's last-row carry — GroupState holds the
+    running (count, sum) pair and chains it across micro-batches.
+
+    The drift score itself needs the series mean μ, which no prefix of
+    the stream knows, so — one stateful operator per query, like the
+    Markov rollup — the μ join and max|S_t| reduction stay a downstream
+    batch aggregation over the emitted prefix table: S_t = prefix_micro
+    / 1e6 − t·μ. Exactness: each value is quantized to 6 dp HALF_UP
+    (Decimal), matching Spark's CAST(double AS DECIMAL(25,6)), and
+    accumulated as a plain int; |prefix_micro| stays under 2⁵³ for any
+    realistic partition, so the downstream double division reproduces
+    the batch operator's decimal→double cast bit-for-bit (pinned by
+    test_cusum_prefix_stream_matches_batch)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        t, sum_micro = state.get if state.exists else (0, 0)
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        ts_out, eid_out, t_out, pref_out = [], [], [], []
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            micro = Decimal("0.000001")
+            for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["value"]):
+                t += 1
+                sum_micro += int(
+                    Decimal(float(v)).quantize(micro, rounding=ROUND_HALF_UP)
+                    .scaleb(6)
+                )
+                ts_out.append(ts)
+                eid_out.append(int(eid))
+                t_out.append(t)
+                pref_out.append(sum_micro)
+        state.update((t, sum_micro))
+        if t_out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(t_out),
+                    "ts": ts_out,
+                    "event_id": eid_out,
+                    "t": t_out,
+                    "prefix_micro": pref_out,
+                }
+            )
+
+    return (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type STRING, ts TIMESTAMP, event_id BIGINT, "
+                "t BIGINT, prefix_micro BIGINT"
+            ),
+            stateStructType="t BIGINT, sum_micro BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_funnel(stream: DataFrame) -> DataFrame:
     """Streaming form of the batch `events_funnel_steps` operator: a
     per-user view→click→purchase stage machine carried across

@@ -297,15 +297,22 @@ def test_block_rewrite_no_self_join(spark, sf_small):
     assert plan.count("Location: InMemoryFileIndex") <= 2
 
 
-def test_range_binned_is_equi_join(spark, sf_small):
-    # the ±1 h interval join must ride the exploded bin EQUI-key — a plan
-    # that falls back to nested-loop over the interval predicate is the
-    # O(n·m) shape this operator exists to avoid
+def test_range_binned_is_prefix_sum(spark, sf_small):
+    # the ±1 h aggregate must ride the prefix-sum decomposition: NO join
+    # ever touches the view×purchase pair space (the r6 bin-equi-join
+    # materialized candidate pairs, which grow with temporal density² —
+    # 61x per 10x rows in the r10 sf1 measurement). The only join is the
+    # broadcast of the #buckets-row offset table; cumulative state moves
+    # through bucket-keyed windows.
     plan = plan_of(spark, "join_range_binned", sf_small)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
-    assert "partial_count" in plan  # map-side combine under the final agg
+    assert "SortMergeJoin" not in plan  # pair-space joins gone
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1  # offsets only
+    assert "Window" in plan  # bucket-keyed cumulative
+    assert "partial_sum" in plan  # map-side combine under the final agg
 
 
 def test_salted_join_spreads_key(spark, sf_small):

@@ -501,3 +501,94 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
         for r in events_markov_transitions(spark, sf_small).collect()
     }
     assert got and got == want
+
+
+def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
+    """Accumulating cross-batch state parity: events land time-split in
+    TWO files consumed one per micro-batch; the per-event-type running
+    (count, exact micro-unit sum) state must chain over the batch
+    boundary so the downstream μ-join drift rollup over the emitted
+    prefixes equals batch window_cusum_drift bit-for-bit."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.eventwindows import (
+        window_cusum_drift,
+    )
+    from ndl_core_data_pipeline_spark.streaming.jobs import cusum_prefix_stream
+
+    ev = load(spark, sf_small, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()["c"]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "b"))
+    # FileStreamSource orders same-trigger files by mtime: force b
+    # strictly after a so batch order matches event-time order
+    import os as _os
+
+    newest_a = max(p.stat().st_mtime for p in (src / "a").iterdir())
+    for p in (src / "b").iterdir():
+        _os.utime(p, (p.stat().st_atime, max(p.stat().st_mtime, newest_a + 2)))
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        cusum_prefix_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_prefix")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "cusum stream did not finish"
+    finally:
+        q.stop()
+    # downstream batch rollup over the emitted prefix table: identical
+    # arithmetic to the batch operator (double division of exact
+    # micro-units ≡ its decimal→double cast; same μ, same argmax)
+    from ndl_core_data_pipeline_spark.operators._util import DEC, round6_det
+
+    mu = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias(
+                "mu"
+            )
+        )
+    )
+    s = (
+        spark.sql("SELECT * FROM cusum_prefix")
+        .join(F.broadcast(mu), "event_type")
+        .withColumn(
+            "s_t", F.col("prefix_micro") / F.lit(1000000.0) - F.col("t") * F.col("mu")
+        )
+    )
+    from pyspark.sql import Window
+
+    flagged = s.withColumn(
+        "mx", F.max(F.abs("s_t")).over(Window.partitionBy("event_type"))
+    )
+    got = {
+        r["event_type"]: (r["n"], r["drift_max"], r["t_at_max"])
+        for r in flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round6_det(F.max(F.abs(F.col("s_t")))).alias("drift_max"),
+            F.min(F.when(F.abs("s_t") == F.col("mx"), F.col("t")))
+            .cast("bigint")
+            .alias("t_at_max"),
+        )
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["drift_max"], r["t_at_max"])
+        for r in window_cusum_drift(spark, sf_small).collect()
+    }
+    assert got and got == want
