@@ -29,13 +29,26 @@ def explain_formatted(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _node_headers(plan: str, node: str) -> list[str]:
+    """Detail-block headers for `node`: '(9) SortMergeJoin', optionally
+    suffixed ' [codegen id : 2]' once a plan (or a reused/cached query
+    stage inside it) has executed. Line-anchored: a cached input's
+    InMemoryRelation prints its stored plan's simple-string inside an
+    Arguments: line, where '*(5) SortMergeJoin ...' must not count as a
+    detail block (it has no 'Join type:' lines to parse)."""
+    return _re.findall(rf"(?m)^\(\d+\) {node}\b[^\n]*", plan)
+
+
 def _join_types(plan: str, node: str) -> list[str]:
     """Join types of every `node` occurrence, read from the 'Join type:'
     line inside each node's detail block ('(9) SortMergeJoin' followed by
     key lines, then 'Join type: Inner'). Join nodes never print an
-    Arguments: section — pinned by test_audit_join_type_parsing."""
+    Arguments: section; executed plans may suffix the header with
+    '[codegen id : N]' — both pinned by test_audit_join_type_parsing."""
     return _re.findall(
-        rf"\(\d+\) {node}\n(?:[^\n]+\n){{0,4}}?Join type: (\w+)", plan
+        rf"(?m)^\(\d+\) {node}(?: \[[^\]\n]*\])?\n(?:[^\n]+\n){{0,4}}?"
+        rf"Join type: (\w+)",
+        plan,
     )
 
 
@@ -60,7 +73,7 @@ def audit_plan(df: DataFrame) -> list[str]:
     # table) — flag only the outer/semi variants, where the stream side
     # re-scans the broadcast per row with no early-out.
     for node in ("BroadcastNestedLoopJoin", "SortMergeJoin"):
-        n_nodes = len(_re.findall(rf"\(\d+\) {node}\b", plan))
+        n_nodes = len(_node_headers(plan, node))
         if n_nodes != len(_join_types(plan, node)):
             # parse drift (a Spark version adding/reordering detail
             # lines) must fail the audit loudly, not silently disable
@@ -93,8 +106,8 @@ def audit_plan(df: DataFrame) -> list[str]:
     # there: a second HashAggregate node below the exchange. Flag only a
     # lone aggregate node fed by an exchange with no partial_ markers —
     # that shape ships raw rows through the shuffle.
-    n_agg_nodes = len(_re.findall(r"\(\d+\) HashAggregate", plan))
-    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    n_agg_nodes = len(_node_headers(plan, "HashAggregate"))
+    n_exchanges = len(_node_headers(plan, "Exchange"))
     if n_agg_nodes == 1 and n_exchanges >= 1 and "partial_" not in plan:
         warnings.append(
             "aggregation without map-side combine — shuffle carries raw rows"

@@ -146,6 +146,30 @@ def test_audit_join_type_parsing(spark):
     )
 
 
+def test_audit_join_header_forms():
+    """String-level pins for the two real detail-header forms plus the
+    cached-input false positive (caught by the r9 loud parse-drift check
+    in the r10 full suite): once a reused/cached query stage inside a
+    plan has executed, its join headers gain a ' [codegen id : N]'
+    suffix, and an InMemoryRelation input prints its stored plan's
+    simple-string inside an Arguments: line where '*(5) SortMergeJoin'
+    must count as neither a header nor a type."""
+    from ndl_core_data_pipeline_spark.plans.audit import (
+        _join_types,
+        _node_headers,
+    )
+
+    plain = "(9) SortMergeJoin\nLeft keys [1]: [k]\nRight keys [1]: [k2]\nJoin type: Inner\n"
+    codegen = "(76) BroadcastNestedLoopJoin [codegen id : 2]\nJoin type: Cross\nJoin condition: None\n"
+    embedded = "Arguments: [*(5) SortMergeJoin [k#1L], [k2#2L], Inner\n]\n"
+    assert _join_types(plain, "SortMergeJoin") == ["Inner"]
+    assert _join_types(codegen, "BroadcastNestedLoopJoin") == ["Cross"]
+    assert len(_node_headers(plain, "SortMergeJoin")) == 1
+    assert len(_node_headers(codegen, "BroadcastNestedLoopJoin")) == 1
+    assert _node_headers(embedded, "SortMergeJoin") == []
+    assert _join_types(embedded, "SortMergeJoin") == []
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
     # co-located join: both sides bucketed on the key → SortMergeJoin with
     # NO Exchange in the plan (the 100 TB repeated-join strategy: shuffle
