@@ -362,10 +362,17 @@ def _two_level_rank(df, group_col, order_cols, rank_name):
     within = grp.withColumn(
         "_wr", F.row_number().over(W.partitionBy("_g").orderBy(*order_cols))
     )
+    # NULL group keys (e.g. a NULL-total_value user in rfm_scores) are a
+    # real window partition and a real histogram row; a plain equi-join
+    # would silently drop those users, so the broadcast lookup is
+    # null-safe. Both engines sort NULLs LAST under DESC (Spark
+    # desc_nulls_last; DuckDB default), so the offset scan places the
+    # NULL group exactly where the ntile window would.
+    offs = offs.withColumnRenamed("_g", "_og")
     return (
-        within.join(F.broadcast(offs), "_g")
+        within.join(F.broadcast(offs), F.col("_g").eqNullSafe(F.col("_og")))
         .withColumn(rank_name, F.col("_off") + F.col("_wr"))
-        .drop("_g", "_off", "_wr")
+        .drop("_g", "_og", "_off", "_wr")
     )
 
 

@@ -156,7 +156,8 @@ def range_join_binned(spark, sf_dir):
     (purchase, view) pair, and pairs grow with density² — the r10 sf1
     measurement (same 30-day window, 10× rows) clocked it at 61× per
     10× rows (0.91→55.3 s). This form moves (V + 2P) rows total from
-    ONE events scan per consumer (2 total), no pair materialization:
+    ONE events scan per consumer (2, plus a null-stat-pruned third for
+    NULL-ts purchases), no pair materialization:
     measured 1.64 s at sf0.1 → 1.59 s at sf1 (0.97× per 10× rows; the
     ~0.7 s constant over the old form at sf0.1 buys the density² cure).
     Bit-identical: probes sort after views at equal timestamp (kind
@@ -192,7 +193,14 @@ def range_join_binned(spark, sf_dir):
         ),
     )
     stream = (
+        # NULL-ts rows can't enter the prefix-sum machinery: a NULL
+        # bucket sorts NULLS-FIRST into the offset window (corrupting
+        # every real bucket's offset) and a NULL bucket key never
+        # equi-joins. The oracle's ON condition is NULL for them: a
+        # NULL-ts view matches no purchase, and a NULL-ts purchase
+        # LEFT-JOIN-survives with (0, 0.0) — re-added below.
         ev.filter(F.col("event_type").isin("view", "purchase"))
+        .filter(F.col("ts").isNotNull())
         .select(
             F.col("event_id").alias("row_id"),
             "user_id",
@@ -239,7 +247,7 @@ def range_join_binned(spark, sf_dir):
         .withColumnRenamed("row_id", "event_id")
         .join(F.broadcast(offsets), "bucket")
     )
-    return cum.groupBy("event_id", "user_id").agg(
+    diffed = cum.groupBy("event_id", "user_id").agg(
         F.sum(F.col("sign") * (F.col("o_cnt") + F.col("c_cnt")))
         .cast("bigint")
         .alias("n_views_1h"),
@@ -247,6 +255,19 @@ def range_join_binned(spark, sf_dir):
         .cast("double")
         .alias("view_value_1h"),
     )
+    # NULL-ts purchases: zero matches, kept by the oracle's LEFT JOIN.
+    # One extra pushed-down scan (ts IS NULL AND event_type='purchase');
+    # parquet null-count row-group stats prune it to ~nothing on data
+    # without ts nulls.
+    null_ts = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.lit(0).cast("bigint").alias("n_views_1h"),
+        F.lit(0.0).alias("view_value_1h"),
+    )
+    return diffed.unionByName(null_ts)
 
 
 N_SALTS = 8  # skew fan-out: hottest key splits across 8 reducers

@@ -29,25 +29,30 @@ def explain_formatted(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+# detail-block header: '(9) SortMergeJoin', optionally suffixed —
+# '(skew=true)' on an AQE-skew-handled join, ' [codegen id : 2]' once
+# the plan (or a reused/cached query stage inside it) has executed.
+# Line-anchored: a cached input's InMemoryRelation prints its stored
+# plan's simple-string inside an Arguments: line, where
+# '*(5) SortMergeJoin ...' must not count as a detail block (it has no
+# 'Join type:' lines to parse). _node_headers and _join_types MUST
+# share this pattern: audit_plan raises when their counts diverge.
+_HEADER = r"(?m)^\(\d+\) {node}\b[^\n]*"
+
+
 def _node_headers(plan: str, node: str) -> list[str]:
-    """Detail-block headers for `node`: '(9) SortMergeJoin', optionally
-    suffixed ' [codegen id : 2]' once a plan (or a reused/cached query
-    stage inside it) has executed. Line-anchored: a cached input's
-    InMemoryRelation prints its stored plan's simple-string inside an
-    Arguments: line, where '*(5) SortMergeJoin ...' must not count as a
-    detail block (it has no 'Join type:' lines to parse)."""
-    return _re.findall(rf"(?m)^\(\d+\) {node}\b[^\n]*", plan)
+    """Detail-block headers for `node` (see _HEADER)."""
+    return _re.findall(_HEADER.format(node=node), plan)
 
 
 def _join_types(plan: str, node: str) -> list[str]:
     """Join types of every `node` occurrence, read from the 'Join type:'
     line inside each node's detail block ('(9) SortMergeJoin' followed by
     key lines, then 'Join type: Inner'). Join nodes never print an
-    Arguments: section; executed plans may suffix the header with
-    '[codegen id : N]' — both pinned by test_audit_join_type_parsing."""
+    Arguments: section; header suffix forms are pinned by
+    test_audit_join_type_parsing / test_audit_join_header_forms."""
     return _re.findall(
-        rf"(?m)^\(\d+\) {node}(?: \[[^\]\n]*\])?\n(?:[^\n]+\n){{0,4}}?"
-        rf"Join type: (\w+)",
+        _HEADER.format(node=node) + r"\n(?:[^\n]+\n){0,4}?Join type: (\w+)",
         plan,
     )
 
@@ -72,18 +77,20 @@ def audit_plan(df: DataFrame) -> list[str]:
     # (tiny side replicated, e.g. a one-row total or a K×dim centroid
     # table) — flag only the outer/semi variants, where the stream side
     # re-scans the broadcast per row with no early-out.
+    types_by_node: dict[str, list[str]] = {}
     for node in ("BroadcastNestedLoopJoin", "SortMergeJoin"):
         n_nodes = len(_node_headers(plan, node))
-        if n_nodes != len(_join_types(plan, node)):
+        types_by_node[node] = _join_types(plan, node)
+        if n_nodes != len(types_by_node[node]):
             # parse drift (a Spark version adding/reordering detail
             # lines) must fail the audit loudly, not silently disable
             # the join checks below (ADVICE r9; the pinning test covers
             # current Spark, this covers the next one at audit time)
             raise RuntimeError(
                 f"plan-audit parse drift: {n_nodes} {node} node(s) but "
-                f"{len(_join_types(plan, node))} 'Join type:' lines parsed"
+                f"{len(types_by_node[node])} 'Join type:' lines parsed"
             )
-    bnlj_types = _join_types(plan, "BroadcastNestedLoopJoin")
+    bnlj_types = types_by_node["BroadcastNestedLoopJoin"]
     if any(t not in ("Inner", "Cross") for t in bnlj_types):
         warnings.append("BroadcastNestedLoopJoin: non-equi join replicated per row")
     if "Scan parquet" in plan and "PushedFilters: []" in plan and "Filter" in plan:
@@ -93,7 +100,7 @@ def audit_plan(df: DataFrame) -> list[str]:
         )
     # full-outer preserves both sides, so neither can broadcast — a
     # sort-merge FullOuter is the correct strategy, not a missed hint
-    smj_types = _join_types(plan, "SortMergeJoin")
+    smj_types = types_by_node["SortMergeJoin"]
     if (
         any(t != "FullOuter" for t in smj_types)
         and "BroadcastHashJoin" not in plan

@@ -365,12 +365,13 @@ def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
     the stream knows, so — one stateful operator per query, like the
     Markov rollup — the μ join and max|S_t| reduction stay a downstream
     batch aggregation over the emitted prefix table: S_t = prefix_micro
-    / 1e6 − t·μ. Exactness: each value is quantized to 6 dp HALF_UP
-    (Decimal), matching Spark's CAST(double AS DECIMAL(25,6)), and
-    accumulated as a plain int; |prefix_micro| stays under 2⁵³ for any
-    realistic partition, so the downstream double division reproduces
-    the batch operator's decimal→double cast bit-for-bit (pinned by
-    test_cusum_prefix_stream_matches_batch)."""
+    / 1e6 − t·μ. Exactness: each value's SHORTEST decimal repr is
+    quantized to 6 dp HALF_UP (Decimal(repr(v)) — how Spark's
+    CAST(double AS DECIMAL(25,6)) rounds; NaN/Inf cast to NULL, counted
+    by t but not summed) and accumulated as a plain int; |prefix_micro|
+    stays under 2⁵³ for any realistic partition, so the downstream
+    double division reproduces the batch operator's decimal→double cast
+    bit-for-bit (pinned by test_cusum_prefix_stream_matches_batch)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -383,14 +384,25 @@ def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
         batch = pd.concat(chunks) if chunks else pd.DataFrame()
         ts_out, eid_out, t_out, pref_out = [], [], [], []
         if len(batch):
+            import math
+
             batch = batch.sort_values(["ts", "event_id"])
             micro = Decimal("0.000001")
             for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["value"]):
                 t += 1
-                sum_micro += int(
-                    Decimal(float(v)).quantize(micro, rounding=ROUND_HALF_UP)
-                    .scaleb(6)
-                )
+                fv = float(v)
+                # CAST(double AS DECIMAL(25,6)) rounds the SHORTEST
+                # decimal representation (Double.toString) HALF_UP —
+                # Decimal(repr(fv)), NOT Decimal(fv), whose full binary
+                # expansion diverges at half boundaries (the same
+                # shortest-repr-vs-binary split _util.round6_det pins
+                # cross-engine). NaN/Infinity cast to NULL: skipped by
+                # the batch SUM but still counted by its COUNT(*) t.
+                if math.isfinite(fv):
+                    sum_micro += int(
+                        Decimal(repr(fv)).quantize(micro, rounding=ROUND_HALF_UP)
+                        .scaleb(6)
+                    )
                 ts_out.append(ts)
                 eid_out.append(int(eid))
                 t_out.append(t)

@@ -161,11 +161,14 @@ def test_audit_join_header_forms():
 
     plain = "(9) SortMergeJoin\nLeft keys [1]: [k]\nRight keys [1]: [k2]\nJoin type: Inner\n"
     codegen = "(76) BroadcastNestedLoopJoin [codegen id : 2]\nJoin type: Cross\nJoin condition: None\n"
+    skew = "(12) SortMergeJoin(skew=true)\nLeft keys [1]: [k]\nRight keys [1]: [k2]\nJoin type: Inner\n"
     embedded = "Arguments: [*(5) SortMergeJoin [k#1L], [k2#2L], Inner\n]\n"
     assert _join_types(plain, "SortMergeJoin") == ["Inner"]
     assert _join_types(codegen, "BroadcastNestedLoopJoin") == ["Cross"]
+    assert _join_types(skew, "SortMergeJoin") == ["Inner"]
     assert len(_node_headers(plain, "SortMergeJoin")) == 1
     assert len(_node_headers(codegen, "BroadcastNestedLoopJoin")) == 1
+    assert len(_node_headers(skew, "SortMergeJoin")) == 1
     assert _node_headers(embedded, "SortMergeJoin") == []
     assert _join_types(embedded, "SortMergeJoin") == []
 

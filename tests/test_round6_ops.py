@@ -67,6 +67,92 @@ def test_range_binned_equals_naive_interval_join(spark, sf_small):
     assert rows_set(binned) == rows_set(naive)
 
 
+def test_range_binned_null_ts_rows(spark, tmp_path):
+    """NULL-ts rows (absent from shipped testdata, real on cluster data):
+    the oracle's LEFT JOIN keeps a NULL-ts purchase with (0, 0.0) — its
+    ON condition is NULL — and a NULL-ts view matches nothing. The
+    prefix-sum form must do the same, and in particular a NULL bucket
+    must never leak into the offset scan (NULLS FIRST would otherwise
+    corrupt every real bucket's offset)."""
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 10:00:00", 1, "view", 5.0),
+        (2, "2024-01-01 10:30:00", 2, "purchase", 9.0),
+        (3, None, 3, "purchase", 7.0),   # NULL-ts purchase: keep, zeros
+        (4, None, 4, "view", 100.0),     # NULL-ts view: matches nothing
+        (5, "2024-01-02 10:00:00", 5, "purchase", 1.0),  # no views ±1h
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts STRING, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "CAST(NULL AS STRING) AS props"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: (r["n_views_1h"], r["view_value_1h"])
+        for r in QUERIES["join_range_binned"](spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (1, 5.0), 3: (0, 0.0), 5: (0, 0.0)}
+
+
+def test_rfm_keyed_ranks_equal_ntile_with_null_keys(spark, tmp_path):
+    """The keyed two-level-rank RFM must stay bit-identical to the global
+    ntile(5) windows it replaced, INCLUDING users whose total_value or
+    last_ts aggregates to NULL (all values / all ts NULL — absent from
+    shipped testdata, real on cluster data). The round-close review
+    caught the rank's broadcast-offset equi-join silently dropping those
+    users; the lookup is now null-safe and NULL groups rank where desc
+    NULLS LAST puts them in both engines."""
+    rows = []
+    for u in range(1, 21):
+        for j in range(u % 3 + 1):
+            rows.append(
+                (
+                    u * 100 + j,
+                    None if u % 7 == 0 else f"2024-01-{u:02d} 00:00:{j:02d}",
+                    u,
+                    "view",
+                    None if u % 5 == 0 else float(u * 10 + j),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts STRING, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "CAST(NULL AS STRING) AS props"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["r_score"],
+                       r["f_score"], r["m_score"])
+        for r in QUERIES["events_rfm_scores"](spark, str(tmp_path)).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["r_score"],
+                       r["f_score"], r["m_score"])
+        for r in spark.sql(
+            """WITH s AS (
+                 SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+                        CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                          AS total_value
+                 FROM {ev} GROUP BY user_id)
+               SELECT user_id, n_events, total_value,
+                 CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT)
+                   AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id) AS BIGINT)
+                   AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY total_value DESC, user_id) AS BIGINT)
+                   AS m_score
+               FROM s""",
+            ev=df,
+        ).collect()
+    }
+    assert len(got) == 20 and got == want
+
+
 def test_merge_upsert_semantics(spark, sf_small):
     from ndl_core_data_pipeline_spark.io import load
 

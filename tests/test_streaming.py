@@ -19,6 +19,18 @@ from ndl_core_data_pipeline_spark.streaming import (
 from ndl_core_data_pipeline_spark.streaming.jobs import EVENTS_DDL
 
 
+def _force_batch_order(src_a, src_b):
+    """FileStreamSource orders same-trigger files by modification time;
+    two writes landing in one mtime granule could flip micro-batch order
+    and violate the in-order state contract the cross-batch parity tests
+    exercise (ADVICE r9). Force every src_b file strictly after src_a."""
+    import os as _os
+
+    newest_a = max(p.stat().st_mtime for p in src_a.iterdir())
+    for p in src_b.iterdir():
+        _os.utime(p, (p.stat().st_atime, max(p.stat().st_mtime, newest_a + 2)))
+
+
 def _write_events(path, rows):
     with open(path, "w") as f:
         for r in rows:
@@ -460,15 +472,7 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
     ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
         str(src / "b")
     )
-    # FileStreamSource orders same-trigger files by modification time;
-    # two writes landing in one mtime granule could flip batch order and
-    # violate the in-order contract this test exercises (ADVICE r9).
-    # Force b strictly after every a file.
-    import os as _os
-
-    newest_a = max(p.stat().st_mtime for p in (src / "a").iterdir())
-    for p in (src / "b").iterdir():
-        _os.utime(p, (p.stat().st_atime, max(p.stat().st_mtime, newest_a + 2)))
+    _force_batch_order(src / "a", src / "b")
     stream = (
         spark.readStream.schema(
             "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
@@ -523,13 +527,7 @@ def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
     src.mkdir()
     ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "a"))
     ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "b"))
-    # FileStreamSource orders same-trigger files by mtime: force b
-    # strictly after a so batch order matches event-time order
-    import os as _os
-
-    newest_a = max(p.stat().st_mtime for p in (src / "a").iterdir())
-    for p in (src / "b").iterdir():
-        _os.utime(p, (p.stat().st_atime, max(p.stat().st_mtime, newest_a + 2)))
+    _force_batch_order(src / "a", src / "b")
     stream = (
         spark.readStream.schema(
             "event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE"
@@ -592,3 +590,61 @@ def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
         for r in window_cusum_drift(spark, sf_small).collect()
     }
     assert got and got == want
+
+
+def test_cusum_stream_quantizes_like_spark_cast(spark, tmp_path):
+    """The twin's per-value quantization must equal Spark's
+    CAST(double AS DECIMAL(25,6)) on adversarial doubles: half-boundary
+    values (where the shortest decimal repr rounds HALF_UP but the
+    binary expansion sits just under the boundary — Decimal(float(v))
+    would round DOWN), and NaN/Infinity (cast to NULL: counted by the
+    batch COUNT(*) position t, skipped by its SUM — and must not crash
+    the stream)."""
+    from ndl_core_data_pipeline_spark.streaming.jobs import cusum_prefix_stream
+
+    vals = [2.0000005, 1.0000015, float("nan"), float("inf"), -0.0000005, 7.25]
+    rows = [(i + 1, "purchase", f"2024-01-01 00:00:{i:02d}", v)
+            for i, v in enumerate(vals)]
+    src = tmp_path / "q_src"
+    src.mkdir()
+    spark.createDataFrame(
+        rows, "event_id BIGINT, event_type STRING, ts STRING, value DOUBLE"
+    ).selectExpr(
+        "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE"
+        ).parquet(str(src / "*"))
+    )
+    q = (
+        cusum_prefix_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_quant")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "cusum stream did not finish"
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["t"], r["prefix_micro"])
+        for r in spark.sql("SELECT * FROM cusum_quant").collect()
+    }
+    # ground truth: Spark's own cast + running sum over the same rows
+    want = {
+        r["event_id"]: (r["t"], r["prefix_micro"])
+        for r in spark.sql(
+            """SELECT event_id,
+                      COUNT(*) OVER w AS t,
+                      CAST(COALESCE(SUM(CAST(value AS DECIMAL(25,6))) OVER w,
+                                    0) * 1000000 AS BIGINT) AS prefix_micro
+               FROM {ev}
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)""",
+            ev=spark.read.parquet(str(src / "a")),
+        ).collect()
+    }
+    assert len(got) == len(vals) and got == want
