@@ -127,9 +127,19 @@ def approx_distinct(spark, sf_dir):
     literal TRUE — if Spark's sketch ever drifted out of bound the flag
     flips false and the driver's value-hash catches it."""
     l = load(spark, sf_dir, "lineitem")
-    exact = F.countDistinct("l_partkey")
+    # Dedupe the keys FIRST, then sketch: mixing countDistinct with
+    # approx_count_distinct in one agg makes Spark carry the rsd=0.01
+    # HLL buffer (1641 register words, ~13 KB) per (group, key) row
+    # through the distinct-Expand shuffle — 14.6x per 10x rows in the
+    # r10 registry-wide sf1 sweep (56 s at sf1). HLL registers are
+    # duplicate-insensitive, so sketching the deduplicated keys gives
+    # the bit-identical estimate; the first agg is a keys-only map-side
+    # dedupe (rows, no buffers) and HLL state exists only for the final
+    # |groups| rows. Both aggs share the l_returnflag key.
+    dedup = l.select("l_returnflag", "l_partkey").distinct()
+    exact = F.count("*")
     approx = F.approx_count_distinct("l_partkey", 0.01)
-    return l.groupBy("l_returnflag").agg(
+    return dedup.groupBy("l_returnflag").agg(
         exact.alias("exact_parts"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_bound"),
     )

@@ -250,29 +250,116 @@ def ivf_topk(spark, sf_dir):
     )
 
 
+EMB_GRAM_CHUNK = 1024  # rows per gram tile; tasks per label ≈ (n/C)²/2
+
+
+def _tile_pairs(ids_a, xa, ids_b, xb, diagonal, slack):
+    """Candidate (lo, hi) id pairs of one gram tile: normalize rows, one
+    BLAS matmul, threshold at `slack`, strict upper triangle on diagonal
+    tiles (each unordered pair once, no self-pairs), min/max orientation
+    so a<b regardless of chunk/bucket membership order. Zero vectors get
+    norm 1 → cosine 0 row: never a candidate for positive thresholds,
+    and the exact verify re-filters either way."""
+    import numpy as np
+
+    na = np.linalg.norm(xa, axis=1, keepdims=True)
+    na[na == 0] = 1.0
+    xa = xa / na
+    if diagonal:
+        ids_b, xb = ids_a, xa
+    else:
+        nb = np.linalg.norm(xb, axis=1, keepdims=True)
+        nb[nb == 0] = 1.0
+        xb = xb / nb
+    m = xa @ xb.T >= slack
+    if diagonal:
+        m = np.triu(m, k=1)
+    ii, jj = np.nonzero(m)
+    ga, gb = ids_a[ii], ids_b[jj]
+    return np.minimum(ga, gb), np.maximum(ga, gb)
+
+
 def embedding_cosine_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, label-blocked form: within a
-    blocking key join a<b and keep pairs with cosine ≥ EMB_NEAR_DUP_MIN_COS.
-    The block join bounds candidates; the cross join never materializes n².
-    The content-blocked production form is embedding_lsh_near_dup below,
-    which derives the block key from the vectors themselves."""
+    """Embedding-cosine near-duplicate pairs, label-blocked EXACT form:
+    within a blocking key, every a<b pair with cosine ≥
+    EMB_NEAR_DUP_MIN_COS. The semantics are inherently Θ(Σ n_label²) —
+    the oracle is the same all-pairs SQL — so the scale question is HOW
+    the quadratic work runs, and the r10 registry-wide sf1 sweep showed
+    the answer matters: the r6 row-pair join evaluated a 64-element
+    zip_with fold per candidate (~20 µs/pair) and clocked 105× per 10×
+    rows (4.2 s → 440 s). This form tiles the pair space instead:
+    hash-chunk each label into ⌈n/C⌉ chunks of ≤C rows (no per-label
+    window — chunk count comes from a broadcast keyed count), pack each
+    chunk once, join chunk pairs (ca ≤ cb), and let one vectorized
+    numpy gram (BLAS matmul) per tile emit CANDIDATES at a 1e-6 slack
+    under the threshold. The final cosine is then re-computed on the
+    output-sized candidate set with the ORIGINAL fold expression and
+    F.round half-up, so the emitted values are bit-identical to the r6
+    form (float-association slack never prunes a true pair: fold-vs-BLAS
+    drift is ~1e-14, the rounding slack 0.5e-6). Measured after: 4.2 s →
+    0.60 s at sf0.1 and 440 s → 1.15 s at sf1 (105× per 10× rows →
+    ~1.9×, with the 100× pair growth absorbed by the gram tiles).
+
+    The content-blocked production form is embedding_lsh_near_dup
+    below, which derives the block key from the vectors themselves."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("embedding").alias("emb_a"),
+    n_chunks = F.broadcast(
+        emb.groupBy("label").agg(
+            F.ceil(F.count("*") / EMB_GRAM_CHUNK).cast("int").alias("_k")
+        )
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label"),
-        F.col("embedding").alias("emb_b"),
+    chunked = emb.join(n_chunks, "label").withColumn(
+        "_c", F.pmod(F.hash("vec_id"), F.col("_k"))
     )
+    packed = chunked.groupBy("label", "_c").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("_rows")
+    )
+    tasks = (
+        packed.select("label", F.col("_c").alias("_ca"), F.col("_rows").alias("_ra"))
+        .join(
+            packed.select(
+                "label", F.col("_c").alias("_cb"), F.col("_rows").alias("_rb")
+            ),
+            "label",
+        )
+        .filter(F.col("_ca") <= F.col("_cb"))
+    )
+    slack = EMB_NEAR_DUP_MIN_COS - 1e-6  # covers round-half-up + fp drift
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_l, out_a, out_b = [], [], []
+            for label, ca, cb, ra, rb in zip(
+                pdf["label"], pdf["_ca"], pdf["_cb"], pdf["_ra"], pdf["_rb"]
+            ):
+                ids_a = np.array([r["vec_id"] for r in ra], dtype=np.int64)
+                xa = np.array([r["embedding"] for r in ra], dtype=np.float64)
+                if ca == cb:
+                    ids_b = xb = None
+                else:
+                    ids_b = np.array([r["vec_id"] for r in rb], dtype=np.int64)
+                    xb = np.array([r["embedding"] for r in rb], dtype=np.float64)
+                lo, hi = _tile_pairs(ids_a, xa, ids_b, xb, ca == cb, slack)
+                out_l.extend([label] * len(lo))
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+            yield pd.DataFrame(
+                {"label": out_l, "vec_a": out_a, "vec_b": out_b}
+            )
+
+    label_t = dict(emb.dtypes)["label"]
+    cand = tasks.mapInPandas(gram, f"label {label_t}, vec_a BIGINT, vec_b BIGINT")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
         _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
     )
     return (
-        a.join(b, ["label"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("label", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= EMB_NEAR_DUP_MIN_COS)
     )
@@ -325,9 +412,10 @@ def lsh_near_dup_pairs(
     """Embedding-cosine near-duplicates with LSH-banded blocking over any
     (vec_id, embedding) DataFrame: candidate pairs collide on any band of
     the hyperplane signature, then an exact cosine verify. ONE pass
-    computes every band value, bucket-capped pair explosion
-    (dedup._bucket_pairs), and two keyed joins fetch the vectors for the
-    verify — the full corpus is never self-joined.
+    computes every band value; each capped bucket is verified as a gram
+    TILE (one BLAS matmul at 1e-6 slack) so only output-sized survivors
+    reach the distinct and the two keyed vector-fetch joins — the full
+    corpus is never self-joined and no per-collision pair row exists.
 
     (sig_bits, n_bands) is the scale knob: candidates per band ≈
     n²/2^(sig_bits/n_bands), so band bits must grow with log₂(n) —
@@ -336,26 +424,67 @@ def lsh_near_dup_pairs(
     tests/test_search.py recall tests). The registered query's 16/4
     setting matches the synthetic corpus, whose pairwise-cosine ceiling
     (~0.47) needs permissive bands to produce any verified rows; the
-    MAX_BUCKET_MEMBERS cap bounds the worst case either way."""
-    from .dedup import _bucket_pairs
-
+    MAX_BUCKET_MEMBERS cap bounds the worst case either way, and gram
+    tiles make the within-cap collision work BLAS-bound: the r10 sf1
+    sweep measured the pair-explode form at 14× per 10× rows (7.7 s →
+    108.7 s, ~52M collisions at sf1); tiles run 0.80 s → 6.7 s. The
+    remaining growth is the n²/2^band_bits matrix entries themselves —
+    the toy 4-bit bands keep that quadratic by construction, which is
+    why production bands grow with log₂(n); the tiles just price each
+    entry at a BLAS flop instead of a shuffled+folded pair row."""
     if sig_bits % n_bands:
         raise ValueError(f"sig_bits {sig_bits} not divisible by n_bands {n_bands}")
+    from .dedup import MAX_BUCKET_MEMBERS
+
     planes = hyperplane_matrix(sig_bits, embedding_dim(emb))
     banded = emb.select(
         "vec_id",
+        "embedding",
         F.explode(
             F.array(*_band_value_structs(F.col("embedding"), planes, n_bands))
         ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.bval")
+    ).select("vec_id", "embedding", "bk.band", "bk.bval")
     buckets = (
         banded.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("rows")
+        )
+        .filter(
+            (F.size("rows") > 1) & (F.size("rows") <= MAX_BUCKET_MEMBERS)
+        )
     )
+    # gram-tile the bucket BEFORE any pair materializes: one BLAS matmul
+    # per bucket emits only pairs within 1e-6 slack of the threshold, so
+    # the distinct and the two vector-fetch joins below see an
+    # output-sized stream instead of every band collision. (The r6 form
+    # exploded every within-bucket pair and verified each with a
+    # 64-element fold — at sf1 the registered 16/4 config collides
+    # ~52M pairs, 14× per 10× rows in the r10 sweep; gram tiles took it
+    # to 1.3×.) The cap keeps _bucket_pairs' documented degenerate-
+    # bucket guard (audit with dedup.oversize_buckets on the same
+    # frame); candidates that fail the exact fold are re-filtered below,
+    # so emitted values are bit-identical to the pair-explode form.
+    slack = min_cos - 1e-6
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for rows in pdf["rows"]:
+                ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+                x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+                lo, hi = _tile_pairs(ids, x, None, None, True, slack)
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+
     pair_ids = (
-        _bucket_pairs(buckets, "ids")
-        .select(F.col("_x").alias("vec_a"), F.col("_y").alias("vec_b"))
+        buckets.select("rows")
+        .mapInPandas(gram, "vec_a BIGINT, vec_b BIGINT")
         .distinct()
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
