@@ -156,3 +156,55 @@ def test_lsh_rejects_indivisible_bands(near_dup_corpus):
     df, _ = near_dup_corpus
     with pytest.raises(ValueError, match="not divisible"):
         lsh_near_dup_pairs(df, min_cos=0.9, sig_bits=128, n_bands=7)
+
+
+def test_cosine_near_dup_multi_chunk_tiles_match_brute_force(
+    spark, tmp_path, monkeypatch
+):
+    """The cross-chunk gram path of embedding_cosine_near_dup only
+    activates when a label block exceeds EMB_GRAM_CHUNK — which never
+    happens at the shipped test SFs (max block ~218 at sf0.1 vs chunk
+    1024; it's an sf1-only path). Force multi-chunk tiling with a tiny
+    chunk size and pin the full output against the brute-force
+    all-pairs computation on the same rows: hash-chunk coverage (every
+    unordered pair in exactly one tile), diagonal-triangle dedupe, and
+    a<b orientation all verified at once."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ndl_core_data_pipeline_spark.operators import vector as V
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    monkeypatch.setattr(V, "EMB_GRAM_CHUNK", 7)  # 60 rows -> ~5 chunks/label
+    got = {
+        (r["label"], r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in V.embedding_cosine_near_dup(spark, str(tmp_path)).collect()
+    }
+    from ndl_core_data_pipeline_spark.io import load
+
+    emb = load(spark, str(tmp_path), "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b")
+    )
+    cos = V._dot(F.col("emb_a"), F.col("emb_b")) / (
+        V._norm(F.col("emb_a")) * V._norm(F.col("emb_b"))
+    )
+    want = {
+        (r["label"], r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= V.EMB_NEAR_DUP_MIN_COS)
+        .collect()
+    }
+    assert want and got == want
