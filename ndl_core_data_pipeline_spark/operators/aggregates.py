@@ -137,7 +137,10 @@ def approx_distinct(spark, sf_dir):
     # dedupe (rows, no buffers) and HLL state exists only for the final
     # |groups| rows. Both aggs share the l_returnflag key.
     dedup = l.select("l_returnflag", "l_partkey").distinct()
-    exact = F.count("*")
+    # count the KEY, not rows: a NULL l_partkey survives the distinct as
+    # its own row, but COUNT(DISTINCT l_partkey) — the oracle and the
+    # replaced countDistinct — excludes NULLs
+    exact = F.count("l_partkey")
     approx = F.approx_count_distinct("l_partkey", 0.01)
     return dedup.groupBy("l_returnflag").agg(
         exact.alias("exact_parts"),

@@ -257,19 +257,24 @@ def _tile_pairs(ids_a, xa, ids_b, xb, diagonal, slack):
     """Candidate (lo, hi) id pairs of one gram tile: normalize rows, one
     BLAS matmul, threshold at `slack`, strict upper triangle on diagonal
     tiles (each unordered pair once, no self-pairs), min/max orientation
-    so a<b regardless of chunk/bucket membership order. Zero vectors get
-    norm 1 → cosine 0 row: never a candidate for positive thresholds,
-    and the exact verify re-filters either way."""
+    so a<b regardless of chunk/bucket membership order. Zero-norm rows
+    (zero or empty vectors) get norm 1 → cosine 0 → never a candidate
+    for positive thresholds, which matches the pair-explode forms this
+    replaced: their exact-verify division 0/0 is NULL under the
+    session's non-ANSI Divide (io.ensure_session_defaults), and
+    NULL ≥ threshold filters the pair out — checked empirically, and
+    pinned with a zero vector in
+    test_cosine_near_dup_multi_chunk_tiles_match_brute_force."""
     import numpy as np
 
     na = np.linalg.norm(xa, axis=1, keepdims=True)
-    na[na == 0] = 1.0
+    na = np.where(na == 0, 1.0, na)
     xa = xa / na
     if diagonal:
         ids_b, xb = ids_a, xa
     else:
         nb = np.linalg.norm(xb, axis=1, keepdims=True)
-        nb[nb == 0] = 1.0
+        nb = np.where(nb == 0, 1.0, nb)
         xb = xb / nb
     m = xa @ xb.T >= slack
     if diagonal:
@@ -302,7 +307,13 @@ def embedding_cosine_near_dup(spark, sf_dir):
 
     The content-blocked production form is embedding_lsh_near_dup
     below, which derives the block key from the vectors themselves."""
-    emb = load(spark, sf_dir, "embeddings")
+    # NULL embedding or vec_id rows can never emit a pair in the r6
+    # row-pair form (NULL cosine fails the filter; NULL ids fail a<b),
+    # but a None inside a packed chunk would crash np.array — exclude
+    # them before chunking
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
     n_chunks = F.broadcast(
         emb.groupBy("label").agg(
             F.ceil(F.count("*") / EMB_GRAM_CHUNK).cast("int").alias("_k")
@@ -437,6 +448,10 @@ def lsh_near_dup_pairs(
     from .dedup import MAX_BUCKET_MEMBERS
 
     planes = hyperplane_matrix(sig_bits, embedding_dim(emb))
+    # NULL rows hash to band value 0 (every when() falls to otherwise)
+    # but can never emit a pair — NULL cosine fails the verify — and a
+    # None inside a packed bucket would crash np.array: exclude them
+    emb = emb.filter(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
     banded = emb.select(
         "vec_id",
         "embedding",
@@ -444,13 +459,14 @@ def lsh_near_dup_pairs(
             F.array(*_band_value_structs(F.col("embedding"), planes, n_bands))
         ).alias("bk"),
     ).select("vec_id", "embedding", "bk.band", "bk.bval")
+    # plain collect_list: pair orientation comes from min/max in
+    # _tile_pairs and cross-band dedup from the distinct below, so the
+    # r6 form's sort (load-bearing for _bucket_pairs' first<second
+    # suffix invariant) would now be an O(m log m) struct sort per
+    # bucket buying nothing
     buckets = (
         banded.groupBy("band", "bval")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("vec_id", "embedding"))
-            ).alias("rows")
-        )
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
         .filter(
             (F.size("rows") > 1) & (F.size("rows") <= MAX_BUCKET_MEMBERS)
         )

@@ -97,6 +97,23 @@ def test_range_binned_null_ts_rows(spark, tmp_path):
     assert got == {2: (1, 5.0), 3: (0, 0.0), 5: (0, 0.0)}
 
 
+def test_approx_distinct_excludes_null_keys(spark, tmp_path):
+    """The dedupe-first rewrite must keep COUNT(DISTINCT l_partkey)'s
+    NULL semantics: a NULL key survives the keys-only distinct as its
+    own row, but the exact count (and the oracle's COUNT(DISTINCT))
+    excludes it — the second review caught the rewrite counting rows
+    instead of keys."""
+    rows = [("A", 1), ("A", 1), ("A", 2), ("A", None), ("R", None), ("R", 7)]
+    spark.createDataFrame(
+        rows, "l_returnflag STRING, l_partkey BIGINT"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: (r["exact_parts"], r["approx_within_bound"])
+        for r in QUERIES["agg_approx_distinct"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, True), "R": (1, True)}
+
+
 def test_rfm_keyed_ranks_equal_ntile_with_null_keys(spark, tmp_path):
     """The keyed two-level-rank RFM must stay bit-identical to the global
     ntile(5) windows it replaced, INCLUDING users whose total_value or

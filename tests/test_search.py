@@ -179,6 +179,13 @@ def test_cosine_near_dup_multi_chunk_tiles_match_brute_force(
     rows = [
         (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(60)
     ]
+    # pathological rows (second review): a zero vector — its exact
+    # cosine is 0/0 = NULL under the session's non-ANSI Divide, so the
+    # verify drops its pairs in the gram form exactly as the r6
+    # pair-join form did — and a NULL embedding, which must be dropped
+    # without crashing the packed-chunk numpy path
+    rows.append((60, [0.0] * 8, 0))
+    rows.append((61, None, 1))
     spark.createDataFrame(
         rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
