@@ -80,6 +80,11 @@ EXTENDED_BENCH = [
     "vector_ivfpq_adc_search",
     "dedup_jaccard_prefix_join",
     "agg_hll_distinct",
+    # round 10: the two plans rewritten after the sf1 sweep (gram-tiled
+    # LSH near-dup) and the keyed-rank RFM rewrite — bench-visible so
+    # future regressions in either shape show round-over-round
+    "dedup_embedding_lsh",
+    "events_rfm_scores",
 ]
 
 BENCH_QUERIES = CORE_BENCH + EXTENDED_BENCH
