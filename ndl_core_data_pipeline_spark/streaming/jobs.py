@@ -330,7 +330,10 @@ def markov_pairs_stream(stream: DataFrame) -> DataFrame:
         prevs: list[str] = []
         nexts: list[str] = []
         if len(batch):
-            batch = batch.sort_values(["ts", "event_id"])
+            # Spark's lag() window orders ts ASC NULLS FIRST; pandas
+            # defaults NaT to last, which would re-order a NULL-ts
+            # event's transitions relative to the batch operator.
+            batch = batch.sort_values(["ts", "event_id"], na_position="first")
             for ts, eid, etype in zip(
                 batch["ts"], batch["event_id"], batch["event_type"]
             ):
@@ -386,7 +389,11 @@ def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
         if len(batch):
             import math
 
-            batch = batch.sort_values(["ts", "event_id"])
+            # Spark's ORDER BY ts ASC is NULLS FIRST; pandas defaults
+            # NaT to last, which would shift position t for every
+            # non-null row of a type with a NULL-ts event (event_id
+            # secondary order stays stable within the NaT block).
+            batch = batch.sort_values(["ts", "event_id"], na_position="first")
             micro = Decimal("0.000001")
             for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["value"]):
                 t += 1
@@ -463,8 +470,14 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
         chunks = list(pdfs)
         batch = pd.concat(chunks) if chunks else pd.DataFrame()
         if len(batch):
-            batch = batch.sort_values(["ts", "event_id"])
+            batch = batch.sort_values(["ts", "event_id"], na_position="first")
             for ts, etype in zip(batch["ts"], batch["event_type"]):
+                # batch funnel ignores NULL-ts rows entirely (min()
+                # skips NULLs; ts > step_ts is NULL -> filtered), and
+                # pd.Timestamp(NaT).value is int64-min, which would
+                # otherwise become a bogus "earliest" step time
+                if pd.isna(ts):
+                    continue
                 us = int(pd.Timestamp(ts).value // 1000)
                 if etype == "view" and view_us is None:
                     view_us = us

@@ -312,11 +312,13 @@ def test_stateful_funnel_across_batches(spark, tmp_path):
         {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
         {"event_id": 2, "ts": "2024-01-01T10:05:00.000Z", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
         {"event_id": 3, "ts": "2024-01-01T10:00:00.000Z", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 7, "ts": None, "user_id": 3, "event_type": "view", "value": 0.0, "props": "{}"},
     ]
     b = [
         {"event_id": 4, "ts": "2024-01-01T10:30:00.000Z", "user_id": 1, "event_type": "purchase", "value": 0.0, "props": "{}"},
         {"event_id": 5, "ts": "2024-01-01T10:40:00.000Z", "user_id": 2, "event_type": "view", "value": 0.0, "props": "{}"},
         {"event_id": 6, "ts": "2024-01-01T10:41:00.000Z", "user_id": 2, "event_type": "purchase", "value": 0.0, "props": "{}"},
+        {"event_id": 8, "ts": "2024-01-01T10:50:00.000Z", "user_id": 3, "event_type": "click", "value": 0.0, "props": "{}"},
     ]
     d = tmp_path / "funnel"
     d.mkdir()
@@ -346,6 +348,10 @@ def test_stateful_funnel_across_batches(spark, tmp_path):
     # user 2: click BEFORE any view is ignored; view then purchase WITHOUT a
     # click afterward → stage stays 1 (strict ordering semantics)
     assert got[2] == 1
+    # user 3: the only view has NULL ts — the batch funnel ignores such
+    # rows entirely (min() skips NULLs), so the user never enters the
+    # funnel and the later click can't attach to a bogus NaT view time
+    assert 3 not in got
 
 
 def test_transform_with_state_profile_across_batches(spark, tmp_path):
@@ -457,16 +463,31 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
     )
     from ndl_core_data_pipeline_spark.streaming.jobs import markov_pairs_stream
 
-    ev = load(spark, sf_small, "events").select(
+    real = load(spark, sf_small, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
+    # NULL-ts events sort NULLS FIRST in the batch lag() window, i.e.
+    # they are an existing user's EARLIEST transitions — the twin's
+    # pandas sort must place them first too (ADVICE r10).
+    uid = real.agg(F.min("user_id")).first()[0]
+    nulls = spark.createDataFrame(
+        [(-2, uid, "purchase", None), (-1, uid, "view", None)],
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP",
+    )
+    ev = real.unionByName(nulls)
+    nulls_sf = tmp_path / "markov_sf"
+    nulls_sf.mkdir()
+    ev.write.parquet(str(nulls_sf / "events.parquet"))
     cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()["c"]
     src = tmp_path / "markov_src"
     src.mkdir()
     # time-ordered files: batch 1 = first half, batch 2 = second half, so
     # cross-batch arrival order matches event-time order (the documented
-    # in-order contract, same as stateful_funnel)
-    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+    # in-order contract, same as stateful_funnel); NULL-ts rows ride in
+    # batch 1, matching their NULLS-FIRST event-time position
+    ev.filter(
+        F.col("ts").isNull() | (F.unix_micros("ts") <= cut)
+    ).coalesce(1).write.parquet(
         str(src / "a")
     )
     ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
@@ -502,7 +523,7 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
     }
     want = {
         (r["prev_type"], r["next_type"]): r["n"]
-        for r in events_markov_transitions(spark, sf_small).collect()
+        for r in events_markov_transitions(spark, str(nulls_sf)).collect()
     }
     assert got and got == want
 
@@ -519,13 +540,29 @@ def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
     )
     from ndl_core_data_pipeline_spark.streaming.jobs import cusum_prefix_stream
 
-    ev = load(spark, sf_small, "events").select(
+    real = load(spark, sf_small, "events").select(
         "event_id", "event_type", "ts", "value"
     )
+    # NULL-ts rows are real cluster data: Spark's ORDER BY ts is NULLS
+    # FIRST, so they occupy the leading positions t of their event_type
+    # and shift every later prefix — the twin must agree (ADVICE r10:
+    # pandas na_position defaults to 'last'). Two rows in one type pin
+    # the event_id secondary order within the NaT block.
+    nulls = spark.createDataFrame(
+        [(-2, "purchase", None, 3.5), (-1, "purchase", None, -1.25),
+         (-3, "view", None, 7.0)],
+        "event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    ev = real.unionByName(nulls)
+    nulls_sf = tmp_path / "cusum_sf"
+    nulls_sf.mkdir()
+    ev.write.parquet(str(nulls_sf / "events.parquet"))
     cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()["c"]
     src = tmp_path / "cusum_src"
     src.mkdir()
-    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(
+        F.col("ts").isNull() | (F.unix_micros("ts") <= cut)
+    ).coalesce(1).write.parquet(str(src / "a"))
     ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "b"))
     _force_batch_order(src / "a", src / "b")
     stream = (
@@ -587,7 +624,7 @@ def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
     }
     want = {
         r["event_type"]: (r["n"], r["drift_max"], r["t_at_max"])
-        for r in window_cusum_drift(spark, sf_small).collect()
+        for r in window_cusum_drift(spark, str(nulls_sf)).collect()
     }
     assert got and got == want
 
