@@ -193,7 +193,7 @@ def _bucket_pairs(
     return step.select(F.col("_x"), F.explode(suffix).alias("_y"))
 
 
-def minhash_near_dup_pairs(spark, sf_dir):
+def minhash_near_dup_pairs(spark, sf_dir, *, observation=None):
     """Near-duplicate candidate pairs via MinHash: pairs sharing ≥1 signature
     position (LSH with band size 1), scored by the fraction of matching
     positions (unbiased Jaccard estimate). Formulated as ONE pass: group by
@@ -204,15 +204,27 @@ def minhash_near_dup_pairs(spark, sf_dir):
     broadcast join). Cost follows collision count, not n²; production
     pipelines collapse exact duplicates (dedup_exact_hash) first so
     duplicate clusters don't inflate the (inherently quadratic-per-cluster)
-    pair output."""
+    pair output.
+
+    The pair stream is the one quantity here that is inherently
+    output-bound (~density² per bucket; measured 8.9× pairs per 3× rows
+    at sf3, SCALE_r10.json) — pass a pyspark.sql.Observation as
+    `observation` to receive `n_candidate_pairs` when the query
+    finishes, so a production run sees the blow-up as a counter before
+    it sees a straining shuffle."""
     sigs = minhash_signatures(spark, sf_dir)
     buckets = (
         sigs.groupBy("j", "minhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    pair_stream = _bucket_pairs(buckets, "ids")
+    if observation is not None:
+        pair_stream = pair_stream.observe(
+            observation, F.count(F.lit(1)).alias("n_candidate_pairs")
+        )
     return (
-        _bucket_pairs(buckets, "ids")
+        pair_stream
         .groupBy(F.col("_x").alias("doc_a"), F.col("_y").alias("doc_b"))
         .agg((F.count("*") / F.lit(float(N_MINHASH))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.25)

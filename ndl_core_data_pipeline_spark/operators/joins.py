@@ -99,12 +99,19 @@ def broadcast_join(spark, sf_dir):
     )
 
 
-def theta_range_join(spark, sf_dir):
+def theta_range_join(spark, sf_dir, *, observation=None):
     """Theta (non-equi range) join: parts priced within a supplier-derived
-    band (engine surface; kept dim×dim sized — nested-loop is O(n·m))."""
+    band (engine surface; kept dim×dim sized — nested-loop is O(n·m)).
+
+    Output is inherently ~density² of the band predicate (measured 99.5×
+    output per 10× rows at sf1, SCALE_r10.json — adjudicated
+    output-bound, per-output-row throughput improved): pass a
+    pyspark.sql.Observation as `observation` to receive `n_output_rows`
+    when the query finishes, so a 100-TB run surfaces the blow-up as a
+    metric instead of an executor OOM downstream."""
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
-    return (
+    out = (
         p.join(
             F.broadcast(s),
             (p.p_retailprice >= s.s_acctbal / 10.0)
@@ -112,6 +119,11 @@ def theta_range_join(spark, sf_dir):
         )
         .select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
     )
+    if observation is not None:
+        out = out.observe(
+            observation, F.count(F.lit(1)).alias("n_output_rows")
+        )
+    return out
 
 
 def asof_join_last_view(spark, sf_dir):

@@ -206,10 +206,104 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
         json.dump({"mult": mult, "seed": seed, "base": SRC}, f)
 
 
+def inject_nulls(
+    base: str,
+    out: str,
+    seed: int = 7117,
+    frac_null: float = 0.02,
+    frac_nan: float = 0.01,
+    frac_empty: float = 0.01,
+) -> None:
+    """Copy every driver table from `base` with adversarial dirty cells:
+    ~frac_null of every column NULL (independent per-column masks, so
+    NULL keys, NULL timestamps, NULL embeddings and multi-NULL rows all
+    occur), plus NaN into double columns and '' into string columns.
+    Real corpora are never clean; the driver tables are — round 10 found
+    seven latent NULL/NaN defects by hand-review precisely because no
+    shipped column contains one. This makes that class mechanical: the
+    oracle-parity sweep (tests/test_nulls_parity.py) runs the full
+    registry against the dirty copy, and any Spark/DuckDB divergence or
+    crash is a bug in whichever side assumed clean data. Deterministic
+    (fixed seed); schema preserved except fields become nullable."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+
+        def mask(frac):
+            k = max(1, int(n * frac))
+            m = np.zeros(n, dtype=bool)
+            m[rng.choice(n, size=k, replace=False)] = True
+            return m
+
+        new_cols, fields = [], []
+        for field in tbl.schema:
+            arr = tbl.column(field.name).combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.chunk(0) if arr.num_chunks else pa.nulls(0, field.type)
+            if pa.types.is_nested(field.type):
+                vals = arr.to_pylist()
+                for i in np.flatnonzero(mask(frac_null)):
+                    vals[i] = None
+                arr = pa.array(vals, type=field.type)
+            else:
+                arr = pc.if_else(
+                    pa.array(mask(frac_null)), pa.nulls(n, field.type), arr
+                )
+                if pa.types.is_floating(field.type):
+                    arr = pc.if_else(
+                        pa.array(mask(frac_nan)),
+                        pa.scalar(float("nan"), field.type),
+                        arr,
+                    )
+                if pa.types.is_string(field.type) or pa.types.is_large_string(
+                    field.type
+                ):
+                    arr = pc.if_else(
+                        pa.array(mask(frac_empty)),
+                        pa.scalar("", field.type),
+                        arr,
+                    )
+            new_cols.append(arr)
+            fields.append(pa.field(field.name, field.type, nullable=True))
+        out_tbl = pa.Table.from_arrays(new_cols, schema=pa.schema(fields))
+        pq.write_table(out_tbl, os.path.join(out, f"{t}.parquet"))
+        n_null = sum(c.null_count for c in out_tbl.columns)
+        print(f"wrote {t}: {n} rows, {n_null} injected NULL cells")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "mode": "nulls",
+                "base": base,
+                "seed": seed,
+                "frac_null": frac_null,
+                "frac_nan": frac_nan,
+                "frac_empty": frac_empty,
+            },
+            f,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="row multiplier vs sf0.1")
     ap.add_argument("--out", default=".scale/sf1")
     ap.add_argument("--seed", type=int, default=4242)
+    ap.add_argument(
+        "--nulls",
+        action="store_true",
+        help="instead of scaling, copy --base with NULL/NaN/'' cells injected",
+    )
+    ap.add_argument("--base", default="/root/testdata/sf0.01")
     args = ap.parse_args()
-    gen(args.mult, args.out, args.seed)
+    if args.nulls:
+        inject_nulls(args.base, args.out, args.seed if args.seed != 4242 else 7117)
+    else:
+        gen(args.mult, args.out, args.seed)

@@ -189,3 +189,23 @@ def test_connected_components_distributed_path_matches_driver(spark, monkeypatch
     monkeypatch.setattr(dedup, "CC_EDGES_DRIVER_MAX", 0)
     big = {(r["node"], r["label"]) for r in dedup.connected_components(edges).collect()}
     assert small == big
+
+
+def test_output_bound_plans_emit_row_counters(spark, sf_small):
+    # the two measured output-bound plans (SCALE_r10: theta band predicate
+    # ~density^2, minhash collision pairs 8.9x per 3x rows) expose their
+    # blow-up quantity as an Observation metric so a production run sees a
+    # counter before an OOM (VERDICT r10 item 5)
+    from ndl_core_data_pipeline_spark.operators.joins import theta_range_join
+
+    obs_t = Observation("theta_out")
+    theta = theta_range_join(spark, sf_small, observation=obs_t)
+    n_out = theta.count()
+    assert obs_t.get == {"n_output_rows": n_out} and n_out > 0
+
+    obs_m = Observation("minhash_pairs")
+    pairs = dedup.minhash_near_dup_pairs(spark, sf_small, observation=obs_m)
+    n_pairs = pairs.count()
+    n_cand = obs_m.get["n_candidate_pairs"]
+    # every surviving scored pair came from >= 1 candidate collision
+    assert n_cand >= n_pairs and n_cand > 0

@@ -1,0 +1,64 @@
+"""NULL-injected differential sweep (VERDICT r10 item 1).
+
+Round 10 found seven latent NULL/NaN defects by hand review because the
+shipped driver tables contain zero NULL cells. This tier makes that
+class mechanical: every registered query runs against a dirty copy of
+sf0.01 (scripts/gen_scale.py --nulls: ~2% of EVERY column NULL with
+independent masks — NULL keys, NULL timestamps, NULL embeddings, plus
+NaN in doubles and '' in strings) and must still match its DuckDB
+oracle value-for-value. Any divergence or crash is a bug in whichever
+side assumed clean data.
+
+Env-gated (the sweep is a full-registry run, ~8 min):
+
+    SPARK_GRAFT_NULLS_SWEEP=1 python -m pytest tests/test_nulls_parity.py -q
+
+The dirty dataset is regenerated deterministically under .scale/ when
+absent, so the tier needs no checked-in fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as contract
+
+from .oracle import run_compare
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_NULLS_SWEEP"),
+    reason="set SPARK_GRAFT_NULLS_SWEEP=1 to run the NULL-injected sweep",
+)
+
+QUERIES = contract.queries()
+ORACLES = contract.oracle_sql()
+
+NULLS_DIR = os.environ.get(
+    "SPARK_GRAFT_NULLS_SF_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scale", "nulls0.01"),
+)
+
+
+@pytest.fixture(scope="session")
+def nulls_sf_dir():
+    if not os.path.exists(os.path.join(NULLS_DIR, "MANIFEST.json")):
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+        )
+        from gen_scale import inject_nulls
+
+        inject_nulls("/root/testdata/sf0.01", NULLS_DIR)
+    return NULLS_DIR
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_on_dirty_data(spark, nulls_sf_dir, name):
+    problems = run_compare(
+        spark, name, QUERIES[name], ORACLES.get(name), nulls_sf_dir
+    )
+    assert not problems, f"{name}: " + "; ".join(problems)

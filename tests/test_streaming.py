@@ -685,3 +685,68 @@ def test_cusum_stream_quantizes_like_spark_cast(spark, tmp_path):
         ).collect()
     }
     assert len(got) == len(vals) and got == want
+
+
+def test_cusum_stream_checkpoint_recovery(spark, tmp_path, sf_small):
+    """Restart-from-checkpoint (the exactly-once claim §2.12 maps to):
+    run 1 sees ONLY the first time-half and terminates (AvailableNow);
+    the second half then lands and run 2 restarts from the SAME
+    checkpoint dir into the SAME file sink. The per-type (count, sum)
+    GroupState must be restored from the state store — every batch-2
+    prefix depends on it — and the combined sink output must equal one
+    batch window computation over the union. Uses a parquet sink
+    (a memory sink would not survive the restart)."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.streaming.jobs import cusum_prefix_stream
+
+    ev = load(spark, sf_small, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()["c"]
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "a"))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (
+            cusum_prefix_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "stream did not finish"
+        finally:
+            q.stop()
+
+    run_once()  # run 1: first half only, then the query TERMINATES
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "b"))
+    _force_batch_order(src / "a", src / "b")
+    run_once()  # run 2: restart from checkpoint, state recovered
+
+    got = {
+        r["event_id"]: (r["t"], r["prefix_micro"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r["event_id"]: (r["t"], r["prefix_micro"])
+        for r in spark.sql(
+            """SELECT event_id,
+                      COUNT(*) OVER w AS t,
+                      CAST(COALESCE(SUM(CAST(value AS DECIMAL(25,6))) OVER w,
+                                    0) * 1000000 AS BIGINT) AS prefix_micro
+               FROM {ev}
+               WHERE value IS NOT NULL
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)""",
+            ev=ev,
+        ).collect()
+    }
+    assert got and got == want
