@@ -25,7 +25,12 @@ class Registry:
             raise ValueError(f"duplicate query name {name!r}")
         self.queries[name] = fn
         if sql is not None:
-            self.oracles[name] = sql
+            # mirror Spark's non-ANSI NaN/Inf->NULL decimal cast in every
+            # oracle (DuckDB CAST raises on non-finite doubles; identity
+            # on clean data — see _util.guard_nonfinite_decimal_casts)
+            from .operators._util import guard_nonfinite_decimal_casts
+
+            self.oracles[name] = guard_nonfinite_decimal_casts(sql)
 
 
 def build_registry() -> Registry:

@@ -52,6 +52,79 @@ def sql_r6(x: str) -> str:
     return f"FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
 
+_CAST_OPEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_DECIMAL_TYPE_RE = re.compile(
+    r"^\s*DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*$", re.IGNORECASE
+)
+_NUM_LIT_RE = re.compile(r"^\s*-?\d+(\.\d+)?\s*$")
+
+
+def _split_last_top_level_as(inner: str) -> int:
+    """Position of the last depth-0 `AS` keyword in a CAST body, -1 if none."""
+    depth, pos = 0, -1
+    for m in re.finditer(r"[()]|\bAS\b", inner, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            pos = m.start()
+    return pos
+
+
+def guard_nonfinite_decimal_casts(sql: str) -> str:
+    """Rewrite every `CAST(expr AS DECIMAL(p,s))` in a DuckDB oracle to
+    `CAST(CASE WHEN isfinite(expr) THEN expr END AS DECIMAL(p,s))`.
+
+    Spark's non-ANSI CAST(double AS DECIMAL) yields NULL for NaN and
+    ±Infinity (skipped by SUM, still counted by COUNT) — but DuckDB's
+    CAST *and TRY_CAST* both raise "can't be cast ... INT128" on a
+    non-finite double, so an oracle that meets one NaN cell errors out
+    instead of mirroring the engine. The guard is the identity for every
+    finite or NULL value (isfinite(NULL) is NULL, so the CASE yields
+    NULL exactly when the input was NULL), making the rewritten oracle
+    bit-identical on clean data and NaN-correct on dirty data. Applied
+    centrally at registry build (contract.Registry.add) so the ~50
+    decimal-cast sites stay readable at their definition. Balanced-paren
+    parse, innermost casts first; numeric literals and already-guarded
+    casts are left alone (idempotent)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = guard_nonfinite_decimal_casts(sql[m.end() : j - 1])
+        as_pos = _split_last_top_level_as(inner)
+        wrapped = False
+        if as_pos >= 0:
+            expr, typ = inner[:as_pos].strip(), inner[as_pos + 2 :].strip()
+            if (
+                _DECIMAL_TYPE_RE.match(typ)
+                and not _NUM_LIT_RE.match(expr)
+                and not expr.upper().startswith("CASE WHEN ISFINITE(")
+            ):
+                out.append(
+                    f"CAST(CASE WHEN isfinite({expr}) THEN {expr} END AS {typ})"
+                )
+                wrapped = True
+        if not wrapped:
+            # re-emit with any nested casts rewritten
+            out.append(f"{sql[m.start():m.end()]}{inner})")
+        i = j
+    return "".join(out)
+
+
 def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent SUM over a double column."""
     return F.sum(col.cast(dec)).cast("double").alias(alias)

@@ -203,12 +203,15 @@ def map_family(spark, sf_dir):
 
 _MAP_SQL = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val,
        event_type AS type_val,
        CAST(2 AS BIGINT) AS n_keys,
        'props_k,type' AS keys_sorted,
        array_to_string(
-         list_sort([concat_ws('=', 'props_k', json_extract_string(props, '$.k')),
+         list_sort([concat_ws('=', 'props_k',
+                              CASE WHEN json_valid(props) THEN
+                              json_extract_string(props, '$.k') END),
                     concat_ws('=', 'type', event_type)]), ',') AS entries_sorted
 FROM events
 """

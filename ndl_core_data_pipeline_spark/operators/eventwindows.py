@@ -420,12 +420,32 @@ def rfm_scores(spark, sf_dir):
         (F.desc("n_events"), F.asc("user_id")),
         "_rk_f",
     )
+    # floor(total_value) has data-dependent cardinality — wide/continuous
+    # totals would push the histogram offset scan back toward a
+    # users-scale global window (ADVICE r10). Bucket width adapts to the
+    # observed range instead: floor(total / B) with B from a broadcast
+    # min/max probe caps the histogram at ~64Ki rows for ANY
+    # distribution, and any positive B is a monotone coarsening of
+    # total_value DESC, so the rank stays bit-identical to ntile's.
+    # (The frequency dimension's user-block trick doesn't transfer:
+    # blocks only preserve the total order when the group key carries
+    # the EXACT order key, which a coarsened bucket by design does not.)
+    bw = F.broadcast(
+        summary.agg(
+            F.greatest(
+                (F.max("total_value") - F.min("total_value"))
+                / F.lit(65536.0),
+                F.lit(1e-6),
+            ).alias("_bw")
+        )
+    )
+    df = df.crossJoin(bw)
     df = _two_level_rank(
         df,
-        (desc_asc, F.floor("total_value")),
+        (desc_asc, F.floor(F.col("total_value") / F.col("_bw"))),
         (F.desc("total_value"), F.asc("user_id")),
         "_rk_m",
-    )
+    ).drop("_bw")
     return df.crossJoin(n_users).select(
         "user_id",
         "n_events",

@@ -84,15 +84,25 @@ def decode_features(spark, sf_dir):
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_fake(b) for b in pdf["content"]]
+            # NULL payloads (NULL source text) decode to NULL features,
+            # mirroring the oracle's NULL-propagating octet_length math
+            feats = [
+                (None, None, None) if b is None else _decode_fake(b)
+                for b in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": [len(b) for b in pdf["content"]],
+                    "byte_len": [
+                        None if b is None else len(b) for b in pdf["content"]
+                    ],
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
                     "n_frames": [f[2] for f in feats],
-                    "mime": [m["mime"] for m in pdf["media_meta"]],
+                    "mime": [
+                        None if m is None else m["mime"]
+                        for m in pdf["media_meta"]
+                    ],
                 }
             )
 

@@ -712,7 +712,10 @@ FROM events""",
     reg.add(
         "func_json_extract",
         json_extract,
-        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events",
+        # json_valid guard: DuckDB json_extract_string RAISES on malformed
+        # input (e.g. '') where Spark's get_json_object yields NULL
+        "SELECT event_id, CAST(CASE WHEN json_valid(props) THEN "
+        "json_extract_string(props, '$.k') END AS BIGINT) AS k_value FROM events",
     )
     reg.add(
         "func_numeric_clean",
@@ -978,9 +981,13 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
     reg.add(
         "func_variant_json",
         variant_json_extract,
+        # json_valid guards: DuckDB json_extract_string RAISES on
+        # malformed input where Spark's try_parse_json null-safes it
         "SELECT event_id, "
-        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, "
-        "json_extract_string(props, '$.tag') AS tag_value, "
+        "CAST(CASE WHEN json_valid(props) THEN "
+        "json_extract_string(props, '$.k') END AS BIGINT) AS k_value, "
+        "CASE WHEN json_valid(props) THEN "
+        "json_extract_string(props, '$.tag') END AS tag_value, "
         "(props IS NULL OR NOT json_valid(props)) AS malformed "
         "FROM events",
     )

@@ -138,14 +138,22 @@ def pack_nextfit_per_source(spark, sf_dir):
     parallel across groups, groups bounded by per-source corpus size.
     The oracle is a recursive CTE walking the same order."""
     docs = load(spark, sf_dir, "documents")
+    # NULL text counts as zero tokens (regexp_count(NULL) is NULL, which
+    # would otherwise poison the fill recurrence on both engines)
     toks = docs.select(
         "doc_id",
         "source",
-        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint"),
+            F.lit(0),
+        ).alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        # Spark orders NULL doc_ids FIRST; pandas defaults NaN to last
+        pdf = pdf.sort_values("doc_id", na_position="first").reset_index(
+            drop=True
+        )
         bins = []
         fill = 0
         b = 0
@@ -174,7 +182,10 @@ def pack_cumsum_bins(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    # NULL text = zero tokens (same rule as pack_nextfit_per_source)
+    n_tokens = F.coalesce(
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint"), F.lit(0)
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -427,7 +438,7 @@ def mix_source_weights(spark, sf_dir):
 def _sql_mix() -> str:
     return """WITH c AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(substring(source, 4) AS BIGINT) + 1 AS target_w
+         TRY_CAST(substring(source, 4) AS BIGINT) + 1 AS target_w
   FROM documents GROUP BY 1
 )
 SELECT source, n_docs, target_w,
@@ -640,7 +651,8 @@ FROM documents GROUP BY lang ORDER BY lang""",
         pack_nextfit_per_source,
         rf"""WITH RECURSIVE toks AS (
   SELECT doc_id, source,
-         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         COALESCE(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0)
+           AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -665,7 +677,8 @@ SELECT doc_id, source, n_tokens, bin_id FROM packed""",
        CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_start,
        CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PACK_CAP}) AS BIGINT) AS bin_id
 FROM (SELECT doc_id, source,
-             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+             COALESCE(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0)
+               AS n_tokens
       FROM documents) t
 WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",

@@ -20,6 +20,13 @@ FLOAT_TOL = 1e-9
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # The oracles' ORDER BY clauses are written against the ENGINE's
+    # collation convention, which is Spark's: ASC = NULLS FIRST,
+    # DESC = NULLS LAST. DuckDB defaults to NULLS LAST on both; align
+    # the session so window frames / LIMIT cutoffs agree when a sort
+    # key is NULL (driver tables have no NULL sort keys, so the driver's
+    # own un-pragma'd connection cannot diverge on this).
+    con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

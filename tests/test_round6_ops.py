@@ -170,6 +170,59 @@ def test_rfm_keyed_ranks_equal_ntile_with_null_keys(spark, tmp_path):
     assert len(got) == 20 and got == want
 
 
+def test_rfm_adaptive_monetary_buckets_continuous_totals(spark, tmp_path):
+    """ADVICE r10: floor(total_value) groups can approach user count on
+    wide/continuous totals, regressing the monetary histogram scan
+    toward a users-scale global window. The bucket width now adapts to
+    the observed range (floor(total / B), B from a broadcast min/max
+    probe, <= ~64Ki buckets for any distribution); any positive B is a
+    monotone coarsening, so scores stay bit-identical to ntile(5) even
+    with continuous values, exact-tie clusters, a huge range outlier,
+    and NULL totals."""
+    rows = []
+    for u in range(1, 41):
+        val = {
+            0: None,             # NULL total user
+            1: 7.25,             # exact-tie cluster across users
+            2: u * 0.000123 + 0.5,   # continuous sub-unit totals
+            3: u * 9876.54321,       # continuous wide totals
+        }[u % 4]
+        rows.append((u * 100, f"2024-01-01 00:00:{u % 60:02d}", u, "view", val))
+    rows.append((9999, "2024-01-02 00:00:00", 999, "view", 1.0e9))  # outlier
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts STRING, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "CAST(NULL AS STRING) AS props"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in QUERIES["events_rfm_scores"](spark, str(tmp_path)).collect()
+    }
+    want = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in spark.sql(
+            """WITH s AS (
+                 SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+                        CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                          AS total_value
+                 FROM {ev} GROUP BY user_id)
+               SELECT user_id,
+                 CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT)
+                   AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id) AS BIGINT)
+                   AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY total_value DESC, user_id) AS BIGINT)
+                   AS m_score
+               FROM s""",
+            ev=df,
+        ).collect()
+    }
+    assert len(got) == 41 and got == want
+
+
 def test_merge_upsert_semantics(spark, sf_small):
     from ndl_core_data_pipeline_spark.io import load
 
