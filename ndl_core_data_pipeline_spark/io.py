@@ -25,6 +25,11 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     parses yield NULL (the reference's permissive coercion semantics)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # with ANSI off, size()/cardinality() of NULL defaults to the legacy
+    # -1 sentinel; the engine's semantics are NULL-in-NULL-out (matching
+    # every oracle's len(NULL) = NULL — on dirty data the -1 leaks into
+    # word counts and quality scores as a real-looking value)
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
     # rejects; read as long and truncate to micros (matching DuckDB, which
     # truncates ns→µs when reading the same file)

@@ -52,6 +52,20 @@ def sql_r6(x: str) -> str:
     return f"FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
 
+def finite(col: Column) -> Column:
+    """True iff `col` is a finite double (false for NaN/±Inf, NULL for
+    NULL) — Spark has no isfinite(); NaN/Inf reach int casts as 0 /
+    Long.MAX under non-ANSI, which no bucketing operator wants."""
+    return ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+
+
+def sql_finite(x: str) -> str:
+    """Engine-portable SQL form of `finite` — valid in BOTH Spark SQL and
+    DuckDB (both have isnan; 'Infinity' casts to +Inf in both), for
+    expression strings shared between an F.expr plan and its oracle."""
+    return f"(NOT isnan({x}) AND abs({x}) <> CAST('Infinity' AS DOUBLE))"
+
+
 _CAST_OPEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 _DECIMAL_TYPE_RE = re.compile(
     r"^\s*DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*$", re.IGNORECASE

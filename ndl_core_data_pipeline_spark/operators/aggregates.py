@@ -322,7 +322,14 @@ def value_histogram(spark, sf_dir):
     index is pure map-side arithmetic (floor(value/width), clamped to the
     top bucket), so the plan is scan → partial agg → 20-row final agg;
     at 100 TB nothing but 20-row partials ever shuffles."""
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from ._util import finite
+
+    # finite values only: NaN would otherwise ride Spark's NaN-is-greatest
+    # ordering through least() into the top bucket (and crash DuckDB's
+    # int cast) — a histogram bucket for NaN is meaningless
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & finite(F.col("value"))
+    )
     # clamp BOTH ends: without the greatest(), a negative value lands in a
     # negative bucket; least() alone also skips NULLs (returning 19), so
     # NULL rows are dropped explicitly above rather than miscounted
@@ -368,7 +375,8 @@ def register_round6(reg):
         "COUNT(*) AS n, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS bucket_value "
         "FROM (SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) "
-        "AS bucket, value FROM events WHERE value IS NOT NULL) GROUP BY bucket",
+        "AS bucket, value FROM events WHERE value IS NOT NULL "
+        "AND isfinite(value)) GROUP BY bucket",
     )
     corr_num = (
         "(CAST(n AS DOUBLE) * CAST(s{a}{b} AS DOUBLE)"
@@ -468,7 +476,12 @@ def register_round6b(reg):
         bool_counters,
         "SELECT l_returnflag, "
         "CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_big, "
-        "bool_and(l_discount <= 0.1) AS all_small_disc, "
+        # explicit NaN arm: DuckDB 1.0's parquet scan path evaluates a
+        # pushed-down NaN comparison inconsistently (bool_and saw zero
+        # FALSE rows while COUNT FILTER over the same predicate saw the
+        # NaN rows as not-true); Spark's total order has NaN <= x FALSE
+        "bool_and(CASE WHEN isnan(l_discount) THEN FALSE "
+        "ELSE l_discount <= 0.1 END) AS all_small_disc, "
         "bool_or(l_tax > 0.07) AS any_high_tax, "
         "CAST(count_if(l_extendedprice > 30000.0) AS BIGINT) AS n_pricey "
         "FROM lineitem GROUP BY l_returnflag",

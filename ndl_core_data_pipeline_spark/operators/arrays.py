@@ -159,8 +159,9 @@ SELECT doc_id,
        CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long,
        len(list_filter(w, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
        len(list_filter(w, x -> length(x) > 20)) = 0 AS all_short,
-       CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
-         AS n_chars
+       CASE WHEN w IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                      AS BIGINT) END AS n_chars
 FROM ws
 """
 

@@ -116,11 +116,13 @@ def quality_score(spark, sf_dir):
     mean_wlen = F.round(
         (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
     )
-    keep = (
-        (n_chars >= 200)
-        & (punct_ratio < 0.2)
-        & (stop_ratio > 0.0)
-    ).cast("bigint")
+    # when/otherwise, not a bool cast: a NULL-text doc must score
+    # keep_flag 0 ("don't keep"), matching the oracle's CASE ... ELSE 0
+    # (a bare boolean cast would propagate NULL instead)
+    keep = F.when(
+        (n_chars >= 200) & (punct_ratio < 0.2) & (stop_ratio > 0.0),
+        F.lit(1),
+    ).otherwise(F.lit(0)).cast("bigint")
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
@@ -445,7 +447,11 @@ SELECT w.doc_id, w.n_words,
        ROUND(tb.cnt * LENGTH(tb.bg) / b.n_chars, 6) AS top_bigram_char_frac,
        ROUND(b.dup_bg_occ / b.n_bg, 6) AS dup_bigram_frac
 FROM ws w
-LEFT JOIN topw tw ON tw.doc_id = w.doc_id AND tw.rn = 1
+-- null-safe: Spark computes the top word IN-GROUP (max struct), so the
+-- merged NULL-doc_id group still gets a value; a NULL-dropping join
+-- here would lose it. The bs/topb joins mirror Spark's REAL (and
+-- equally NULL-insensitive) left join and stay plain equality.
+LEFT JOIN topw tw ON tw.doc_id IS NOT DISTINCT FROM w.doc_id AND tw.rn = 1
 LEFT JOIN bs b ON b.doc_id = w.doc_id
 LEFT JOIN topb tb ON tb.doc_id = w.doc_id AND tb.rn = 1""",
     )

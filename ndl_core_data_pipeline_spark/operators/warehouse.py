@@ -41,7 +41,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import DEC, WS_ASCII_RE, dsum, rebalance_narrow_scan, sql_dsum, sql_r6
+from ._util import (
+    DEC,
+    WS_ASCII_RE,
+    dsum,
+    rebalance_narrow_scan,
+    sql_dsum,
+    sql_finite,
+    sql_r6,
+)
 
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance
@@ -325,8 +333,15 @@ def _spread16_sql(x: str) -> str:
 
 
 # price bucket: 0.1-currency cells above the 900.0 floor (testdata range
-# 900.0-999.9 -> 0..999); per-row double math is IEEE-identical across engines
-_ZBUCKET = "CAST(FLOOR(p_retailprice * 10) AS BIGINT) - 9000"
+# 900.0-999.9 -> 0..999); per-row double math is IEEE-identical across
+# engines. Non-finite prices get a NULL bucket like NULLs do — Spark's
+# non-ANSI CAST(NaN AS BIGINT) would silently yield bucket -9000 while
+# DuckDB raises; a z-order cell for NaN is meaningless either way. The
+# guard is shared SQL text, valid verbatim in both engines.
+_ZBUCKET = (
+    "CAST(FLOOR(CASE WHEN " + sql_finite("p_retailprice")
+    + " THEN p_retailprice END * 10) AS BIGINT) - 9000"
+)
 _ZVALUE = f"({_spread16_sql('p_size')} | ({_spread16_sql(_ZBUCKET)} << 1))"
 _Z_TOPK = 128
 
@@ -608,34 +623,53 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles and are NOT bit-identical across engines (Spark percentile
     # vs DuckDB quantile_cont); 6-dp determinization makes the fences —
     # and everything downstream of them (price_w, was_clipped) — match.
-    from ._util import round6_det
+    from ._util import finite, round6_det
 
-    fences = l.groupBy("l_returnflag").agg(
-        round6_det(F.percentile("l_extendedprice", WINSOR_LO)).alias("lo"),
-        round6_det(F.percentile("l_extendedprice", WINSOR_HI)).alias("hi"),
-    )
+    # fences over FINITE prices only (a NaN price would otherwise ride
+    # Spark's NaN-is-greatest ordering into the percentile and then
+    # through round6_det's floor(NaN)->0 quirk into a fence of 0.0); a
+    # NaN price itself passes through unclipped — winsorize clips tails,
+    # it doesn't invent values for non-numbers
     x = F.col("l_extendedprice")
+    xf = F.when(finite(x), x)
+    fences = l.groupBy("l_returnflag").agg(
+        round6_det(F.percentile(xf, WINSOR_LO)).alias("lo"),
+        round6_det(F.percentile(xf, WINSOR_HI)).alias("hi"),
+    )
     return l.join(F.broadcast(fences), "l_returnflag").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
         x.alias("price"),
-        F.least(F.greatest(x, F.col("lo")), F.col("hi")).alias("price_w"),
-        ((x < F.col("lo")) | (x > F.col("hi"))).alias("was_clipped"),
+        F.when(
+            finite(x), F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+        ).otherwise(x).alias("price_w"),
+        F.when(finite(x), (x < F.col("lo")) | (x > F.col("hi")))
+        .otherwise(F.lit(False)).alias("was_clipped"),
     )
 
 
 _WINSOR_SQL = f"""
 WITH fences AS (
   SELECT l_returnflag,
-         {sql_r6(f"quantile_cont(l_extendedprice, {WINSOR_LO})")} AS lo,
-         {sql_r6(f"quantile_cont(l_extendedprice, {WINSOR_HI})")} AS hi
+         {sql_r6(
+             f"quantile_cont(CASE WHEN isfinite(l_extendedprice) "
+             f"THEN l_extendedprice END, {WINSOR_LO})"
+         )} AS lo,
+         {sql_r6(
+             f"quantile_cont(CASE WHEN isfinite(l_extendedprice) "
+             f"THEN l_extendedprice END, {WINSOR_HI})"
+         )} AS hi
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_orderkey, l_linenumber, l.l_returnflag,
        l_extendedprice AS price,
-       LEAST(GREATEST(l_extendedprice, lo), hi) AS price_w,
-       (l_extendedprice < lo OR l_extendedprice > hi) AS was_clipped
+       CASE WHEN isfinite(l_extendedprice)
+            THEN LEAST(GREATEST(l_extendedprice, lo), hi)
+            ELSE l_extendedprice END AS price_w,
+       CASE WHEN isfinite(l_extendedprice)
+            THEN (l_extendedprice < lo OR l_extendedprice > hi)
+            ELSE FALSE END AS was_clipped
 FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
 """
 

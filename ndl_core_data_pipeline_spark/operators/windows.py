@@ -338,10 +338,15 @@ def rolling_stats(spark, sf_dir):
     never cross keys."""
     from ._util import DEC, round6_det
 
+    from ._util import finite
+
+    # finite values only: a NaN x would otherwise ride Spark's
+    # floor(NaN)->0 bigint cast into a fake z-score of 0.0 while the
+    # oracle's FLOOR(NaN) stays NaN — neither is a statistic
     ev = (
         load(spark, sf_dir, "events")
         .select("event_id", "user_id", "ts", "value")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & finite(F.col("value")))
     )
     w = (
         W.partitionBy("user_id")
@@ -373,7 +378,7 @@ WITH f AS (
          COUNT(*) OVER w AS n_window,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
          CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s2
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND isfinite(value)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
 )
