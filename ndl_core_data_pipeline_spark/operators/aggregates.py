@@ -183,11 +183,18 @@ def median_percentiles(spark, sf_dir):
     """Engine surface: exact median + exact percentiles per group
     (Spark `median`/`percentile` are exact — comparable to DuckDB's
     quantile_cont, unlike approx HLL/t-digest forms)."""
+    from ._util import finite
+
     l = load(spark, sf_dir, "lineitem")
+    # percentiles of the FINITE sample: Spark's percentile ranks NaN as
+    # the greatest value while DuckDB's quantile_cont skips it, so the
+    # effective N diverges; neither rank statistic means anything with
+    # NaN in the order anyway
+    xf = F.when(finite(F.col("l_extendedprice")), F.col("l_extendedprice"))
     return l.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("median_price"),
-        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
-        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.median(xf).alias("median_price"),
+        F.percentile(xf, 0.25).alias("p25_price"),
+        F.percentile(xf, 0.95).alias("p95_price"),
     )
 
 
@@ -274,9 +281,12 @@ def register(reg):
         "agg_median_percentiles",
         median_percentiles,
         "SELECT l_returnflag, "
-        "MEDIAN(l_extendedprice) AS median_price, "
-        "quantile_cont(l_extendedprice, 0.25) AS p25_price, "
-        "quantile_cont(l_extendedprice, 0.95) AS p95_price "
+        "MEDIAN(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END)"
+        " AS median_price, "
+        "quantile_cont(CASE WHEN isfinite(l_extendedprice) "
+        "THEN l_extendedprice END, 0.25) AS p25_price, "
+        "quantile_cont(CASE WHEN isfinite(l_extendedprice) "
+        "THEN l_extendedprice END, 0.95) AS p95_price "
         "FROM lineitem GROUP BY l_returnflag",
     )
     open_case = sql_dsum("CASE WHEN l_linestatus='O' THEN l_quantity END")
@@ -524,16 +534,23 @@ def quantile_bin(spark, sf_dir):
     broadcast back onto the fact table for a map-side bin assignment, then
     a per-(group, bin) count. The fence table is G×3 doubles — the classic
     two-pass quantile binning that avoids any global sort of the data."""
+    from ._util import finite
+
     l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    fences = l.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("q1"),
-        F.percentile("l_extendedprice", 0.5).alias("q2"),
-        F.percentile("l_extendedprice", 0.75).alias("q3"),
-    )
     p = F.col("l_extendedprice")
+    # fences over the finite sample; a NULL/NaN price gets a NULL bin
+    # (the bare otherwise(3) would silently file non-values as "top
+    # quartile" on both engines)
+    pf = F.when(finite(p), p)
+    fences = l.groupBy("l_returnflag").agg(
+        F.percentile(pf, 0.25).alias("q1"),
+        F.percentile(pf, 0.5).alias("q2"),
+        F.percentile(pf, 0.75).alias("q3"),
+    )
     binned = l.join(F.broadcast(fences), "l_returnflag").withColumn(
         "bin",
-        F.when(p <= F.col("q1"), 0)
+        F.when(p.isNull() | ~finite(p), F.lit(None))
+        .when(p <= F.col("q1"), 0)
         .when(p <= F.col("q2"), 1)
         .when(p <= F.col("q3"), 2)
         .otherwise(3)
@@ -545,13 +562,18 @@ def quantile_bin(spark, sf_dir):
 _QBIN_SQL = """
 WITH fences AS (
   SELECT l_returnflag,
-         quantile_cont(l_extendedprice, 0.25) AS q1,
-         quantile_cont(l_extendedprice, 0.50) AS q2,
-         quantile_cont(l_extendedprice, 0.75) AS q3
+         quantile_cont(CASE WHEN isfinite(l_extendedprice)
+                            THEN l_extendedprice END, 0.25) AS q1,
+         quantile_cont(CASE WHEN isfinite(l_extendedprice)
+                            THEN l_extendedprice END, 0.50) AS q2,
+         quantile_cont(CASE WHEN isfinite(l_extendedprice)
+                            THEN l_extendedprice END, 0.75) AS q3
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_returnflag,
-       CAST(CASE WHEN l_extendedprice <= q1 THEN 0
+       CAST(CASE WHEN l_extendedprice IS NULL
+                   OR NOT isfinite(l_extendedprice) THEN NULL
+                 WHEN l_extendedprice <= q1 THEN 0
                  WHEN l_extendedprice <= q2 THEN 1
                  WHEN l_extendedprice <= q3 THEN 2
                  ELSE 3 END AS BIGINT) AS bin,

@@ -69,9 +69,11 @@ def register(reg):
     reg.add(
         "events_tumbling_window",
         tumbling_window,
+        # ts IS NOT NULL: Spark's window() drops un-timestamped rows
+        # (engine semantics) where date_trunc(NULL) would emit a NULL group
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "COUNT(*) AS n_events, " + sql_dsum("value") + " AS sum_value "
-        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2",
     )
     reg.add(
         "events_sliding_window",
@@ -81,6 +83,7 @@ def register(reg):
         "WITH assigned AS ("
         "  SELECT make_timestamp((epoch_us(ts) - epoch_us(ts) % 1800000000) - s.shift) AS window_start, value"
         "  FROM events, (SELECT UNNEST([0, 1800000000]) AS shift) s"
+        "  WHERE ts IS NOT NULL"
         ") SELECT window_start, COUNT(*) AS n_events, "
         + sql_dsum("value")
         + " AS sum_value FROM assigned GROUP BY window_start",
@@ -93,7 +96,8 @@ def register(reg):
         "WITH flagged AS ("
         "  SELECT user_id, ts,"
         "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w < 1800000000 THEN 0 ELSE 1 END AS is_start"
-        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        "  FROM events WHERE ts IS NOT NULL"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
         "), numbered AS ("
         "  SELECT user_id, ts, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged"

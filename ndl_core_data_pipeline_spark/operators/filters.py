@@ -139,7 +139,12 @@ def iqr_outlier_filter(spark, sf_dir):
     predicate — no global sort, no second scan shape change at any scale.
     The per-row filter is the same plan as any pushed predicate; only the
     one-row bounds table moves between stages."""
-    o = load(spark, sf_dir, "orders")
+    from ._util import finite
+
+    # finite prices only — for the fences (NaN ranks greatest in Spark's
+    # percentile but is skipped by DuckDB's quantile_cont, skewing Q1/Q3)
+    # AND for the verdicts (a NaN price is a broken value, not a tail)
+    o = load(spark, sf_dir, "orders").filter(finite(F.col("o_totalprice")))
     bounds = o.agg(
         F.percentile("o_totalprice", 0.25).alias("q1"),
         F.percentile("o_totalprice", 0.75).alias("q3"),
@@ -165,13 +170,14 @@ def register_round6(reg):
     reg.add(
         "filter_iqr_outliers",
         iqr_outlier_filter,
-        f"WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, "
-        f"quantile_cont(o_totalprice, 0.75) AS q3 FROM orders), "
+        f"WITH o AS (SELECT * FROM orders WHERE isfinite(o_totalprice)), "
+        f"b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, "
+        f"quantile_cont(o_totalprice, 0.75) AS q3 FROM o), "
         f"f AS (SELECT q1 - {IQR_MULT} * (q3 - q1) AS lo, "
         f"q3 + {IQR_MULT} * (q3 - q1) AS hi FROM b) "
         "SELECT o_orderkey, o_totalprice, "
         "CASE WHEN o_totalprice < lo THEN 'low' ELSE 'high' END AS tail "
-        "FROM orders, f WHERE o_totalprice < lo OR o_totalprice > hi",
+        "FROM o, f WHERE o_totalprice < lo OR o_totalprice > hi",
     )
 
 
@@ -186,7 +192,15 @@ def mad_outliers(spark, sf_dir):
     per group — at 100 TB prefer mad_outliers_approx (mergeable GK
     sketch, bounded memory, rank error ≤ 1/MAD_APPROX_ACC); the oracle
     pins the exact form because approx sketches are engine-specific."""
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    from ._util import finite
+
+    # finite values only (same rule as filter_iqr_outliers: NaN skews the
+    # robust estimators differently per engine, and is not an outlier)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(finite(F.col("value")))
+    )
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
@@ -200,10 +214,12 @@ def mad_outliers(spark, sf_dir):
 
 
 _MAD_SQL = """
-WITH med AS (SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type),
+WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE isfinite(value)),
+med AS (SELECT event_type, MEDIAN(value) AS med FROM ev GROUP BY event_type),
 dev AS (
   SELECT event_id, e.event_type, value, med, ABS(value - med) AS adev
-  FROM events e JOIN med ON e.event_type = med.event_type
+  FROM ev e JOIN med ON e.event_type = med.event_type
 ),
 mad AS (SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type)
 SELECT event_id, d.event_type, value, med, d2.mad

@@ -300,15 +300,20 @@ def bottomk_sample_quantiles(spark, sf_dir):
     # determinization per _util.round6_det's discipline.
     from ._util import round6_det
 
+    # percentiles over the FINITE sample (Spark ranks NaN greatest,
+    # DuckDB's quantile_cont skips it — agg_median_percentiles rule)
+    from ._util import finite
+
+    pf = F.when(finite(F.col("o_totalprice")), F.col("o_totalprice"))
     est = sample.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_sample"),
-        round6_det(F.percentile("o_totalprice", 0.5)).alias("p50_est"),
-        round6_det(F.percentile("o_totalprice", 0.95)).alias("p95_est"),
+        round6_det(F.percentile(pf, 0.5)).alias("p50_est"),
+        round6_det(F.percentile(pf, 0.95)).alias("p95_est"),
     )
     exact = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),
-        round6_det(F.percentile("o_totalprice", 0.5)).alias("p50_exact"),
-        round6_det(F.percentile("o_totalprice", 0.95)).alias("p95_exact"),
+        round6_det(F.percentile(pf, 0.5)).alias("p50_exact"),
+        round6_det(F.percentile(pf, 0.95)).alias("p95_exact"),
     )
     return exact.join(est, "o_orderpriority").select(
         "o_orderpriority",
@@ -320,6 +325,8 @@ def bottomk_sample_quantiles(spark, sf_dir):
         "p95_est",
     )
 
+
+_FINP = "CASE WHEN isfinite(o_totalprice) THEN o_totalprice END"
 
 _BK_SQL = f"""
 WITH h AS (
@@ -336,14 +343,14 @@ sample AS (
 ),
 est AS (
   SELECT o_orderpriority, COUNT(*) AS n_sample,
-         {sql_r6("quantile_cont(o_totalprice, 0.5)")} AS p50_est,
-         {sql_r6("quantile_cont(o_totalprice, 0.95)")} AS p95_est
+         {sql_r6("quantile_cont(" + _FINP + ", 0.5)")} AS p50_est,
+         {sql_r6("quantile_cont(" + _FINP + ", 0.95)")} AS p95_est
   FROM sample GROUP BY o_orderpriority
 ),
 exact AS (
   SELECT o_orderpriority, COUNT(*) AS n_rows,
-         {sql_r6("quantile_cont(o_totalprice, 0.5)")} AS p50_exact,
-         {sql_r6("quantile_cont(o_totalprice, 0.95)")} AS p95_exact
+         {sql_r6("quantile_cont(" + _FINP + ", 0.5)")} AS p50_exact,
+         {sql_r6("quantile_cont(" + _FINP + ", 0.95)")} AS p95_exact
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n_rows, n_sample,
