@@ -440,12 +440,15 @@ def q12_late_shipment_priority(spark, sf_dir):
         .otherwise("on_time")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # when/otherwise, not boolean casts: a NULL priority is "not high",
+    # i.e. a low line (the bare cast would make it NULL — counted in
+    # neither bucket and diverging from the oracle's CASE ... ELSE)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(late_class.alias("late_class"))
         .agg(
-            F.sum(high.cast("bigint")).alias("high_line_count"),
-            F.sum((~high).cast("bigint")).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -470,10 +473,13 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
     s = load(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # when/otherwise: a NULL shipdate is "not late" (0), matching the
+    # oracle's CASE ... ELSE 0 — the bare cast would leave a group whose
+    # every line has NULL shipdate with has_late NULL instead of 0
     per_os = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late.cast("int")).alias("has_late"))
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("has_late"))
     )
     w = W.partitionBy("l_orderkey")
     culprit = per_os.select(
@@ -764,9 +770,13 @@ def register(reg):
         "SELECT p_brand, p_type, p_size, "
         "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        # NOT EXISTS, not NOT IN: the engine's left_anti join has
+        # NOT-EXISTS semantics; a single NULL s_suppkey in the subquery
+        # would make NOT IN empty the whole result (identical when the
+        # subquery is NULL-free, as TPC-H data is)
         "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7) "
-        "AND l_suppkey NOT IN "
-        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "AND NOT EXISTS (SELECT 1 FROM supplier "
+        "WHERE s_acctbal < 0 AND s_suppkey = l_suppkey) "
         "GROUP BY p_brand, p_type, p_size",
     )
     reg.add(
@@ -860,12 +870,22 @@ def register_round2(reg):
         "  GROUP BY l_orderkey, l_suppkey), "
         "per_o AS ("
         "  SELECT l_orderkey, COUNT(*) AS n_supps, SUM(has_late) AS n_late_supps "
-        "  FROM per_os GROUP BY l_orderkey) "
-        "SELECT s_name, COUNT(*) AS numwait "
-        "FROM per_os JOIN per_o USING (l_orderkey) "
+        "  FROM per_os GROUP BY l_orderkey), "
+        # null-safe reattach: the engine computes n_supps/n_late_supps
+        # with a WINDOW over per_os, where NULL l_orderkey is a real
+        # partition — a plain USING join would drop it. Count per
+        # SUPPLIER KEY then label with the name (the engine's shape):
+        # grouping by s_name would merge distinct suppliers that share a
+        # (dirty) name. Identical while names are unique, as TPC-H's are.
+        "culprit AS ("
+        "  SELECT l_suppkey, COUNT(*) AS numwait "
+        "  FROM per_os JOIN per_o "
+        "  ON per_os.l_orderkey IS NOT DISTINCT FROM per_o.l_orderkey "
+        "  WHERE per_os.has_late = 1 AND per_o.n_supps > 1 "
+        "  AND per_o.n_late_supps = 1 GROUP BY l_suppkey) "
+        "SELECT s_name, numwait FROM culprit "
         "JOIN supplier ON l_suppkey = s_suppkey "
-        "WHERE per_os.has_late = 1 AND per_o.n_supps > 1 AND per_o.n_late_supps = 1 "
-        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+        "ORDER BY numwait DESC, s_name LIMIT 20",
     )
 
 

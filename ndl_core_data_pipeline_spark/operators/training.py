@@ -150,10 +150,13 @@ def pack_nextfit_per_source(spark, sf_dir):
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Spark orders NULL doc_ids FIRST; pandas defaults NaN to last
-        pdf = pdf.sort_values("doc_id", na_position="first").reset_index(
-            drop=True
-        )
+        # Spark orders NULL doc_ids FIRST; pandas defaults NaN to last.
+        # n_tokens tiebreak: several NULL-doc_id rows in one source must
+        # walk in a deterministic order or fill/bin assignments drift
+        # (equal keys AND equal token counts pack identically either way)
+        pdf = pdf.sort_values(
+            ["doc_id", "n_tokens"], na_position="first"
+        ).reset_index(drop=True)
         bins = []
         fill = 0
         b = 0
@@ -186,9 +189,10 @@ def pack_cumsum_bins(spark, sf_dir):
     n_tokens = F.coalesce(
         F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint"), F.lit(0)
     )
+    # n_tokens tiebreak for NULL-doc_id ties (same rule as next-fit)
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
@@ -653,7 +657,8 @@ FROM documents GROUP BY lang ORDER BY lang""",
   SELECT doc_id, source,
          COALESCE(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0)
            AS n_tokens,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY doc_id, n_tokens) AS rn
   FROM documents
 ),
 packed AS (
@@ -666,7 +671,8 @@ packed AS (
               ELSE p.bin_id END,
          CASE WHEN p.fill + t.n_tokens > {PACK_CAP} THEN t.n_tokens
               ELSE p.fill + t.n_tokens END
-  FROM packed p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+  FROM packed p JOIN toks t
+    ON t.source IS NOT DISTINCT FROM p.source AND t.rn = p.rn + 1
 )
 SELECT doc_id, source, n_tokens, bin_id FROM packed""",
     )
@@ -680,7 +686,7 @@ FROM (SELECT doc_id, source,
              COALESCE(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0)
                AS n_tokens
       FROM documents) t
-WINDOW w AS (PARTITION BY source ORDER BY doc_id
+WINDOW w AS (PARTITION BY source ORDER BY doc_id, n_tokens
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     )
     reg.add("dedup_block_exact", dedup_block_exact, _sql_block_dedup())

@@ -75,14 +75,28 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).alias(f"sum_{tag}"),
         )
 
-    base = side(o.filter(F.col("o_orderdate") < cutoff), "base")
+    # the base/delta split must PARTITION the table: an un-dated order
+    # goes to the base side (date < cutoff is NULL, which a bare filter
+    # pair would drop from BOTH sides, undercounting vs the oracle's
+    # full recompute)
+    base = side(
+        o.filter((F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull()),
+        "base",
+    )
     delta = side(o.filter(F.col("o_orderdate") >= cutoff), "delta")
     zero_n = F.lit(0).cast("bigint")
     zero_s = F.lit(0).cast(DEC)
+    # null-safe merge key: the NULL-custkey group is a real aggregate row
+    # on each side; a plain full-outer equi-join would emit it twice
+    # (once per side) instead of merging it
+    base = base.withColumnRenamed("o_custkey", "_bk")
+    delta = delta.withColumnRenamed("o_custkey", "_dk")
     return (
-        base.join(delta, "o_custkey", "full_outer")
+        base.join(delta, F.col("_bk").eqNullSafe(F.col("_dk")), "full_outer")
         .select(
-            "o_custkey",
+            F.when(F.col("n_base").isNotNull(), F.col("_bk"))
+            .otherwise(F.col("_dk"))
+            .alias("o_custkey"),
             (
                 F.coalesce(F.col("n_base"), zero_n)
                 + F.coalesce(F.col("n_delta"), zero_n)
@@ -889,8 +903,12 @@ def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SNAPDIFF_SQL = f"""
+-- presence markers (po/pn), NOT key-nullness: a NULL-KEYED row can
+-- never match across sides, and keying presence off o_orderkey would
+-- mis-tag an old-side NULL-key row as 'added' (the Spark side tracks
+-- presence with marker columns for exactly this reason)
 WITH old AS (
-  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS po FROM orders
   WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFF} 00:00:00'
 ),
 new AS (
@@ -898,20 +916,20 @@ new AS (
          CASE WHEN o_orderdate >= TIMESTAMP '{_SNAP_CUTOFF} 00:00:00'
                 OR o_orderstatus = 'P'
               THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
-         o_totalprice
+         o_totalprice, TRUE AS pn
   FROM orders
 ),
 d AS (
   SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
-         CASE WHEN o.o_orderkey IS NULL THEN 'added'
-              WHEN n.o_orderkey IS NULL THEN 'removed'
+         CASE WHEN po IS NULL THEN 'added'
+              WHEN pn IS NULL THEN 'removed'
               WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
                 OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
               THEN 'changed' ELSE 'unchanged' END AS op,
-         (CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+         (CASE WHEN po IS NOT NULL AND pn IS NOT NULL
                 AND NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
                THEN 1 ELSE 0 END
-          + CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+          + CASE WHEN po IS NOT NULL AND pn IS NOT NULL
                   AND NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
                  THEN 1 ELSE 0 END) AS nch
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
