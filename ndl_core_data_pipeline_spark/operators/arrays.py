@@ -121,8 +121,11 @@ def register(reg):
     reg.add(
         "array_min_reduce",
         min_over_array,
+        # COUNT(o_orderdate), not COUNT(*): the engine's collect_list
+        # SKIPS NULL elements (Spark array semantics), so the array
+        # length counts dated orders only
         "SELECT o_custkey, COALESCE(MIN(o_orderdate), TIMESTAMP '1970-01-01') AS oldest, "
-        "COUNT(*) AS n_changes FROM orders GROUP BY o_custkey",
+        "COUNT(o_orderdate) AS n_changes FROM orders GROUP BY o_custkey",
     )
 
 

@@ -303,8 +303,12 @@ def salted_skew_join(spark, sf_dir):
     exploded = profile.withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)]))
     )
+    # coalesce the salt: a NULL event_id would make the composite
+    # (user_id, salt) key NULL and silently drop the row from a join the
+    # plain (oracle) form keeps — salting must never change membership
     big = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "salt", (F.col("event_id") % N_SALTS).cast("int")
+        "salt",
+        F.coalesce((F.col("event_id") % N_SALTS).cast("int"), F.lit(0)),
     )
     return (
         big.join(exploded, ["user_id", "salt"])

@@ -203,12 +203,21 @@ def pareto_front(spark, sf_dir):
     through one task; here the serial pass sees only the per-month
     fronts. The oracle is the single-pass global form — results are
     identical because local pruning only drops dominated rows."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderdate",
-        "o_totalprice",
-        F.datediff("o_orderdate", F.lit("1990-01-01")).alias("dayno"),
-        F.trunc("o_orderdate", "month").alias("month"),
+    from ._util import finite
+
+    # complete rows only: a row missing either coordinate (NULL date,
+    # NULL/NaN price) has no defined dominance relation, and the two
+    # engines place NULL range-frame peers differently
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & finite(F.col("o_totalprice")))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.datediff("o_orderdate", F.lit("1990-01-01")).alias("dayno"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
     )
 
     def survivors(df, *partition):
@@ -246,6 +255,7 @@ WITH o AS (
   SELECT o_orderkey, o_orderdate, o_totalprice,
          date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dayno
   FROM orders
+  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
 ),
 f AS (
   SELECT *,

@@ -767,6 +767,16 @@ def _pq_scored(emb):
     aggregation per branch (round-9 A/B at sf0.1: 0.95-1.13 s direct vs
     0.91-0.96 s cut, identical rows; at scale the win is one saved
     corpus aggregation, the same cut ivfpq_adc_search makes)."""
+    # PQ is defined over identified, labeled, non-NULL vectors: a NULL
+    # embedding would emit M NULL-subvec rows (oracle's UNNEST emits
+    # none); NULL vec_ids would merge distinct vectors into one argmin
+    # group; a NULL label would train a NULL codeword class whose argmin
+    # tie order is engine-specific
+    emb = emb.filter(
+        F.col("embedding").isNotNull()
+        & F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+    )
     subs = _subvectors(emb)
     cb = _pq_codebooks(emb).localCheckpoint(eager=True)
     return subs.join(F.broadcast(cb), "m").select(
@@ -842,6 +852,7 @@ def register_round6(reg):
         "  CAST((i - 1) % 8 AS BIGINT) AS spos, "
         "  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cval "
         "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i) "
+        "  WHERE vec_id IS NOT NULL AND label IS NOT NULL "
         "  GROUP BY m, code, spos), "
         "cb_arr AS ("
         "  SELECT m, code, list(cval ORDER BY spos) AS subcent "
@@ -850,6 +861,7 @@ def register_round6(reg):
         "  SELECT vec_id, label, CAST((i - 1) // 8 AS INT) AS m, "
         "  list(CAST(embedding[i] AS DOUBLE) ORDER BY i) AS subvec "
         "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i) "
+        "  WHERE vec_id IS NOT NULL AND label IS NOT NULL "
         "  GROUP BY vec_id, label, m), "
         "scored AS ("
         "  SELECT vec_id, label, s.m AS m, code, "

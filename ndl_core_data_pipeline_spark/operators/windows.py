@@ -18,7 +18,9 @@ def lag_lead_neighbors(spark, sf_dir):
     merge (ref: resources/embedding/rag_search.py:50-65) done as lag/lead
     instead of the reference's positional row lookup."""
     docs = load(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy("doc_id")
+    # text tiebreak: multiple NULL-doc_id rows in one source would
+    # otherwise order nondeterministically and swap neighbors
+    w = W.partitionBy("source").orderBy("doc_id", "text")
     return docs.select(
         "doc_id",
         "source",
@@ -144,7 +146,7 @@ def register(reg):
         "SELECT doc_id, source, "
         "SUBSTRING(LAG(text, 1) OVER w, 1, 30) AS prev_snippet, "
         "SUBSTRING(LEAD(text, 1) OVER w, 1, 30) AS next_snippet "
-        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)",
+        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id, text)",
     )
     reg.add(
         "window_first_in_group",
@@ -295,16 +297,33 @@ def distributed_prefix_sum(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(25,6)")).alias("day_total")
     )
     w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    # offset stays NULLABLE (NULL = no non-null value in any prior
+    # bucket): SQL's SUM OVER is NULL until the first non-null value, so
+    # the recomposition must distinguish "nothing yet" from "sums to 0"
     offsets = totals.select(
-        "day",
-        F.coalesce(
-            F.sum("day_total").over(w_days), F.lit(0).cast("decimal(25,6)")
-        ).alias("offset"),
+        "day", F.sum("day_total").over(w_days).alias("offset")
     )
-    return local.join(F.broadcast(offsets), "day").select(
+    # null-safe offset lookup: NULL-ts rows form a real NULL-day bucket
+    # (they sort FIRST in the global (ts, event_id) order on both
+    # engines); a plain equi-join would drop them
+    offsets = offsets.withColumnRenamed("day", "_od")
+    zero = F.lit(0).cast("decimal(25,6)")
+    return local.join(
+        F.broadcast(offsets), F.col("day").eqNullSafe(F.col("_od"))
+    ).select(
         "event_id",
         "ts",
-        (F.col("offset") + F.col("local_sum")).cast("double").alias("running_total"),
+        F.when(
+            F.col("offset").isNull() & F.col("local_sum").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (
+                F.coalesce(F.col("offset"), zero)
+                + F.coalesce(F.col("local_sum"), zero)
+            ).cast("double")
+        )
+        .alias("running_total"),
     )
 
 
