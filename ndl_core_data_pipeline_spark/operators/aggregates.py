@@ -644,7 +644,15 @@ def frequent_pairs(spark, sf_dir, minsup: int = _PAIR_MINSUP):
     from an in-row combination expansion over collect_set — never an
     order-keyed self-join — and only (part_a, part_b) count rows shuffle.
     Pairs are ordered a < b; minsup filters the tail."""
-    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # a NULL-orderkey line belongs to NO basket: groupBy would merge
+    # every such line into one giant pseudo-basket and mine quadratic
+    # fake pairs from it (the oracle's self-join on l_orderkey naturally
+    # drops them)
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+    )
     baskets = l.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )

@@ -286,7 +286,13 @@ def simhash_fingerprints(spark, sf_dir):
     as a -2^63 term so the value stays inside bigint two's complement in
     both engines. Near-dups compare by Hamming distance; here we emit the
     fingerprint itself (the groupBy plan is the operator)."""
-    docs = load(spark, sf_dir, "documents")
+    # a fingerprint needs an identity: NULL doc_ids would merge into one
+    # group where per-doc array_distinct (this plan) and cross-doc
+    # DISTINCT (doc_id, word) (the oracle) count repeated words
+    # differently
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     docs = rebalance_narrow_scan(docs, spark)
     words = docs.select(
         "doc_id",
@@ -644,7 +650,7 @@ WHERE ROUND(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2""",
     halved_sql = r"""words AS (
   SELECT DISTINCT doc_id, word
   FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS word
-        FROM documents) t
+        FROM documents WHERE doc_id IS NOT NULL) t
   WHERE LENGTH(word) > 0
 ),
 halved AS (

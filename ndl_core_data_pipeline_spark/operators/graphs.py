@@ -141,7 +141,14 @@ def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hierarchies given as EXPLICIT parent tables use
     tree_depth_over_edges, which keeps the O(log depth) doubling shape.
     The oracle is DuckDB's WITH RECURSIVE over the same parent function."""
-    part = load(spark, sf_dir, "part").select("p_partkey")
+    # a NULL key has no position in the heap hierarchy: drop (the
+    # map-only form would emit per-row NULL depths while the oracle's
+    # GROUP BY node merges every NULL node into one row)
+    part = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey")
+        .filter(F.col("p_partkey").isNotNull())
+    )
     node = F.col("p_partkey").cast("bigint")
     depth = (F.length(F.bin(node + 1)) - 1).cast("bigint")
     top = F.when(depth == 0, F.lit(0).cast("bigint")).otherwise(
@@ -161,6 +168,7 @@ def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREE_SQL = """
 WITH RECURSIVE walk AS (
   SELECT p_partkey AS node, p_partkey AS cur, 0 AS steps FROM part
+  WHERE p_partkey IS NOT NULL
   UNION ALL
   SELECT node, (cur - 1) // 2, steps + 1 FROM walk WHERE cur > 0
 )

@@ -279,7 +279,19 @@ def range_join_binned(spark, sf_dir):
         F.lit(0).cast("bigint").alias("n_views_1h"),
         F.lit(0.0).alias("view_value_1h"),
     )
-    return diffed.unionByName(null_ts)
+    # final merge ACROSS the two branches: GROUP BY in the oracle merges
+    # NULL-event_id purchases of one user into a single row even when
+    # one of them has a NULL ts (one row from each branch here); the
+    # cross-branch double addition only ever adds the null_ts branch's
+    # exact 0.0, so decimal exactness survives. No-op on unique keys.
+    return (
+        diffed.unionByName(null_ts)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.sum("n_views_1h").cast("bigint").alias("n_views_1h"),
+            F.sum("view_value_1h").cast("double").alias("view_value_1h"),
+        )
+    )
 
 
 N_SALTS = 8  # skew fan-out: hottest key splits across 8 reducers
@@ -443,7 +455,11 @@ def register_round6(reg):
     reg.add(
         "join_range_binned",
         range_join_binned,
-        "SELECT p.event_id, p.user_id, COUNT(v.event_id) AS n_views_1h, "
+        # COUNT(v.event_type), not COUNT(v.event_id): the join ON pins
+        # event_type non-null for every matched row, so this counts ALL
+        # matched views — a matched view with a NULL event_id is still a
+        # view in the window
+        "SELECT p.event_id, p.user_id, COUNT(v.event_type) AS n_views_1h, "
         "COALESCE(CAST(SUM(CAST(v.value AS DECIMAL(25,6))) AS DOUBLE), 0.0)"
         " AS view_value_1h "
         "FROM events p LEFT JOIN events v ON v.event_type = 'view' "

@@ -158,7 +158,12 @@ def winnowing_fingerprints(spark, sf_dir):
     map-only plan, embarrassingly parallel at any scale (the only
     exchange is the narrow-scan rebalance below, which never fires when
     the scan already has ≥ cores splits)."""
-    docs = load(spark, sf_dir, "documents")
+    # fingerprints need an identity: NULL doc_ids would merge into one
+    # oracle window partition (sliding minima spanning doc boundaries)
+    # while this per-row plan keeps them separate
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     # positional 3-gram shingles — winnowing needs the sequence, so no
     # array_distinct here (contrast dedup._shingles_spark)
@@ -385,7 +390,7 @@ def register_round2(reg):
   SELECT doc_id, i AS pos,
          words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
-        FROM documents) w,
+        FROM documents WHERE doc_id IS NOT NULL) w,
        UNNEST(range(0, len(words) - 2)) AS t(i)
   WHERE len(words) >= 3
 ),
@@ -1296,7 +1301,12 @@ def cooccur_pmi(spark, sf_dir):
     counts are exact integers; the single ln rounds via round6_det."""
     from ._util import round6_det
 
-    docs = load(spark, sf_dir, "documents")
+    # identified docs only: the per-row array_distinct counts a term
+    # once per NULL-doc_id ROW while the oracle's DISTINCT (doc_id,
+    # term) counts the merged NULL group once, skewing df
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     words = _words(docs, distinct_per_doc=True)
     n_docs = F.broadcast(
         words.agg(F.count_distinct("doc_id").cast("double").alias("n_total"))
@@ -1334,7 +1344,7 @@ _PMI_SQL = rf"""
 WITH words AS (
   SELECT DISTINCT doc_id, t.term FROM (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-    FROM documents) d, UNNEST(d.ws) AS t(term)
+    FROM documents WHERE doc_id IS NOT NULL) d, UNNEST(d.ws) AS t(term)
   WHERE len(t.term) > 0
 ),
 nt AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_total FROM words),

@@ -74,7 +74,29 @@ def _write(out: str, name: str, cols: dict, schema_like: str | None = None) -> N
     print(f"wrote {name}: {table.num_rows} rows")
 
 
-def gen(mult: int, out: str, seed: int = 4242) -> None:
+def _zipf_keys(rng: np.random.Generator, n: int, n_keys: int, a: float = 1.4) -> np.ndarray:
+    """Zipf-distributed keys in [0, n_keys): rank r gets mass ~ r^-a.
+    Tail ranks beyond the key space clamp to the last key (adds a second
+    mild hot key — harmlessly adversarial for a skew stress set)."""
+    r = rng.zipf(a, n)
+    return np.minimum(r - 1, n_keys - 1)
+
+
+def gen(
+    mult: int,
+    out: str,
+    seed: int = 4242,
+    skew: bool = False,
+    dup_heavy: bool = False,
+) -> None:
+    """Synthesize a scaled dataset. `skew`: one bot user owns ~10% of
+    events and part/supp/cust keys go Zipfian (the hot-key shapes real
+    100-TB logs have — what salting/AQE-skew exist for). `dup_heavy`:
+    ~50% of documents are near-duplicates (one-word perturbations of a
+    base doc, ~10% of them exact copies) and ~50% of embeddings are
+    near-copies (1e-3-noise neighbors) — the worst realistic case for
+    banded/bucketed dedup candidate generation (MAX_BUCKET_MEMBERS cap
+    pressure)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -123,7 +145,8 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
     o_dates = date_lo + rng.integers(0, span_days, n_orders).astype("timedelta64[D]")
     _write(out, "orders", {
         "o_orderkey": np.arange(n_orders),
-        "o_custkey": rng.integers(0, n_cust, n_orders),
+        "o_custkey": (_zipf_keys(rng, n_orders, n_cust) if skew
+                      else rng.integers(0, n_cust, n_orders)),
         "o_orderstatus": _resample(rng, _read_col("orders", "o_orderstatus"), n_orders),
         "o_totalprice": _resample(rng, _read_col("orders", "o_totalprice"), n_orders),
         "o_orderdate": o_dates.astype("datetime64[us]"),
@@ -142,8 +165,10 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
     ship_span = int((np.datetime64("2001-11-05") - ship_lo) / np.timedelta64(1, "D"))
     _write(out, "lineitem", {
         "l_orderkey": l_orderkey,
-        "l_partkey": rng.integers(0, n_part, n_li),
-        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_partkey": (_zipf_keys(rng, n_li, n_part) if skew
+                      else rng.integers(0, n_part, n_li)),
+        "l_suppkey": (_zipf_keys(rng, n_li, n_supp) if skew
+                      else rng.integers(0, n_supp, n_li)),
         "l_linenumber": l_linenumber,
         "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
         "l_extendedprice": _resample(rng, _read_col("lineitem", "l_extendedprice"), n_li),
@@ -163,7 +188,15 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
     _write(out, "events", {
         "event_id": np.arange(n_events),
         "ts": (ts_lo + ts.astype("timedelta64[us]")),
-        "user_id": rng.integers(0, n_users, n_events),
+        "user_id": (
+            np.where(
+                rng.random(n_events) < 0.10,
+                0,  # the bot user: ~10% of the whole log
+                _zipf_keys(rng, n_events, n_users),
+            )
+            if skew
+            else rng.integers(0, n_users, n_events)
+        ),
         "event_type": _resample(rng, _read_col("events", "event_type"), n_events),
         "value": _resample(rng, _read_col("events", "value"), n_events),
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)],
@@ -185,6 +218,21 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
     # plant exact duplicates at the measured sf0.1 rate (8 per 5000)
     for _ in range(8 * mult):
         texts[int(rng.integers(0, n_docs))] = texts[int(rng.integers(0, n_docs))]
+    if dup_heavy:
+        # ~50% of docs become near-duplicates of the base half: one word
+        # swapped at a random position (high-Jaccard for 10..100-word
+        # docs), ~10% of the dup half exact copies
+        half = n_docs // 2
+        for i in range(half, n_docs):
+            src = int(rng.integers(0, half))
+            if rng.random() < 0.10:
+                texts[i] = texts[src]
+            else:
+                ws = texts[src].split(" ")
+                ws[int(rng.integers(0, len(ws)))] = VOCAB[
+                    int(rng.integers(0, len(VOCAB)))
+                ]
+                texts[i] = " ".join(ws)
     _write(out, "documents", {
         "doc_id": np.arange(n_docs),
         "text": texts,
@@ -196,6 +244,15 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
     # --- embeddings --- unit-norm float32 dim-64, uniform labels 0..9
     X = rng.standard_normal((n_vecs, 64)).astype("float32")
     X /= np.linalg.norm(X, axis=1, keepdims=True)
+    if dup_heavy:
+        # ~50% near-copies: cosine ~0.9999995 neighbors of the base half
+        # — every LSH band collides, the bucket-cap guard's worst case
+        half_v = n_vecs // 2
+        src = rng.integers(0, half_v, n_vecs - half_v)
+        X[half_v:] = X[src] + 1e-3 * rng.standard_normal(
+            (n_vecs - half_v, 64)
+        ).astype("float32")
+        X[half_v:] /= np.linalg.norm(X[half_v:], axis=1, keepdims=True)
     _write(out, "embeddings", {
         "vec_id": np.arange(n_vecs),
         "embedding": list(X),
@@ -203,7 +260,16 @@ def gen(mult: int, out: str, seed: int = 4242) -> None:
     })
 
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
-        json.dump({"mult": mult, "seed": seed, "base": SRC}, f)
+        json.dump(
+            {
+                "mult": mult,
+                "seed": seed,
+                "base": SRC,
+                "skew": skew,
+                "dup_heavy": dup_heavy,
+            },
+            f,
+        )
 
 
 def inject_nulls(
@@ -302,8 +368,13 @@ if __name__ == "__main__":
         help="instead of scaling, copy --base with NULL/NaN/'' cells injected",
     )
     ap.add_argument("--base", default="/root/testdata/sf0.01")
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-user events + Zipfian part/supp/cust keys")
+    ap.add_argument("--dup-heavy", dest="dup_heavy", action="store_true",
+                    help="~50%% near-duplicate documents and embeddings")
     args = ap.parse_args()
     if args.nulls:
         inject_nulls(args.base, args.out, args.seed if args.seed != 4242 else 7117)
     else:
-        gen(args.mult, args.out, args.seed)
+        gen(args.mult, args.out, args.seed, skew=args.skew,
+            dup_heavy=args.dup_heavy)

@@ -512,14 +512,18 @@ def test_constraint_report_no_cartesian(spark, sf_small):
 def test_mv_incremental_single_key_shuffle(spark, sf_small):
     # base and delta aggregate on the SAME key, so the merge plan is two
     # partial-agg branches plus one full-outer join — every exchange hashes
-    # on o_custkey only and no row-level orders data crosses twice
+    # on the custkey column (aliased _bk/_dk for the null-safe merge) and
+    # no row-level orders data crosses twice
     plan = plan_of(spark, "mv_incremental_agg", sf_small)
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan  # eqNullSafe must stay hashable
     assert "partial_count" in plan and "partial_sum" in plan
     import re
 
     keys = {a.strip().split("#")[0] for a in re.findall(r"hashpartitioning\(([^,]+),", plan)}
-    assert keys <= {"o_custkey"}
+    # the null-safe merge partitions on coalesce(key, 0) + isnull(key) —
+    # Spark's standard eqNullSafe hash form, still single-key per side
+    assert keys <= {"o_custkey", "coalesce(_bk", "coalesce(_dk"}
 
 
 def test_bloom_prune_narrow_scan_and_semi(spark, sf_small):
