@@ -150,3 +150,43 @@ def test_no_container_types_in_query_output(spark, sf_small):
         "query outputs with driver-unsortable container columns "
         f"(serialize with array_join/to_json): {offenders}"
     )
+
+
+def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
+    """Every oracle CAST(x AS DECIMAL(p,s)) must reach DuckDB wrapped in
+    the isfinite CASE (registry-time rewrite in contract.Registry.add):
+    DuckDB raises on CAST(NaN AS DECIMAL) where Spark's non-ANSI cast
+    yields NULL, so one NaN cell would error ~45 oracles instead of
+    mirroring the engine. Also pins the transform itself: idempotent,
+    literal-skipping, nested-cast-aware, whitespace-tolerant."""
+    import re
+
+    from ndl_core_data_pipeline_spark.operators._util import (
+        guard_nonfinite_decimal_casts as g,
+    )
+
+    # unit pins
+    assert g("SUM(CAST(v AS DECIMAL(25,6)))") == (
+        "SUM(CAST(CASE WHEN isfinite(v) THEN v END AS DECIMAL(25,6)))"
+    )
+    assert g("CAST(1.10 AS DECIMAL(3,2))") == "CAST(1.10 AS DECIMAL(3,2))"
+    assert g("CAST(x AS BIGINT)") == "CAST(x AS BIGINT)"
+    nested = "CAST(SUM(CAST(a AS DECIMAL(27,10)))\n  AS DOUBLE)"
+    out = g(nested)
+    assert "CASE WHEN isfinite(a) THEN a END" in out and "AS DOUBLE" in out
+    assert g(out) == out  # idempotent
+
+    # registry-wide: no unguarded decimal cast survives registration
+    unguarded = re.compile(
+        r"CAST\((?!CASE WHEN isfinite\()[^()]*\bAS\s+DECIMAL\s*\(",
+        re.IGNORECASE,
+    )
+    offenders = {
+        name: m.group(0)
+        for name, sql in ORACLES.items()
+        for m in [unguarded.search(sql)]
+        if m and not re.match(
+            r"CAST\(\s*-?\d+(\.\d+)?\s+AS", m.group(0), re.IGNORECASE
+        )
+    }
+    assert not offenders, f"unguarded NaN-unsafe decimal casts: {offenders}"
