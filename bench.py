@@ -360,6 +360,11 @@ def main() -> None:
                     # expensive-tail medians (same noise separation as
                     # core; NOT part of any comparable total)
                     "tail_median": tail_median,
+                    # weather-immune ratios: median(target)/median(ref)
+                    # over in-session A/B/A/B pairs — THE number to
+                    # compare round-over-round for everything above ~2 s
+                    "tail_ratio": tail_ratio,
+                    "ratio_ref": RATIO_REF,
                     "reps": reps,
                     "core_reps": core_reps,
                     "queries": timings,

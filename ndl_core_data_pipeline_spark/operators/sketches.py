@@ -298,11 +298,10 @@ def bottomk_sample_quantiles(spark, sf_dir):
     # round6_det: interpolated percentiles are derived doubles (Spark
     # percentile vs DuckDB quantile_cont differ at ulp level) — 6-dp
     # determinization per _util.round6_det's discipline.
-    from ._util import round6_det
+    from ._util import finite, round6_det
 
     # percentiles over the FINITE sample (Spark ranks NaN greatest,
     # DuckDB's quantile_cont skips it — agg_median_percentiles rule)
-    from ._util import finite
 
     pf = F.when(finite(F.col("o_totalprice")), F.col("o_totalprice"))
     est = sample.groupBy("o_orderpriority").agg(

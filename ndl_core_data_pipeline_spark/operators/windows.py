@@ -355,9 +355,7 @@ def rolling_stats(spark, sf_dir):
     feature_standardize) and z nulls where std = 0. All per-key keyed
     windows: at 100 TB the shuffle is one exchange on user_id, frames
     never cross keys."""
-    from ._util import DEC, round6_det
-
-    from ._util import finite
+    from ._util import DEC, finite, round6_det
 
     # finite values only: a NaN x would otherwise ride Spark's
     # floor(NaN)->0 bigint cast into a fake z-score of 0.0 while the

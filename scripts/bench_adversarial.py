@@ -94,6 +94,16 @@ def main() -> None:
                       shuffle_partitions=32)
     only = {n for n in args.only.split(",") if n}
     results: dict = {"skew": {}, "dup_heavy": {}, "guard_accounting": {}}
+    if os.path.exists(args.out):  # resumable: a crash mid-sweep keeps
+        with open(args.out) as fh:  # completed pairs (nulls_sweep pattern)
+            prior = json.load(fh)
+        for k in results:
+            results[k].update(prior.get(k, {}))
+
+    def persist():
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+
     try:
         run_one(queries["q6_forecast_revenue"], spark, UNIFORM)  # warm-up
         for label, names, adv_dir in (
@@ -101,7 +111,7 @@ def main() -> None:
             ("dup_heavy", DUP_QUERIES, DUP),
         ):
             for name in names:
-                if only and name not in only:
+                if (only and name not in only) or name in results[label]:
                     continue
                 # interleave uniform/adversarial so host weather cancels
                 u_runs, a_runs = [], []
@@ -120,58 +130,58 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
+                persist()
         # MAX_BUCKET_MEMBERS guard accounting under dup-heavy data: the
         # number the verdict asked to see — how much the cap drops, and
-        # how many candidate pairs still flow
-        from pyspark.sql import functions as F
-        from pyspark.sql.observation import Observation
+        # how many candidate pairs still flow. The bucket frame is built
+        # EXACTLY as minhash_near_dup_pairs builds it (collect_list,
+        # which skips NULL doc_ids) and audited with the guard's own
+        # dedup.oversize_buckets(), so these numbers cannot drift from
+        # what _bucket_pairs actually drops. Skipped under --only.
+        if not only and "minhash_dup_heavy" not in results["guard_accounting"]:
+            from pyspark.sql import functions as F
+            from pyspark.sql.observation import Observation
 
-        from ndl_core_data_pipeline_spark.operators import dedup
+            from ndl_core_data_pipeline_spark.operators import dedup
 
-        obs = Observation("dup_minhash")
-        pairs = dedup.minhash_near_dup_pairs(spark, DUP, observation=obs)
-        n_out = pairs.count()
-        sigs = dedup.minhash_signatures(spark, DUP)
-        buckets = (
-            sigs.groupBy("j", "minhash")
-            .agg(F.count("*").alias("m"))
-            .filter(F.col("m") > 1)
-        )
-        drop = buckets.agg(
-            F.count("*").alias("n_buckets"),
-            F.sum(
-                F.when(F.col("m") > dedup.MAX_BUCKET_MEMBERS, 1).otherwise(0)
-            ).alias("n_oversize"),
-            F.sum(
-                F.when(
-                    F.col("m") > dedup.MAX_BUCKET_MEMBERS, F.col("m")
-                ).otherwise(0)
-            ).alias("dropped_members"),
-            F.sum(
-                F.when(
-                    F.col("m") > dedup.MAX_BUCKET_MEMBERS,
-                    F.col("m") * (F.col("m") - 1) / 2,
-                ).otherwise(0)
-            ).cast("bigint").alias("pairs_averted"),
-        ).first()
-        results["guard_accounting"]["minhash_dup_heavy"] = {
-            "max_bucket_members": dedup.MAX_BUCKET_MEMBERS,
-            "n_collision_buckets": drop["n_buckets"],
-            "n_oversize_buckets": drop["n_oversize"],
-            "dropped_members": drop["dropped_members"],
-            "quadratic_pairs_averted": drop["pairs_averted"],
-            "candidate_pairs_generated": obs.get["n_candidate_pairs"],
-            "scored_pairs_emitted": n_out,
-        }
-        print(
-            "guard: " + json.dumps(results["guard_accounting"]),
-            file=sys.stderr,
-            flush=True,
-        )
+            obs = Observation("dup_minhash")
+            pairs = dedup.minhash_near_dup_pairs(spark, DUP, observation=obs)
+            n_out = pairs.count()
+            sigs = dedup.minhash_signatures(spark, DUP)
+            buckets = (
+                sigs.groupBy("j", "minhash")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .filter(F.size("ids") > 1)
+            )
+            over = dedup.oversize_buckets(buckets, "ids").agg(
+                F.count("*").alias("n_oversize"),
+                F.coalesce(F.sum("n_members"), F.lit(0)).alias(
+                    "dropped_members"
+                ),
+                F.coalesce(
+                    F.sum(F.col("n_members") * (F.col("n_members") - 1) / 2),
+                    F.lit(0),
+                ).cast("bigint").alias("pairs_averted"),
+            ).first()
+            n_buckets = buckets.count()
+            results["guard_accounting"]["minhash_dup_heavy"] = {
+                "max_bucket_members": dedup.MAX_BUCKET_MEMBERS,
+                "n_collision_buckets": n_buckets,
+                "n_oversize_buckets": over["n_oversize"],
+                "dropped_members": over["dropped_members"],
+                "quadratic_pairs_averted": over["pairs_averted"],
+                "candidate_pairs_generated": obs.get["n_candidate_pairs"],
+                "scored_pairs_emitted": n_out,
+            }
+            persist()
+            print(
+                "guard: " + json.dumps(results["guard_accounting"]),
+                file=sys.stderr,
+                flush=True,
+            )
     finally:
         spark.stop()
-    with open(args.out, "w") as fh:
-        json.dump(results, fh, indent=1)
+    persist()
     print(json.dumps({"wrote": args.out}))
 
 

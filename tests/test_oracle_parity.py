@@ -159,8 +159,6 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     yields NULL, so one NaN cell would error ~45 oracles instead of
     mirroring the engine. Also pins the transform itself: idempotent,
     literal-skipping, nested-cast-aware, whitespace-tolerant."""
-    import re
-
     from ndl_core_data_pipeline_spark.operators._util import (
         guard_nonfinite_decimal_casts as g,
     )
@@ -176,17 +174,11 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     assert "CASE WHEN isfinite(a) THEN a END" in out and "AS DOUBLE" in out
     assert g(out) == out  # idempotent
 
-    # registry-wide: no unguarded decimal cast survives registration
-    unguarded = re.compile(
-        r"CAST\((?!CASE WHEN isfinite\()[^()]*\bAS\s+DECIMAL\s*\(",
-        re.IGNORECASE,
+    # registry-wide: registered oracle text must be a FIXPOINT of the
+    # transform — if Registry.add regressed and stopped applying it,
+    # re-applying here would change the text. (A regex scan can't cross
+    # nested parens; the transform's own balanced parser can.)
+    offenders = {name for name, sql in ORACLES.items() if g(sql) != sql}
+    assert not offenders, (
+        f"oracles not fixpoints of the NaN-decimal guard: {sorted(offenders)}"
     )
-    offenders = {
-        name: m.group(0)
-        for name, sql in ORACLES.items()
-        for m in [unguarded.search(sql)]
-        if m and not re.match(
-            r"CAST\(\s*-?\d+(\.\d+)?\s+AS", m.group(0), re.IGNORECASE
-        )
-    }
-    assert not offenders, f"unguarded NaN-unsafe decimal casts: {offenders}"
