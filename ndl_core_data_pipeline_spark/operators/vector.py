@@ -1074,7 +1074,19 @@ def ivfpq_adc_search(spark, sf_dir):
     At 100 TB: centroids, codebooks, query-cell list, and LUT are all
     broadcast-sized; the only wide ops are the per-round Lloyd shuffle
     and the keyed code argmin. Oracle: the full composition unrolled as
-    CTEs over the shared k-means prefix."""
+    CTEs over the shared k-means prefix.
+
+    COST ENVELOPE (r11 stage profile, sf0.1 local[32], 3 reps): total
+    3.5-3.9 s = Lloyd k-means fit 1.7-1.9 s (~50%) + residual-PQ
+    codebook build 0.6-1.0 s (~25%) + ADC probe/scan execution ~1.0 s
+    (~26%). The registry's heaviest query is heavy because it RE-TRAINS
+    the index per run (by design — the oracle needs the whole
+    composition self-contained); a production deployment trains once
+    and pays only the ~1 s search path (the setup_ivf_probe bench entry
+    is that read-path shape). Earlier recorded swings (4.06 s r9 →
+    8.16 s r10 on byte-identical code) were host weather on this
+    3-job-deep plan; bench.py's tail_ratio now measures it against an
+    in-session reference so the envelope is weather-immune."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
