@@ -154,10 +154,11 @@ def build_registry() -> Registry:
 # changed this round are forced to the front regardless of record age — their
 # old green rows attest to the old definition.
 _FORCE_FRONT: list[str] = [
-    # round 8: the four r7 pins re-earned green rows and were released
-    # (VERDICT r7 item 2). func_map_family needs no pin — its oracle changed
-    # (arrays serialized to strings) but it has never had a green row, so it
-    # sorts front automatically via last_green == 0.
+    # round 11: gained the vector_elements_valid(embedding) rule row
+    # (one MORE output row — a semantic change; its old green rows
+    # attest the 6-rule report). It was already in the r11 stale window,
+    # but the pin makes the re-attestation explicit per protocol.
+    "quality_constraint_report",
 ]
 
 # Round 6 deferred its 39 trivial-semantics additions behind the stale-refresh

@@ -38,6 +38,26 @@ def non_negative(col: str):
     return (f"non_negative({col})", F.count(F.when(F.col(col) < 0, 1)))
 
 
+def vector_elements_valid(col: str):
+    """Corrupt-vector detection: a non-NULL array containing a NULL or
+    non-finite element. The r11 element-null probe
+    (scripts/probe_element_nulls.py) showed such vectors crash nothing
+    but win/lose ANN rankings engine-dependently — the data contract is
+    therefore validate-and-reject HERE, upstream of the vector family,
+    not silent per-query filtering. Whole-NULL vectors are the
+    not_null rule's business and pass this one."""
+    from ._util import finite
+
+    bad_elem = F.exists(
+        F.col(col),
+        lambda x: x.isNull() | ~finite(x.cast("double")),
+    )
+    return (
+        f"vector_elements_valid({col})",
+        F.count(F.when(F.col(col).isNotNull() & bad_elem, 1)),
+    )
+
+
 def _table_report(df: DataFrame, rules) -> DataFrame:
     """All single-table rules in ONE aggregation pass. The one-row
     aggregate explodes into per-rule rows in the SAME plan — a
@@ -91,6 +111,10 @@ def constraint_report(spark, sf_dir):
     report = report.unionAll(
         referential(l, "l_orderkey", o, "o_orderkey", "fk(lineitem.l_orderkey -> orders)")
     )
+    emb = load(spark, sf_dir, "embeddings")
+    report = report.unionAll(
+        _table_report(emb, [vector_elements_valid("embedding")])
+    )
     return report
 
 
@@ -123,5 +147,11 @@ def register(reg):
         "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)), "
         "(SELECT COUNT(*) FROM lineitem lw WHERE lw.l_orderkey IS NOT NULL "
         "AND NOT EXISTS "
-        "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)) = 0",
+        "(SELECT 1 FROM orders WHERE o_orderkey = lw.l_orderkey)) = 0 "
+        "UNION ALL SELECT 'vector_elements_valid(embedding)', "
+        "COUNT(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding, "
+        "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) > 0 THEN 1 END), "
+        "COUNT(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding, "
+        "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) > 0 THEN 1 END) = 0 "
+        "FROM embeddings",
     )

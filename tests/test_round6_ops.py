@@ -572,6 +572,32 @@ def test_constraint_report_detects_violations(spark, tmp_path):
     assert got["non_negative(o_totalprice)"] == (1, False)
 
 
+def test_vector_elements_valid_rule(spark):
+    """The corrupt-vector rule (r11 element-null probe): flags non-NULL
+    arrays containing a NULL, NaN, or Inf element; whole-NULL vectors
+    are the not_null rule's business and pass; clean vectors pass."""
+    from ndl_core_data_pipeline_spark.operators.checks import (
+        _table_report,
+        vector_elements_valid,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),            # clean
+        (2, None),                  # whole-NULL: not this rule's violation
+        (3, [1.0, None]),           # NULL element
+        (4, [float("nan"), 2.0]),   # NaN element
+        (5, [float("inf"), 2.0]),   # Inf element
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in _table_report(
+            df, [vector_elements_valid("embedding")]
+        ).collect()
+    }
+    assert got["vector_elements_valid(embedding)"] == (3, False)
+
+
 def test_constraint_report_single_pass_plan(spark, sf_small):
     # the 4 orders rules must share ONE scan/aggregation of orders, not 4
     from ndl_core_data_pipeline_spark.plans.audit import explain_formatted
