@@ -750,3 +750,64 @@ def test_cusum_stream_checkpoint_recovery(spark, tmp_path, sf_small):
         ).collect()
     }
     assert got and got == want
+
+
+def test_markov_stream_checkpoint_recovery(spark, tmp_path, sf_small):
+    """Restart-from-checkpoint for the LAST-ROW-CARRY state shape (the
+    cusum twin covers the accumulating shape): run 1 consumes only the
+    first time-half and terminates; run 2 restarts from the SAME
+    checkpoint into the SAME parquet sink after the second half lands.
+    Each user's last event must be restored from the state store so the
+    first batch-2 transition chains across the restart — the combined
+    sink must equal the batch lag() transition counts exactly."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators.eventwindows import (
+        events_markov_transitions,
+    )
+    from ndl_core_data_pipeline_spark.streaming.jobs import markov_pairs_stream
+
+    ev = load(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()["c"]
+    src = tmp_path / "mk_ckpt_src"
+    src.mkdir()
+    ckpt, sink = str(tmp_path / "mk_ckpt"), str(tmp_path / "mk_sink")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "a"))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (
+            markov_pairs_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "stream did not finish"
+        finally:
+            q.stop()
+
+    run_once()  # run 1: first half only, query TERMINATES
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "b"))
+    _force_batch_order(src / "a", src / "b")
+    run_once()  # run 2: restart, per-user last-event state recovered
+
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.read.parquet(sink)
+        .groupBy("prev_type", "next_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in events_markov_transitions(spark, sf_small).collect()
+    }
+    assert got and got == want
