@@ -334,8 +334,13 @@ def main() -> None:
         try:
             for name, setup in SETUP_BENCH.items():
                 timed = setup(spark, sf_dir, tmp)
-                runs, tail_ratio[name] = ratio_runs(timed, reps)
-                timings[name] = round(min(runs), 4)
+                # core_reps pairs, not reps: these entries are sub-second,
+                # so a median-of-2 ratio is one bad run away from useless
+                # (r11 A/B: zip's n=2 ratio swung 144% between sessions
+                # while every n=3 ratio moved <= 24%); min still reports
+                # best-of-`reps` for cross-round comparability
+                runs, tail_ratio[name] = ratio_runs(timed, core_reps)
+                timings[name] = round(min(runs[:reps]), 4)
                 print(f"bench {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
