@@ -159,6 +159,11 @@ _FORCE_FRONT: list[str] = [
     # attest the 6-rule report). It was already in the r11 stale window,
     # but the pin makes the re-attestation explicit per protocol.
     "quality_constraint_report",
+    # elbow_cut's r11 corrupt-vector exclusion is NOT pinned: like the
+    # round's ~50 other oracle edits, its CLEAN-data output is unchanged
+    # (bit-identical at sf0.001/0.01), so the r10 green row still
+    # attests driver-data behavior — only the report above changes its
+    # clean-data output (one new rule row).
 ]
 
 # Round 6 deferred its 39 trivial-semantics additions behind the stale-refresh

@@ -82,10 +82,17 @@ def elbow_cut(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    from ._util import finite
+
+    # defined distances only: a corrupt vector (NULL/NaN element) yields
+    # a NULL/NaN dist, which ASC NULLS FIRST would rank INTO the top-15
+    # ahead of every real neighbor and poison the elbow (r11 element-null
+    # probe — the same class the vector_elements_valid check rejects)
     topk = (
         emb.filter(F.col("vec_id") != 0)
         .join(F.broadcast(q))
         .select("vec_id", F.round(dist, 6).alias("dist"))
+        .filter(F.col("dist").isNotNull() & finite(F.col("dist")))
         .orderBy("dist", "vec_id")
         .limit(15)
     )
@@ -153,12 +160,18 @@ def register(reg):
         elbow_cut,
         """
 WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0),
-topk AS (
+scored AS (
   SELECT vec_id,
          ROUND(list_sum(list_transform(list_zip(e.embedding, q.q_embedding),
                x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
                   * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS dist
   FROM embeddings e, q WHERE vec_id <> 0
+),
+-- defined distances only: a corrupt vector's NULL/NaN dist would rank
+-- NULLS-FIRST into the top-15 and poison the elbow
+topk AS (
+  SELECT vec_id, dist FROM scored
+  WHERE dist IS NOT NULL AND isfinite(dist)
   ORDER BY dist, vec_id LIMIT 15
 ),
 diffs AS (

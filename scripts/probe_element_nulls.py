@@ -38,6 +38,10 @@ VECTOR_QUERIES = [
     "vector_ann_recall_report",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    # sorts.py, not vector.py — but its zip_with/aggregate distance also
+    # consumes embedding ELEMENTS, and its ASC NULLS FIRST ranking would
+    # put a NULL-distance (corrupt) vector at the top (r11 review gap)
+    "elbow_cut",
 ]
 
 
