@@ -153,17 +153,22 @@ def build_registry() -> Registry:
 # few rounds instead of staying green-by-assumption. Queries whose SEMANTICS
 # changed this round are forced to the front regardless of record age — their
 # old green rows attest to the old definition.
-_FORCE_FRONT: list[str] = [
-    # round 11: gained the vector_elements_valid(embedding) rule row
-    # (one MORE output row — a semantic change; its old green rows
-    # attest the 6-rule report). It was already in the r11 stale window,
-    # but the pin makes the re-attestation explicit per protocol.
-    "quality_constraint_report",
-    # elbow_cut's r11 corrupt-vector exclusion is NOT pinned: like the
+# Each pin records the round it was placed in; a pin SELF-RELEASES once the
+# query earns a driver-green row in a round >= its pin round (the fresh row
+# attests the new definition, so keeping the pin would put a fresh-green query
+# ahead of genuinely stale ones — exactly the staleness-monotonicity violation
+# that turned the suite red across the r11→r12 driver boundary).
+_FORCE_FRONT: list[tuple[str, int]] = [
+    # round 11: quality_constraint_report gained the
+    # vector_elements_valid(embedding) rule row (one MORE output row — a
+    # semantic change; its prior green rows attest the 6-rule report).
+    # Pinned at r11; CORRECTNESS_r11.json recorded the fresh green row, so
+    # this entry is now inert and kept only as the pin-history record.
+    ("quality_constraint_report", 11),
+    # elbow_cut's r11 corrupt-vector exclusion was NOT pinned: like the
     # round's ~50 other oracle edits, its CLEAN-data output is unchanged
     # (bit-identical at sf0.001/0.01), so the r10 green row still
-    # attests driver-data behavior — only the report above changes its
-    # clean-data output (one new rule row).
+    # attests driver-data behavior.
 ]
 
 # Round 6 deferred its 39 trivial-semantics additions behind the stale-refresh
@@ -205,13 +210,26 @@ def _last_green_rounds() -> dict[str, int]:
     return last
 
 
+def _active_pins(last_green: dict[str, int] | None = None) -> list[str]:
+    """Names of _FORCE_FRONT pins still in force, in list order.
+
+    A pin is ACTIVE only while its query has no driver-green row from a
+    round at or after the pin round; afterwards it self-releases (stays in
+    the list as history, ignored here) so the rotation returns to pure
+    staleness order without a manual next-round edit.
+    """
+    if last_green is None:
+        last_green = _last_green_rounds()
+    return [n for n, pin_round in _FORCE_FRONT if last_green.get(n, 0) < pin_round]
+
+
 def _prioritize(reg: Registry) -> None:
-    missing = set(_FORCE_FRONT) - set(reg.queries)
+    missing = {n for n, _ in _FORCE_FRONT} - set(reg.queries)
     if missing:  # a typo here would silently drop a query from the rotation
         raise ValueError(f"front-list names not in registry: {sorted(missing)}")
     last_green = _last_green_rounds()
     reg_index = {n: i for i, n in enumerate(reg.queries)}
-    forced = {n: i for i, n in enumerate(_FORCE_FRONT)}
+    forced = {n: i for i, n in enumerate(_active_pins(last_green))}
 
     def key(name: str):
         # forced-front first (list order), then oracle-backed queries by

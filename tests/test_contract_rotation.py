@@ -11,14 +11,32 @@ from ndl_core_data_pipeline_spark import contract
 
 def test_force_front_names_exist():
     reg = contract.build_registry()
-    assert set(contract._FORCE_FRONT) <= set(reg.queries)
+    assert {n for n, _ in contract._FORCE_FRONT} <= set(reg.queries)
+
+
+def test_pins_self_release_on_fresh_green():
+    """r11 regression: a pin whose query already earned a driver-green row
+    in a round >= the pin round must be inert — keeping it active puts a
+    fresh-green query ahead of genuinely stale ones and broke the
+    staleness-monotonicity assert across the r11→r12 driver boundary."""
+    # synthetic last-green maps exercise both sides of the release boundary
+    assert contract._active_pins({"quality_constraint_report": 11}) == []
+    assert contract._active_pins({"quality_constraint_report": 12}) == []
+    assert contract._active_pins({"quality_constraint_report": 10}) == [
+        "quality_constraint_report"
+    ]
+    assert contract._active_pins({}) == ["quality_constraint_report"]
+    # and against the REAL committed records: CORRECTNESS_r11.json holds the
+    # green row that releases the r11 pin, so no pin is active today
+    assert contract._active_pins() == []
 
 
 def test_forced_lead_then_stalest():
     reg = contract.build_registry()
     names = list(reg.queries)
-    n_forced = len(contract._FORCE_FRONT)
-    assert names[:n_forced] == contract._FORCE_FRONT
+    active = contract._active_pins()
+    n_forced = len(active)
+    assert names[:n_forced] == active
     last = contract._last_green_rounds()
     # after the forced block, oracle-backed queries come before oracle-less
     # ones, and each block is non-decreasing in last-green round
@@ -80,7 +98,7 @@ def test_steady_state_window_is_exactly_the_50_stalest():
     last = contract._last_green_rounds()
     backed = [n for n in reg.queries if n in reg.oracles]
     never_checked = [n for n in backed if last.get(n, 0) == 0]
-    if contract._FORCE_FRONT or contract._DEFER_NEW or never_checked:
+    if contract._active_pins() or contract._DEFER_NEW or never_checked:
         pytest.skip("not steady state: pins or never-checked queries present")
     window = backed[:50]
     boundary = max(last[n] for n in window)
