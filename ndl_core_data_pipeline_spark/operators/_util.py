@@ -73,17 +73,49 @@ _DECIMAL_TYPE_RE = re.compile(
 _NUM_LIT_RE = re.compile(r"^\s*-?\d+(\.\d+)?\s*$")
 
 
+def _skip_quoted(s: str, j: int) -> int:
+    """`j` points at an opening single quote; return the index just past the
+    closing quote. `''` inside a literal is SQL's escaped quote. An
+    unterminated literal consumes the rest of the string (malformed SQL —
+    DuckDB will reject it loudly anyway)."""
+    n = len(s)
+    j += 1
+    while j < n:
+        if s[j] == "'":
+            if j + 1 < n and s[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def _split_last_top_level_as(inner: str) -> int:
-    """Position of the last depth-0 `AS` keyword in a CAST body, -1 if none."""
-    depth, pos = 0, -1
-    for m in re.finditer(r"[()]|\bAS\b", inner, re.IGNORECASE):
-        tok = m.group(0)
-        if tok == "(":
+    """Position of the last depth-0 `AS` keyword in a CAST body, -1 if none.
+    Parens and `AS` inside single-quoted literals are skipped — an oracle
+    like CAST(regexp_replace(x, '(', '') AS DECIMAL(25,6)) would otherwise
+    miscount depth and silently escape the NaN guard."""
+    depth, pos, j, n = 0, -1, 0, len(inner)
+    while j < n:
+        c = inner[j]
+        if c == "'":
+            j = _skip_quoted(inner, j)
+            continue
+        if c == "(":
             depth += 1
-        elif tok == ")":
+        elif c == ")":
             depth -= 1
-        elif depth == 0:
-            pos = m.start()
+        elif (
+            depth == 0
+            and inner[j : j + 2].upper() == "AS"
+            and (j == 0 or not (inner[j - 1].isalnum() or inner[j - 1] == "_"))
+            and (
+                j + 2 >= n
+                or not (inner[j + 2].isalnum() or inner[j + 2] == "_")
+            )
+        ):
+            pos = j
+        j += 1
     return pos
 
 
@@ -106,16 +138,30 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
+        # quote-aware scan: a CAST( or paren inside a single-quoted SQL
+        # literal is text, not structure (ADVICE r11: the quote-blind
+        # scanner let CAST(regexp_replace(x, '(', '') AS DECIMAL(25,6))
+        # silently escape the guard by miscounting depth)
+        q = sql.find("'", i)
         m = _CAST_OPEN_RE.search(sql, i)
+        if q != -1 and (m is None or q < m.start()):
+            k = _skip_quoted(sql, q)
+            out.append(sql[i:k])
+            i = k
+            continue
         if not m:
             out.append(sql[i:])
             break
         out.append(sql[i : m.start()])
         depth, j = 1, m.end()
         while j < n and depth:
-            if sql[j] == "(":
+            c = sql[j]
+            if c == "'":
+                j = _skip_quoted(sql, j)
+                continue
+            if c == "(":
                 depth += 1
-            elif sql[j] == ")":
+            elif c == ")":
                 depth -= 1
             j += 1
         inner = guard_nonfinite_decimal_casts(sql[m.end() : j - 1])

@@ -492,13 +492,17 @@ def q21_waiting_suppliers(spark, sf_dir):
         & (F.col("n_supps") > 1)
         & (F.col("n_late_supps") == 1)
     )
+    # s_suppkey as the final tiebreak makes the rank-20 cutoff a TOTAL
+    # order (ADVICE r11: distinct suppliers can share a dirty-injected
+    # s_name, leaving the cutoff engine-dependent); identity on clean
+    # data where names are unique
     return (
         culprit.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("s_name", "numwait")
-        .orderBy(F.desc("numwait"), "s_name")
+        .orderBy(F.desc("numwait"), "s_name", "s_suppkey")
         .limit(20)
+        .select("s_name", "numwait")
     )
 
 
@@ -883,9 +887,12 @@ def register_round2(reg):
         "  ON per_os.l_orderkey IS NOT DISTINCT FROM per_o.l_orderkey "
         "  WHERE per_os.has_late = 1 AND per_o.n_supps > 1 "
         "  AND per_o.n_late_supps = 1 GROUP BY l_suppkey) "
+        # s_suppkey tiebreak = total order at the rank-20 cutoff even when
+        # dirty data makes two suppliers share a name (identity on clean
+        # data; matches the engine's orderBy)
         "SELECT s_name, numwait FROM culprit "
         "JOIN supplier ON l_suppkey = s_suppkey "
-        "ORDER BY numwait DESC, s_name LIMIT 20",
+        "ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20",
     )
 
 

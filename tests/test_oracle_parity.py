@@ -174,6 +174,26 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     assert "CASE WHEN isfinite(a) THEN a END" in out and "AS DOUBLE" in out
     assert g(out) == out  # idempotent
 
+    # ADVICE r11: parens / AS / quotes INSIDE string literals are text, not
+    # structure — the quote-blind scanner let these escape the guard
+    probe = "CAST(regexp_replace(x, '\\(', '') AS DECIMAL(25,6))"
+    got = g(probe)
+    assert got == (
+        "CAST(CASE WHEN isfinite(regexp_replace(x, '\\(', '')) "
+        "THEN regexp_replace(x, '\\(', '') END AS DECIMAL(25,6))"
+    )
+    assert g(got) == got  # idempotent with the literal inside the CASE
+    # ')' in a literal must not close the CAST early
+    assert g("CAST(replace(x, ')', '') AS DECIMAL(25,6))").count("isfinite") == 1
+    # 'AS' inside a literal is not the type separator
+    lit_as = g("CAST(concat(x, ' AS y') AS DECIMAL(25,6))")
+    assert lit_as.endswith("END AS DECIMAL(25,6))") and "isfinite" in lit_as
+    # escaped '' quote keeps the scanner in the literal
+    esc = g("CAST(replace(x, '''(', '') AS DECIMAL(25,6))")
+    assert esc.count("isfinite") == 1
+    # CAST( spelled inside a literal is not a cast site
+    assert g("SELECT 'CAST(' AS label") == "SELECT 'CAST(' AS label"
+
     # registry-wide: registered oracle text must be a FIXPOINT of the
     # transform — if Registry.add regressed and stopped applying it,
     # re-applying here would change the text. (A regex scan can't cross
