@@ -287,8 +287,9 @@ def debounced_stream(stream: DataFrame, gap_us: int | None = None) -> DataFrame:
     from ..operators.eventwindows import DEBOUNCE_US
 
     gap = f"{(DEBOUNCE_US if gap_us is None else gap_us) + 1} microseconds"
-    return (
-        stream.groupBy(
+    sessions = (
+        stream.filter(F.col("ts").isNotNull())
+        .groupBy(
             F.session_window("ts", gap).alias("w"),
             F.col("user_id"),
             F.col("event_type"),
@@ -304,6 +305,33 @@ def debounced_stream(stream: DataFrame, gap_us: int | None = None) -> DataFrame:
             "user_id", "event_type", "burst_start", "burst_n", "burst_value"
         )
     )
+    # NULL-ts events: the batch operator's lag() gap test sees a NULL
+    # previous-timestamp for every NULL-ts row (they sort NULLS FIRST),
+    # so EACH becomes its own singleton burst — but session_window simply
+    # drops NULL timestamps, silently losing those rows. Re-derive the
+    # singletons as a second streaming AGGREGATION (not a stateless
+    # union branch: complete mode re-emits only what lives in state, so
+    # a stateless branch would drop earlier micro-batches' rows at the
+    # sink truncate): count duplicates per full row identity, then
+    # re-explode count rows — n identical singleton bursts, exactly as
+    # the batch form emits them.
+    null_ts = (
+        stream.filter(F.col("ts").isNull())
+        .groupBy("user_id", "event_type", "event_id", "value")
+        .agg(F.count("*").alias("n_dup"))
+        .select(
+            "user_id",
+            "event_type",
+            F.lit(None).cast("timestamp").alias("burst_start"),
+            F.lit(1).cast("long").alias("burst_n"),
+            F.coalesce(F.col("value").cast(DEC).cast("double"), F.lit(0.0)).alias(
+                "burst_value"
+            ),
+            F.explode(F.expr("sequence(1, n_dup)")).alias("_dup_i"),
+        )
+        .drop("_dup_i")
+    )
+    return sessions.unionByName(null_ts)
 
 
 def markov_pairs_stream(stream: DataFrame) -> DataFrame:
@@ -337,11 +365,19 @@ def markov_pairs_stream(stream: DataFrame) -> DataFrame:
             for ts, eid, etype in zip(
                 batch["ts"], batch["event_id"], batch["event_type"]
             ):
+                # normalize pandas string-null spellings (None vs NaN) so
+                # the None checks below and the emitted pair rows agree
+                if pd.isna(etype):
+                    etype = None
                 if last_type is not None:
                     prevs.append(last_type)
                     nexts.append(etype)
-                last_us = int(pd.Timestamp(ts).value // 1000)
-                last_eid = int(eid)
+                # dirty rows carry NULL ts/event_id (NaT/NaN here) —
+                # int() on those raises; the state fields are nullable
+                last_us = (
+                    None if pd.isna(ts) else int(pd.Timestamp(ts).value // 1000)
+                )
+                last_eid = None if pd.isna(eid) else int(eid)
                 last_type = etype
         state.update((last_us, last_eid, last_type))
         if prevs:
@@ -411,7 +447,8 @@ def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
                         .scaleb(6)
                     )
                 ts_out.append(ts)
-                eid_out.append(int(eid))
+                # NULL event_id rides through as NULL (int(NaN) raises)
+                eid_out.append(None if pd.isna(eid) else int(eid))
                 t_out.append(t)
                 pref_out.append(sum_micro)
         state.update((t, sum_micro))

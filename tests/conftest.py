@@ -29,3 +29,28 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_medium():
     return SF_MEDIUM
+
+
+# NULL/NaN/''-injected copy of every driver table (scripts/gen_scale.py
+# --nulls). Shared by the registry-wide dirty sweep (test_nulls_parity)
+# and the streaming-twin dirty runs (test_streaming) so both tiers read
+# the SAME dataset. Built on first use; survives across runs on disk.
+NULLS_DIR = os.environ.get(
+    "SPARK_GRAFT_NULLS_SF_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scale", "nulls0.01"),
+)
+
+
+def ensure_dirty_dataset() -> str:
+    if not os.path.exists(os.path.join(NULLS_DIR, "MANIFEST.json")):
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+        )
+        from gen_scale import inject_nulls
+
+        # clean source configurable (ADVICE r11: a hardcoded absolute
+        # path blocked running the sweep with testdata elsewhere)
+        base = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.01")
+        inject_nulls(base, NULLS_DIR)
+    return NULLS_DIR

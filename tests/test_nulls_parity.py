@@ -35,25 +35,12 @@ pytestmark = pytest.mark.skipif(
 QUERIES = contract.queries()
 ORACLES = contract.oracle_sql()
 
-NULLS_DIR = os.environ.get(
-    "SPARK_GRAFT_NULLS_SF_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scale", "nulls0.01"),
-)
-
 
 @pytest.fixture(scope="session")
 def nulls_sf_dir():
-    if not os.path.exists(os.path.join(NULLS_DIR, "MANIFEST.json")):
-        import sys
+    from .conftest import ensure_dirty_dataset
 
-        sys.path.insert(
-            0,
-            os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
-        )
-        from gen_scale import inject_nulls
-
-        inject_nulls("/root/testdata/sf0.01", NULLS_DIR)
-    return NULLS_DIR
+    return ensure_dirty_dataset()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

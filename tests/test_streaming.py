@@ -406,7 +406,25 @@ def test_transform_with_state_profile_across_batches(spark, tmp_path):
     assert got == {u: (n, t, len(s)) for u, (n, t, s) in ref.items()}
 
 
-def test_debounced_stream_matches_batch(spark, tmp_path, sf_small):
+@pytest.fixture(params=["clean", "dirty"])
+def twin_sf_dir(request, sf_small):
+    """The batch↔stream twins run on the REAL clean events table always,
+    and additionally on the NULL/NaN/''-injected sf0.01 copy under the
+    NULLS tier (VERDICT r11 missing item 4: the registry sweep covers
+    the 221 batch queries but the twins' cross-batch state handling of
+    NULL keys/timestamps/values was only hand-pinned until now)."""
+    if request.param == "clean":
+        return sf_small
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_NULLS_SWEEP"):
+        pytest.skip("set SPARK_GRAFT_NULLS_SWEEP=1 for dirty-events twin runs")
+    from .conftest import ensure_dirty_dataset
+
+    return ensure_dirty_dataset()
+
+
+def test_debounced_stream_matches_batch(spark, tmp_path, twin_sf_dir):
     """VERDICT r8 item 8: the AvailableNow session-window debounce must
     equal the batch events_debounce rollup on the real events table
     (burst identity compared by start/size/value, not burst_id)."""
@@ -417,7 +435,7 @@ def test_debounced_stream_matches_batch(spark, tmp_path, sf_small):
     # re-land the events table as plain parquet (io.load normalizes the
     # TIMESTAMP(NANOS) column the file source would otherwise trip on)
     src = tmp_path / "debounce_src"
-    load(spark, sf_small, "events").select(
+    load(spark, twin_sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     ).write.parquet(str(src))
     stream = spark.readStream.schema(
@@ -438,21 +456,26 @@ def test_debounced_stream_matches_batch(spark, tmp_path, sf_small):
         assert q.awaitTermination(120), "debounce stream did not finish"
     finally:
         q.stop()
-    key = lambda r: (  # noqa: E731
-        r["user_id"], r["event_type"], r["burst_start"],
-        r["burst_n"], round(r["burst_value"], 6),
-    )
+    def key(r):
+        # None-safe sort key: dirty events carry NULL user_id/value, and
+        # Python's sorted() can't compare None with int/float
+        vals = (
+            r["user_id"], r["event_type"], r["burst_start"], r["burst_n"],
+            None if r["burst_value"] is None else round(r["burst_value"], 6),
+        )
+        return tuple((v is None, v) for v in vals)
+
     got = sorted(key(r) for r in spark.sql("SELECT * FROM debounce_result").collect())
     want = sorted(
         key(r)
-        for r in events_debounce(spark, sf_small)
+        for r in events_debounce(spark, twin_sf_dir)
         .select("user_id", "event_type", "burst_start", "burst_n", "burst_value")
         .collect()
     )
     assert got and got == want
 
 
-def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
+def test_markov_pairs_stream_matches_batch(spark, tmp_path, twin_sf_dir):
     """Cross-batch state parity: events land time-split across TWO files
     consumed one per micro-batch; the per-user last-event state must
     chain transitions over the batch boundary so the aggregated pairs
@@ -463,7 +486,7 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
     )
     from ndl_core_data_pipeline_spark.streaming.jobs import markov_pairs_stream
 
-    real = load(spark, sf_small, "events").select(
+    real = load(spark, twin_sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     # NULL-ts events sort NULLS FIRST in the batch lag() window, i.e.
@@ -528,7 +551,7 @@ def test_markov_pairs_stream_matches_batch(spark, tmp_path, sf_small):
     assert got and got == want
 
 
-def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
+def test_cusum_prefix_stream_matches_batch(spark, tmp_path, twin_sf_dir):
     """Accumulating cross-batch state parity: events land time-split in
     TWO files consumed one per micro-batch; the per-event-type running
     (count, exact micro-unit sum) state must chain over the batch
@@ -540,7 +563,7 @@ def test_cusum_prefix_stream_matches_batch(spark, tmp_path, sf_small):
     )
     from ndl_core_data_pipeline_spark.streaming.jobs import cusum_prefix_stream
 
-    real = load(spark, sf_small, "events").select(
+    real = load(spark, twin_sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
     # NULL-ts rows are real cluster data: Spark's ORDER BY ts is NULLS
