@@ -42,10 +42,27 @@ VECTOR_QUERIES = [
     # consumes embedding ELEMENTS, and its ASC NULLS FIRST ranking would
     # put a NULL-distance (corrupt) vector at the top (r11 review gap)
     "elbow_cut",
+    # r12 registry-grep guard additions (tests/test_element_nulls.py
+    # fails if any oracle referencing embeddings is absent here):
+    # reads the embeddings table (drops the vector column — trivially
+    # element-null-safe, but membership is decided by the guard, not by
+    # hand-reasoning about safety)
+    "project_drop_vector",
+    # the validate-and-reject contract itself: its
+    # vector_elements_valid rule must COUNT the corrupt vectors
+    "quality_constraint_report",
 ]
 
 
-def build(out: str, base: str = "/root/testdata/sf0.01") -> None:
+def build(out: str, base: str | None = None) -> int:
+    """Copy the driver tables with 1-3 NULL elements injected into ~3% of
+    embedding vectors; returns the corrupt-vector count (also recorded in
+    MANIFEST.json so the standing tier can assert the
+    vector_elements_valid rule counts exactly these)."""
+    import json
+
+    if base is None:
+        base = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.01")
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(99)
     for t in ("region", "nation", "customer", "supplier", "part",
@@ -57,8 +74,9 @@ def build(out: str, base: str = "/root/testdata/sf0.01") -> None:
     tbl = pq.read_table(os.path.join(base, "embeddings.parquet"))
     vals = tbl.column("embedding").to_pylist()
     # ~3% of vectors get 1-3 NULL elements at random positions
-    for i in rng.choice(len(vals), size=max(1, len(vals) * 3 // 100),
-                        replace=False):
+    corrupt = rng.choice(len(vals), size=max(1, len(vals) * 3 // 100),
+                         replace=False)
+    for i in corrupt:
         v = list(vals[i])
         for _ in range(int(rng.integers(1, 4))):
             v[int(rng.integers(0, len(v)))] = None
@@ -70,6 +88,9 @@ def build(out: str, base: str = "/root/testdata/sf0.01") -> None:
         [cols[n] for n in tbl.schema.names], names=tbl.schema.names
     )
     pq.write_table(out_tbl, os.path.join(out, "embeddings.parquet"))
+    with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
+        json.dump({"base": base, "n_corrupt_vectors": len(corrupt)}, fh)
+    return len(corrupt)
 
 
 def main() -> None:
