@@ -285,9 +285,15 @@ def distributed_prefix_sum(spark, sf_dir):
     window regardless of bucketing."""
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
     ev = ev.withColumn("day", F.to_date("ts"))
+    # `value` as the final sort key makes the order TOTAL up to fully
+    # duplicate rows (whose swap leaves the emitted prefix multiset
+    # unchanged): dirty data can tie (ts, event_id) — both NULL — with
+    # DIFFERENT values, and the running total between such rows would
+    # otherwise depend on partition arrival order (caught by the r12
+    # order-invariance sweep; the r11 parity pass was file-order luck).
     w_in = (
         W.partitionBy("day")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "value")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ev.withColumn(
@@ -330,7 +336,7 @@ def distributed_prefix_sum(spark, sf_dir):
 _PREFIX_SQL = """
 SELECT event_id, ts,
        CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
-         ORDER BY ts, event_id
+         ORDER BY ts, event_id, value
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_total
 FROM events

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Partition-order invariance sweep (round 12 evidence layer): every
+registry query must return the SAME result multiset when its input
+tables arrive row-permuted and split into different row groups. On a
+1000-executor cluster, row arrival order and partition composition are
+nondeterministic run-to-run — any query whose output depends on them
+(a rank cutoff under a non-total ORDER BY ... LIMIT, a bare first()
+without an ordered window, an order-sensitive double fold) is broken at
+scale even if every single-run oracle check passes. The q21 dirty-name
+tiebreak (ADVICE r11) is exactly this class; this sweep hunts the whole
+registry for it.
+
+Inputs: the NULL-injected dirty copy (ties are far more likely with
+injected duplicate/empty values than on clean data) and a row-shuffled
+re-write of it. Resumable like nulls_sweep.py.
+
+Usage: python scripts/order_sweep.py [--out .scale/order_sweep.json]
+                                     [--base .scale/nulls0.01]
+                                     [--shuffled .scale/shuffled0.01]
+                                     [--only name1,name2] [--redo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build_shuffled(base: str, out: str, seed: int = 20240815) -> None:
+    """Re-write every table with rows permuted and row groups re-split
+    (n//7-sized groups), so both the within-file order and the Spark
+    partition boundaries differ from the source layout."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
+        perm = rng.permutation(len(tbl))
+        shuffled = tbl.take(perm)
+        pq.write_table(
+            shuffled,
+            os.path.join(out, f"{t}.parquet"),
+            row_group_size=max(1, len(tbl) // 7),
+        )
+    with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
+        json.dump({"base": base, "seed": seed, "mode": "row-shuffle"}, fh)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=".scale/order_sweep.json")
+    ap.add_argument("--base", default=".scale/nulls0.01")
+    ap.add_argument("--shuffled", default=".scale/shuffled0.01")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--redo", action="store_true")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.shuffled, "MANIFEST.json")):
+        build_shuffled(args.base, args.shuffled)
+
+    import __spark_entry__ as contract
+    from pyspark.sql import SparkSession
+
+    from tests.oracle import compare
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    queries = contract.queries()
+    results: dict[str, dict] = {}
+    if os.path.exists(args.out) and not args.redo:
+        with open(args.out) as fh:
+            results = json.load(fh)
+    only = {n for n in args.only.split(",") if n}
+    names = [n for n in sorted(queries) if not only or n in only]
+    for i, name in enumerate(names):
+        if name in results and not (only or args.redo):
+            continue
+        try:
+            a = queries[name](spark, args.base).toPandas()
+            b = queries[name](spark, args.shuffled).toPandas()
+            problems = compare(a, b)
+            results[name] = {"ok": not problems, "problems": problems}
+        except Exception as e:
+            results[name] = {
+                "ok": False,
+                "error": f"{type(e).__name__}: {str(e)[:400]}",
+                "trace": traceback.format_exc()[-1500:],
+            }
+        status = "ok" if results[name]["ok"] else "FAIL"
+        print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    print(f"done: {n_ok}/{len(results)} ok")
+
+
+if __name__ == "__main__":
+    main()
