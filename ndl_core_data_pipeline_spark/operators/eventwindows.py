@@ -556,7 +556,11 @@ def events_markov_transitions(spark, sf_dir):
     from ..operators._util import round6_det
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_type as the final key makes the order TOTAL up to duplicate
+    # rows (dirty data ties (ts, event_id) — both NULL — within a user;
+    # the transition pair between tied rows would otherwise depend on
+    # partition arrival order — r12 order-invariance sweep class)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
     pairs = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
@@ -574,7 +578,7 @@ def events_markov_transitions(spark, sf_dir):
 
 _MARKOV_SQL = """
 WITH pairs AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type)
            AS prev_type,
          event_type AS next_type
   FROM events
@@ -612,9 +616,13 @@ def window_cusum_drift(spark, sf_dir):
     mu = ev.groupBy("event_type").agg(
         (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias("mu")
     )
+    # value as the final key: dirty data ties (ts, event_id) within a
+    # type with DIFFERENT values, and the running prefix between tied
+    # rows would otherwise depend on arrival order (both engines sort
+    # NaN greatest, so the key stays cross-engine total)
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     with_s = (
@@ -652,7 +660,7 @@ s AS (
          CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
            - COUNT(*) OVER w * mu AS s_t
   FROM ev e JOIN mu USING (event_type)
-  WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id, value
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 m AS (SELECT event_type, MAX(ABS(s_t)) AS mx FROM s GROUP BY event_type)

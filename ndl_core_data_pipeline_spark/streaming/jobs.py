@@ -361,7 +361,12 @@ def markov_pairs_stream(stream: DataFrame) -> DataFrame:
             # Spark's lag() window orders ts ASC NULLS FIRST; pandas
             # defaults NaT to last, which would re-order a NULL-ts
             # event's transitions relative to the batch operator.
-            batch = batch.sort_values(["ts", "event_id"], na_position="first")
+            # event_type as the final key mirrors the batch operator's
+            # total order (dirty data ties (ts, event_id) — both NULL —
+            # within a user; r12 order-invariance class).
+            batch = batch.sort_values(
+                ["ts", "event_id", "event_type"], na_position="first"
+            )
             for ts, eid, etype in zip(
                 batch["ts"], batch["event_id"], batch["event_type"]
             ):
@@ -429,7 +434,19 @@ def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
             # NaT to last, which would shift position t for every
             # non-null row of a type with a NULL-ts event (event_id
             # secondary order stays stable within the NaT block).
-            batch = batch.sort_values(["ts", "event_id"], na_position="first")
+            # value as the final key mirrors the batch operator's total
+            # order (dirty data ties (ts, event_id) with different
+            # values; r12 order-invariance class). Spark sorts NaN
+            # GREATEST while pandas na_position='first' would treat it
+            # as a NULL — split the key into (is-NaN flag, NaN-filled
+            # value) so NaNs land last like Spark's; true NULL values
+            # never reach here (filtered upstream).
+            batch = batch.assign(
+                _vnan=batch["value"].isna(),
+                _vkey=batch["value"].fillna(0.0),
+            ).sort_values(
+                ["ts", "event_id", "_vnan", "_vkey"], na_position="first"
+            )
             micro = Decimal("0.000001")
             for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["value"]):
                 t += 1
