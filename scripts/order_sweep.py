@@ -65,10 +65,30 @@ def main() -> None:
     ap.add_argument("--shuffled", default=".scale/shuffled0.01")
     ap.add_argument("--only", default="")
     ap.add_argument("--redo", action="store_true")
+    ap.add_argument(
+        "--seed",
+        type=int,
+        default=20240815,
+        help="permutation seed (the committed second-seed run used 777)",
+    )
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.shuffled, "MANIFEST.json")):
-        build_shuffled(args.base, args.shuffled)
+    # rebuild if missing OR if the existing directory was built with a
+    # DIFFERENT seed than requested (review finding: the second-seed
+    # evidence must be reproducible by the named harness, not silently
+    # replaced by a default-seed rebuild)
+    manifest_path = os.path.join(args.shuffled, "MANIFEST.json")
+    needs_build = True
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            needs_build = json.load(fh).get("seed") != args.seed
+        if needs_build:
+            print(
+                f"rebuilding {args.shuffled}: manifest seed != {args.seed}",
+                flush=True,
+            )
+    if needs_build:
+        build_shuffled(args.base, args.shuffled, seed=args.seed)
 
     import __spark_entry__ as contract
     from pyspark.sql import SparkSession

@@ -47,7 +47,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=".scale/nulls0.01")
     ap.add_argument("--out", default=".scale/width_sweep.json")
+    ap.add_argument("--ckpt", default=".scale/width_a")
+    ap.add_argument("--redo", action="store_true")
     args = ap.parse_args()
+
+    import pandas as pd
 
     import __spark_entry__ as contract
 
@@ -56,20 +60,35 @@ def main() -> None:
     queries = contract.queries()
     names = sorted(queries)
 
+    # phase A checkpoints each canonical result to disk (review finding:
+    # holding all 221 frames only in driver memory meant ANY phase-B
+    # crash discarded the full phase-A run; the sibling order_sweep.py
+    # checkpoints per query and this now matches)
+    os.makedirs(args.ckpt, exist_ok=True)
+
+    def _apath(n: str) -> str:
+        return os.path.join(args.ckpt, f"{n}.pkl")
+
     spark = _session(16)
-    results_a: dict[str, object] = {}
     for i, name in enumerate(names):
+        if os.path.exists(_apath(name)) and not args.redo:
+            continue
         try:
-            results_a[name] = queries[name](spark, args.dir).toPandas()
+            pd.to_pickle(queries[name](spark, args.dir).toPandas(), _apath(name))
         except Exception:
-            results_a[name] = traceback.format_exc()[-800:]
+            pd.to_pickle(traceback.format_exc()[-800:], _apath(name))
         print(f"A[{i + 1}/{len(names)}] {name}", flush=True)
     spark.stop()
 
     spark = _session(37, {"spark.sql.files.maxPartitionBytes": "1m"})
     out: dict[str, dict] = {}
+    if os.path.exists(args.out) and not args.redo:
+        with open(args.out) as fh:
+            out = json.load(fh)
     for i, name in enumerate(names):
-        a = results_a[name]
+        if name in out and not args.redo:
+            continue
+        a = pd.read_pickle(_apath(name))
         if isinstance(a, str):
             out[name] = {"ok": False, "error": f"phase A failed: {a[:400]}"}
             continue

@@ -52,10 +52,24 @@ def test_probe_list_covers_every_embedding_consumer():
     oracle that references the embeddings table (or an embedding column)
     marks its query as an element-null consumer. Over-approximation is
     fine (a consumer that ignores elements trivially passes the tier);
-    a MISSING consumer is the silent escape this guard exists to stop."""
+    a MISSING consumer is the silent escape this guard exists to stop.
+    Oracle-LESS queries (today only bpe_train_merges) are grepped by
+    their Python source instead, so the rows-only class can't slip an
+    embedding consumer past the tier either (review finding)."""
+    import inspect
+
     consumers = {
         n for n, sql in ORACLES.items() if re.search(r"\bembedding", sql, re.I)
     }
+    for n, fn in QUERIES.items():
+        if n in ORACLES:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = n  # unsourceable callable: fall back to its name
+        if re.search(r"\bembedding", src, re.I):
+            consumers.add(n)
     missing = sorted(consumers - set(VECTOR_QUERIES))
     assert not missing, (
         "embedding-consuming queries missing from the element-null probe "
