@@ -118,15 +118,19 @@ RATIO_REF = "q1_pricing_summary"
 # VERDICT r11 item 2: three >1.5x round-over-round movers sat OUTSIDE the
 # ratio set and were therefore undecidable (weather vs regression). Every
 # headliner that measured >= 0.5 s in r11 now also runs interleaved
-# A/B/A/B — against a CHEAP reference (q6, ~0.25 s scan+agg: the full
-# per-pair q1 ref would add ~2 min of wall clock across 27 queries).
-# The r11-established TAIL_MEDIAN/SETUP entries keep the q1 ref so their
-# ratios stay comparable to BENCH_r11.json; everything else lands here.
-# q1 itself is included (vs q6), chaining the two reference scales.
-RATIO_WIDE_REF = "q6_forecast_revenue"
+# A/B/A/B against q3 (~1 s scan+join+agg+sort — a real weather probe).
+# q6 (~0.25 s) was tried first and REJECTED with recorded evidence: its
+# runtime is scheduling-floor-dominated and does not co-vary with the
+# CPU weather multi-second targets see, so q6-denominated ratios drifted
+# up to 90% between same-code sessions (agg_heavy_hitters 4.13 vs 7.82)
+# while raw mins moved 13%. The full q1 ref would add ~2 min of wall
+# clock across 26 queries; q3 costs half that. The r11-established
+# TAIL_MEDIAN/SETUP entries keep the q1 ref so their ratios stay
+# comparable to BENCH_r11.json. q1 itself is included (vs q3), chaining
+# the two reference scales; q3 is the denominator, so it has no entry.
+RATIO_WIDE_REF = "q3_shipping_priority"
 WIDE_RATIO = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
     "dedup_minhash_signatures",
     "dedup_minhash_pairs",
