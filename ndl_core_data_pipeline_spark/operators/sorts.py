@@ -18,8 +18,13 @@ def topk_by_value(spark, sf_dir):
     """O3: top-k by score (ref: FAISS search n=15, rag_search.py:35;
     argsort-desc top 3, eu_theme_classifier.py:37-43)."""
     o = load(spark, sf_dir, "orders")
+    # o_custkey closes the sort key over the full OUTPUT row: dirty data
+    # can tie (NaN o_totalprice, NULL o_orderkey) with different
+    # custkeys, and a tie group straddling the rank-25 boundary would
+    # make the emitted SET arrival-order-dependent (r12 order-invariance
+    # class; NaN sorts greatest in both engines). Identity on clean data.
     return (
-        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey", "o_custkey")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(25)
     )
@@ -29,8 +34,9 @@ def sort_limit_offset(spark, sf_dir):
     """O2: paging — limit+offset (ref: rows=100&start=offset,
     data_gov_uk/assets.py:104-109; limit=1000&offset=3000, ons assets.py:75-82)."""
     o = load(spark, sf_dir, "orders")
+    # o_totalprice closes the key over the output row (see topk_by_value)
     return (
-        o.orderBy("o_orderdate", "o_orderkey")
+        o.orderBy("o_orderdate", "o_orderkey", "o_totalprice")
         .select("o_orderkey", "o_orderdate", "o_totalprice")
         .offset(100)
         .limit(50)
@@ -41,8 +47,9 @@ def recency_sort(spark, sf_dir):
     """O1: sort by recency desc (ref: sort=metadata_created desc,
     data_gov_uk/assets.py:106). Full deterministic order, top slice."""
     ev = load(spark, sf_dir, "events")
+    # event_type closes the key over the output row (see topk_by_value)
     return (
-        ev.orderBy(F.desc("ts"), "event_id")
+        ev.orderBy(F.desc("ts"), "event_id", "event_type")
         .select("event_id", "ts", "event_type")
         .limit(100)
     )
@@ -133,19 +140,19 @@ def register(reg):
         "topk_by_value",
         topk_by_value,
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+        "ORDER BY o_totalprice DESC, o_orderkey, o_custkey LIMIT 25",
     )
     reg.add(
         "sort_limit_offset",
         sort_limit_offset,
         "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
-        "ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100",
+        "ORDER BY o_orderdate, o_orderkey, o_totalprice LIMIT 50 OFFSET 100",
     )
     reg.add(
         "sort_recency",
         recency_sort,
         "SELECT event_id, ts, event_type FROM events "
-        "ORDER BY ts DESC, event_id LIMIT 100",
+        "ORDER BY ts DESC, event_id, event_type LIMIT 100",
     )
     reg.add(
         "topk_per_group",
