@@ -916,12 +916,20 @@ def trend_weekly_growth(spark, sf_dir):
     )
 
 
+# the _wk sentinel column reproduces Spark's ASC NULLS FIRST position for
+# the NULL-week group; it must be a PLAIN CTE COLUMN because DuckDB 1.0's
+# parallel window sort is nondeterministic over expression keys (r12)
 _TREND_SQL = """
 WITH weekly AS (
-  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+  SELECT CASE WHEN o_orderdate IS NULL THEN NULL
+         ELSE CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+         END AS week,
          SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec,
          COUNT(*) AS n_orders
   FROM orders GROUP BY 1
+),
+keyed AS (
+  SELECT *, COALESCE(week, DATE '1899-12-31') AS _wk FROM weekly
 )
 SELECT week, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
        FLOOR(CASE WHEN lag(rev_dec) OVER w IS NOT NULL
@@ -929,13 +937,13 @@ SELECT week, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
              THEN CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)
                   / CAST(lag(rev_dec) OVER w AS DOUBLE) END
              * 1000000.0 + 0.5) / 1000000.0 AS wow_pct,
-       FLOOR(CAST(SUM(rev_dec) OVER (ORDER BY week
+       FLOOR(CAST(SUM(rev_dec) OVER (ORDER BY _wk
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-             / COUNT(*) OVER (ORDER BY week
+             / COUNT(*) OVER (ORDER BY _wk
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS ma4_revenue
-FROM weekly
-WINDOW w AS (ORDER BY week)
+FROM keyed
+WINDOW w AS (ORDER BY _wk)
 """
 
 

@@ -107,15 +107,17 @@ def register(reg):
         ordered_distinct_members,
         "WITH ranked AS ("
         "  SELECT user_id, event_type, ts, event_id, ROW_NUMBER() OVER "
-        "    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn "
+        "    (PARTITION BY user_id, event_type ORDER BY (ts IS NOT NULL), ts, (event_id IS NOT NULL), event_id) AS rn "
         "  FROM events) "
-        "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS types_in_order "
+        "SELECT user_id, string_agg(event_type, ',' ORDER BY (ts IS NOT NULL), ts, (event_id IS NOT NULL), event_id, "
+        "(event_type IS NOT NULL), event_type) AS types_in_order "
         "FROM ranked WHERE rn = 1 GROUP BY user_id",
     )
     reg.add(
         "array_concat_sep",
         concat_with_separator,
-        "SELECT user_id, string_agg(event_type, ' \\p ' ORDER BY ts, event_id) AS conversation "
+        "SELECT user_id, string_agg(event_type, ' \\p ' ORDER BY (ts IS NOT NULL), ts, (event_id IS NOT NULL), event_id, "
+        "(event_type IS NOT NULL), event_type) AS conversation "
         "FROM events GROUP BY user_id",
     )
     reg.add(

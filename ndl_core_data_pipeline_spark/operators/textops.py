@@ -950,7 +950,8 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         date_arithmetic,
         "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, "
         "CAST(o_orderdate AS DATE) + 30 AS due_30d, "
-        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, "
+        "CASE WHEN o_orderdate IS NULL THEN NULL ELSE "
+        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) END AS month_start, "
         "CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr, "
         "CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS BIGINT) AS days_to_eoy "
         "FROM orders",

@@ -26,6 +26,19 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # the session so window frames / LIMIT cutoffs agree when a sort
     # key is NULL (driver tables have no NULL sort keys, so the driver's
     # own un-pragma'd connection cannot diverge on this).
+    #
+    # r12 DuckDB-1.0 landmines this pragma does NOT cover (both found
+    # by the oracle-stability sweep, scripts/oracle_stability_sweep.py):
+    # 1. date_trunc on a NULLABLE argument emits a null value flagged
+    #    NOT-null (corrupted validity mask) — IS NULL/COALESCE then lie
+    #    about it and a parallel window sort over it places the row
+    #    NONDETERMINISTICALLY (same row ranked 1 or 244 run to run).
+    #    Oracles must CASE-guard: CASE WHEN src IS NULL THEN NULL ELSE
+    #    date_trunc(...) END.
+    # 2. Window/aggregate ORDER BY keys containing real NULLs can be
+    #    unstable under parallelism even with this pragma — write such
+    #    keys null-free: `(k IS NOT NULL), k` prefixes, or a
+    #    CTE-materialized COALESCE sentinel column.
     con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
     for t in TABLES:
         con.execute(
