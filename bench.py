@@ -455,10 +455,14 @@ def main() -> None:
             # round-over-round for everything >= 0.5 s. Ratio-set runs
             # interleave a reference before every target rep
             # (SETUP/TAIL since r11 with the q1 ref; WIDE since r12
-            # with the q6 ref). SETUP mins are interleaved-context
-            # (ADVICE r11) — compare them via tail_ratio only; CORE
-            # and EXTENDED mins always come from plain consecutive
-            # runs (wide ratios use separate, discarded pairs).
+            # with the q3 ref). Which mins carry interleaved context:
+            # SETUP and the EXTENDED wide-ratio entries take their
+            # published mins FROM the interleaved runs — compare those
+            # round-over-round via the ratios only (extended_total
+            # shifts for measurement reasons r11->r12). CORE mins are
+            # always plain consecutive runs (core queries in the wide
+            # set earn their ratio from separate, discarded pairs), so
+            # core_total stays baseline-comparable.
             "tail_ratio": tail_ratio,
             "ratio_ref": RATIO_REF,
             "wide_ratio": wide_ratio,

@@ -376,14 +376,19 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ZBUCKET).alias("price_bucket"),
             F.expr(_ZVALUE).alias("z_value"),
         )
-        .orderBy("z_value", "p_partkey")
+        # p_size/price_bucket close the sort key over the full OUTPUT row
+        # (r12 LIMIT-totality rule): dirty data can tie (NULL z_value,
+        # NULL p_partkey) with different sizes/buckets, and a tie group
+        # straddling the rank-128 cutoff would make the emitted set
+        # arrival-order-dependent. Identity on clean data.
+        .orderBy("z_value", "p_partkey", "p_size", "price_bucket")
         .limit(_Z_TOPK)
     )
 
 
 _ZORDER_SQL = f"""
 SELECT p_partkey, p_size, {_ZBUCKET} AS price_bucket, {_ZVALUE} AS z_value
-FROM part ORDER BY z_value, p_partkey LIMIT {_Z_TOPK}
+FROM part ORDER BY z_value, p_partkey, p_size, price_bucket LIMIT {_Z_TOPK}
 """
 
 
