@@ -456,8 +456,8 @@ def main() -> None:
             # interleave a reference before every target rep
             # (SETUP/TAIL since r11 with the q1 ref; WIDE since r12
             # with the q3 ref). Which mins carry interleaved context:
-            # SETUP and the EXTENDED wide-ratio entries take their
-            # published mins FROM the interleaved runs — compare those
+            # SETUP, TAIL_MEDIAN, and the EXTENDED wide-ratio entries
+            # take their published mins FROM the interleaved runs — compare those
             # round-over-round via the ratios only (extended_total
             # shifts for measurement reasons r11->r12). CORE mins are
             # always plain consecutive runs (core queries in the wide

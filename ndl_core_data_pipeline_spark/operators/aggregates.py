@@ -916,9 +916,10 @@ def trend_weekly_growth(spark, sf_dir):
     )
 
 
-# the _wk sentinel column reproduces Spark's ASC NULLS FIRST position for
-# the NULL-week group; it must be a PLAIN CTE COLUMN because DuckDB 1.0's
-# parallel window sort is nondeterministic over expression keys (r12)
+# the (_wk_nn, _wk) column pair reproduces Spark's ASC NULLS FIRST position
+# for the NULL-week group collision-free (no sentinel value assumption);
+# both must be PLAIN CTE COLUMNS because DuckDB 1.0's parallel window sort
+# is nondeterministic over expression keys (r12)
 _TREND_SQL = """
 WITH weekly AS (
   SELECT CASE WHEN o_orderdate IS NULL THEN NULL
@@ -929,7 +930,9 @@ WITH weekly AS (
   FROM orders GROUP BY 1
 ),
 keyed AS (
-  SELECT *, COALESCE(week, DATE '1899-12-31') AS _wk FROM weekly
+  SELECT *, week IS NOT NULL AS _wk_nn,
+         COALESCE(week, DATE '1899-12-31') AS _wk
+  FROM weekly
 )
 SELECT week, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
        FLOOR(CASE WHEN lag(rev_dec) OVER w IS NOT NULL
@@ -937,13 +940,13 @@ SELECT week, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
              THEN CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)
                   / CAST(lag(rev_dec) OVER w AS DOUBLE) END
              * 1000000.0 + 0.5) / 1000000.0 AS wow_pct,
-       FLOOR(CAST(SUM(rev_dec) OVER (ORDER BY _wk
+       FLOOR(CAST(SUM(rev_dec) OVER (ORDER BY _wk_nn, _wk
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-             / COUNT(*) OVER (ORDER BY _wk
+             / COUNT(*) OVER (ORDER BY _wk_nn, _wk
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS ma4_revenue
 FROM keyed
-WINDOW w AS (ORDER BY _wk)
+WINDOW w AS (ORDER BY _wk_nn, _wk)
 """
 
 

@@ -50,9 +50,22 @@ def main() -> None:
         with open(args.out) as fh:
             results = json.load(fh)
     only = {n for n in args.only.split(",") if n}
+    unknown = only - set(oracles)
+    if unknown:  # a typo must fail loudly, not print a stale success line
+        raise SystemExit(f"--only names not in the registry: {sorted(unknown)}")
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)
     names = [n for n in sorted(oracles) if not only or n in only]
     for i, name in enumerate(names):
-        if name in results and not (only or args.redo):
+        # a cached entry only counts if it was produced with AT LEAST the
+        # requested rep count (rerunning at higher reps must re-execute,
+        # not re-report 6-rep results as a 10-rep certification)
+        cached = results.get(name)
+        if (
+            cached is not None
+            and cached.get("reps", 0) >= args.reps
+            and not (only or args.redo)
+        ):
             continue
         hashes = set()
         err = None
@@ -71,6 +84,7 @@ def main() -> None:
         results[name] = {
             "stable": err is None and len(hashes) == 1,
             "n_distinct_outcomes": len(hashes),
+            "reps": args.reps,
             "error": err,
         }
         status = "ok" if results[name]["stable"] else "UNSTABLE"
