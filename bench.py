@@ -158,6 +158,22 @@ WIDE_RATIO = [
     "events_rfm_scores",
 ]
 
+# Membership invariants (ADVICE r12): the dispatch below is an elif
+# chain, so a query in BOTH lists would silently lose its wide (q3)
+# ratio, and a WIDE_RATIO name outside BENCH_QUERIES would silently
+# never run. The lists are disjoint today; make that a startup failure
+# instead of a silent measurement gap.
+assert set(WIDE_RATIO).isdisjoint(TAIL_MEDIAN), (
+    "WIDE_RATIO and TAIL_MEDIAN overlap: "
+    f"{sorted(set(WIDE_RATIO) & set(TAIL_MEDIAN))}"
+)
+assert set(WIDE_RATIO) <= set(BENCH_QUERIES), (
+    f"WIDE_RATIO not in BENCH_QUERIES: {sorted(set(WIDE_RATIO) - set(BENCH_QUERIES))}"
+)
+assert set(TAIL_MEDIAN) <= set(BENCH_QUERIES), (
+    f"TAIL_MEDIAN not in BENCH_QUERIES: {sorted(set(TAIL_MEDIAN) - set(BENCH_QUERIES))}"
+)
+
 
 def _bench_pdf(lines: int, seed: int) -> bytes:
     """Minimal single-page flate-compressed PDF with `lines` text lines —

@@ -137,13 +137,18 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
     casts are left alone (idempotent)."""
     out: list[str] = []
     i, n = 0, len(sql)
+    m = None
     while i < n:
         # quote-aware scan: a CAST( or paren inside a single-quoted SQL
         # literal is text, not structure (ADVICE r11: the quote-blind
         # scanner let CAST(regexp_replace(x, '(', '') AS DECIMAL(25,6))
         # silently escape the guard by miscounting depth)
         q = sql.find("'", i)
-        m = _CAST_OPEN_RE.search(sql, i)
+        # reuse the cached CAST( match while it still lies ahead of the
+        # scan position — re-searching from scratch after every skipped
+        # quoted literal made literal-dense SQL O(n*m) (ADVICE r12)
+        if m is None or m.start() < i:
+            m = _CAST_OPEN_RE.search(sql, i)
         if q != -1 and (m is None or q < m.start()):
             k = _skip_quoted(sql, q)
             out.append(sql[i:k])
