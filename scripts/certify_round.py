@@ -1,0 +1,286 @@
+#!/usr/bin/env python
+"""One-command round-close certification (VERDICT r11 item 7 / r12 item 2).
+
+Runs the full certification sequence the round protocol prescribes and
+prints a COVERAGE-ready summary block, so round-close hygiene is checked
+by a script instead of memory — the recurring "round artifacts untracked
+at judge time" defect was exactly a memory failure this automates away.
+
+Steps (each skippable via --skip):
+  suite      python -m pytest tests/ -q              (full local suite)
+  parity     sf0.01 oracle parity — the DRIVER's scale, run AFTER the
+             last registry change lands (a query registered after the
+             last run has never met the dtype guard)
+  bench      python bench.py — checks core_total vs BASELINE (31.8 s)
+             and surfaces ratio movers vs the committed bench_detail.json
+  artifacts  git must show NO untracked/modified round artifacts
+             (BENCH_r*/CORRECTNESS_r*/*_r*.json/bench_detail.json) —
+             the defect that recurred five consecutive rounds
+  pins       contract._FORCE_FRONT must be inert (self-released) unless
+             a pin was placed THIS round; prints the predicted driver
+             window composition (first 50 of queries()) by staleness
+  sweeps     reports pass counts from the standing determinism-sweep
+             checkpoints in .scale/ so COVERAGE can cite them
+
+Exit status is nonzero if any executed step fails.
+
+Usage: python scripts/certify_round.py --round 13 [--skip bench,suite]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASELINE_CORE_TOTAL = 31.8  # BASELINE.md: 18 headliners, sf0.1, best-of-2
+
+ROUND_ARTIFACT_RE = re.compile(
+    r"^(BENCH|CORRECTNESS|ORDER|STABILITY|CONFIG|SCALE|NULLS)_r\d+\.json$"
+    r"|^bench_detail\.json$"
+)
+
+SWEEP_FILES = {
+    "dirty parity (seed A)": ".scale/nulls_sweep.json",
+    "dirty parity (seed B)": ".scale/nulls_sweep_b.json",
+    "order invariance (seed A)": ".scale/order_sweep.json",
+    "order invariance (seed B)": ".scale/order_sweep_b.json",
+    "width invariance": ".scale/width_sweep.json",
+    "config invariance": ".scale/config_sweep.json",
+    "oracle stability": ".scale/oracle_stability.json",
+}
+
+
+def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str]:
+    e = dict(os.environ)
+    e.update(env or {})
+    t0 = time.monotonic()
+    p = subprocess.run(cmd, capture_output=True, text=True, env=e, cwd=REPO)
+    dt = time.monotonic() - t0
+    return p.returncode, p.stdout + p.stderr, dt
+
+
+def step_suite(report: dict) -> bool:
+    rc, out, dt = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", out.replace("\n", " "))
+    failed = re.search(r"(\d+) (?:failed|error)", out)
+    report["suite"] = {
+        "rc": rc,
+        "passed": int(m.group(1)) if m else 0,
+        "skipped": int(m.group(2) or 0) if m else 0,
+        "failed": int(failed.group(1)) if failed else 0,
+        "sec": round(dt, 1),
+        "tail": out.strip().splitlines()[-1] if out.strip() else "",
+    }
+    return rc == 0 and not failed
+
+
+def step_parity(report: dict) -> bool:
+    rc, out, dt = _run(
+        [sys.executable, "-m", "pytest", "tests/test_oracle_parity.py", "-q"],
+        env={"SPARK_GRAFT_PARITY_SF_DIR": "/root/testdata/sf0.01"},
+    )
+    m = re.search(r"(\d+) passed", out)
+    failed = re.search(r"(\d+) (?:failed|error)", out)
+    report["parity"] = {
+        "rc": rc,
+        "passed": int(m.group(1)) if m else 0,
+        "failed": int(failed.group(1)) if failed else 0,
+        "sec": round(dt, 1),
+        "sf_dir": "/root/testdata/sf0.01",
+        "tail": out.strip().splitlines()[-1] if out.strip() else "",
+    }
+    return rc == 0 and not failed
+
+
+def step_bench(report: dict) -> bool:
+    rc, out, dt = _run([sys.executable, "bench.py"])
+    parsed = None
+    for line in out.splitlines():
+        if line.startswith('{"metric"'):
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                pass
+    entry = {"rc": rc, "sec": round(dt, 1)}
+    ok = rc == 0 and parsed is not None
+    if parsed:
+        core = parsed.get("core_total")
+        entry["core_total"] = core
+        entry["vs_baseline"] = round(core / BASELINE_CORE_TOTAL, 3) if core else None
+        entry["within_2x_gate"] = bool(core and core <= 2 * BASELINE_CORE_TOTAL)
+        ok = ok and entry["within_2x_gate"]
+        # surface ratio movers vs the COMMITTED bench_detail.json (the
+        # stated round-over-round comparison basis); bench.py itself
+        # also records these in the refreshed detail file
+        try:
+            git_rc, committed, _ = _run(["git", "show", "HEAD:bench_detail.json"])
+            if git_rc == 0:
+                prev = json.loads(committed)
+                with open(os.path.join(REPO, "bench_detail.json")) as fh:
+                    cur = json.load(fh)
+                movers = {}
+                for kind in ("tail_ratio", "wide_ratio"):
+                    for q, r in (cur.get(kind) or {}).items():
+                        p = (prev.get(kind) or {}).get(q)
+                        if p and min(p, r) > 0 and max(r / p, p / r) > 1.3:
+                            movers[q] = {"prev": p, "now": r, "kind": kind}
+                entry["ratio_movers_gt_1.3x"] = movers
+        except (OSError, ValueError):
+            pass
+    else:
+        entry["tail"] = out.strip()[-500:]
+    report["bench"] = entry
+    return ok
+
+
+def step_artifacts(report: dict, round_no: int) -> bool:
+    rc, out, _ = _run(["git", "status", "--porcelain"])
+    bad = []
+    for line in out.splitlines():
+        status, _, path = line.strip().partition(" ")
+        name = os.path.basename(path.strip().strip('"'))
+        if ROUND_ARTIFACT_RE.match(name):
+            bad.append(line.strip())
+    # this round's expected committed artifacts, if they exist on disk,
+    # must be TRACKED (the five-round-recurring defect)
+    expected = [
+        f"CONFIG_r{round_no}.json",
+        f"SCALE_r{round_no}.json",
+    ]
+    rc2, tracked, _ = _run(["git", "ls-files"])
+    tracked_set = set(tracked.splitlines())
+    missing = [
+        f for f in expected
+        if os.path.exists(os.path.join(REPO, f)) and f not in tracked_set
+    ]
+    report["artifacts"] = {"untracked_or_modified": bad, "untracked_expected": missing}
+    return not bad and not missing
+
+
+def step_pins(report: dict) -> bool:
+    from ndl_core_data_pipeline_spark import contract
+
+    last_green = contract._last_green_rounds()
+    active = contract._active_pins(last_green)
+    reg = contract.build_registry()
+    window = list(reg.queries)[:50]
+    comp: dict[int, int] = {}
+    for n in window:
+        comp[last_green.get(n, 0)] = comp.get(last_green.get(n, 0), 0) + 1
+    report["pins"] = {
+        "active_pins": active,
+        "window_staleness_composition": {
+            f"r{k}" if k else "never": v for k, v in sorted(comp.items())
+        },
+        "oracle_less_in_window": [n for n in window if n not in reg.oracles],
+    }
+    # active pins are fine mid-round (a pin placed this round is active by
+    # definition); they only FAIL certification if the pinned query is not
+    # actually in the verification window, which would waste the pin
+    return all(n in window for n in active)
+
+
+def step_sweeps(report: dict) -> bool:
+    out = {}
+    ok = True
+    for label, path in SWEEP_FILES.items():
+        full = os.path.join(REPO, path)
+        if not os.path.exists(full):
+            out[label] = "absent"
+            continue
+        with open(full) as fh:
+            data = json.load(fh)
+        if label == "config invariance":  # nested per-config maps
+            for cfg, res in data.items():
+                n_ok = sum(1 for r in res.values() if r.get("ok"))
+                out[f"{label} [{cfg}]"] = f"{n_ok}/{len(res)}"
+                ok = ok and n_ok == len(res)
+        elif label == "oracle stability":
+            n_ok = sum(1 for r in data.values() if r.get("stable", r.get("ok")))
+            out[label] = f"{n_ok}/{len(data)}"
+            ok = ok and n_ok == len(data)
+        else:
+            n_ok = sum(1 for r in data.values() if r.get("ok"))
+            out[label] = f"{n_ok}/{len(data)}"
+            ok = ok and n_ok == len(data)
+    report["sweeps"] = out
+    return ok
+
+
+STEPS = {
+    "suite": step_suite,
+    "parity": step_parity,
+    "bench": step_bench,
+    "artifacts": step_artifacts,
+    "pins": step_pins,
+    "sweeps": step_sweeps,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    skip = {s for s in args.skip.split(",") if s}
+    unknown = skip - set(STEPS)
+    if unknown:
+        raise SystemExit(f"unknown steps {sorted(unknown)}; have {sorted(STEPS)}")
+
+    report: dict = {"round": args.round}
+    failures: list[str] = []
+    for name, fn in STEPS.items():
+        if name in skip:
+            report[name] = "skipped"
+            continue
+        print(f"== {name} ==", flush=True)
+        try:
+            passed = (
+                fn(report, args.round) if name == "artifacts" else fn(report)
+            )
+        except Exception as e:  # a crashed step is a failed step
+            report[name] = {"error": f"{type(e).__name__}: {e}"}
+            passed = False
+        if not passed:
+            failures.append(name)
+        print(json.dumps({name: report[name]}, indent=1), flush=True)
+
+    print("\n==== COVERAGE-ready summary ====")
+    s = report.get("suite")
+    if isinstance(s, dict):
+        print(f"suite: {s['passed']} passed / {s['failed']} failed / "
+              f"{s['skipped']} skipped ({s['sec']}s)")
+    p = report.get("parity")
+    if isinstance(p, dict):
+        print(f"sf0.01 parity: {p['passed']}/{p['passed'] + p['failed']}")
+    b = report.get("bench")
+    if isinstance(b, dict) and b.get("core_total"):
+        print(f"bench core_total: {b['core_total']} s = {b['vs_baseline']}x baseline"
+              f" (gate <=2x: {'PASS' if b['within_2x_gate'] else 'FAIL'})")
+        if b.get("ratio_movers_gt_1.3x"):
+            print(f"  ratio movers >1.3x vs committed detail: "
+                  f"{json.dumps(b['ratio_movers_gt_1.3x'])}")
+    for k in ("artifacts", "pins", "sweeps"):
+        if isinstance(report.get(k), dict):
+            print(f"{k}: {json.dumps(report[k])}")
+    print(f"\nresult: {'FAIL ' + str(failures) if failures else 'ALL GREEN'}")
+
+    out_path = args.out or os.path.join(REPO, ".scale", f"certify_r{args.round}.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"report written to {out_path}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
