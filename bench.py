@@ -175,6 +175,42 @@ assert set(TAIL_MEDIAN) <= set(BENCH_QUERIES), (
 )
 
 
+def _ratio_movers(detail: dict, threshold: float = 1.3) -> dict:
+    """Compare this run's tail/wide ratios to the committed
+    bench_detail.json (git HEAD). A query whose ratio moved more than
+    `threshold`x in either direction is a MOVER needing adjudication
+    (code regression vs measurement change); everything else is inside
+    the established ratio drift. Returns {} silently when git or the
+    committed file is unavailable (e.g. first run in a fresh clone)."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            ["git", "show", "HEAD:bench_detail.json"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30,
+        )
+        if p.returncode != 0:
+            return {}
+        prev = json.loads(p.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return {}
+    movers: dict[str, dict] = {}
+    compared = 0
+    for kind in ("tail_ratio", "wide_ratio"):
+        cur_k, prev_k = detail.get(kind) or {}, prev.get(kind) or {}
+        for q, r in cur_k.items():
+            pr = prev_k.get(q)
+            if not pr or min(pr, r) <= 0:
+                continue
+            compared += 1
+            if max(r / pr, pr / r) > threshold:
+                movers[q] = {"kind": kind, "committed": pr, "now": round(r, 3)}
+    return {"threshold": threshold, "n_compared": compared, "movers": movers}
+
+
 def _bench_pdf(lines: int, seed: int) -> bytes:
     """Minimal single-page flate-compressed PDF with `lines` text lines —
     the bench corpus generator for the distributed PDF scan (matches the
@@ -489,12 +525,25 @@ def main() -> None:
             "value": total,
             "sf": sf_val,
         }
+        # round-over-round mover report (VERDICT r12 item 7): compare this
+        # run's weather-immune ratios against the COMMITTED
+        # bench_detail.json (git HEAD — the stated cross-round comparison
+        # basis) so adjudicating movers is mechanical. Goes in the detail
+        # file + stderr, never the stdout line (which must stay <1900
+        # chars for the driver's tail capture).
+        detail["ratio_movers_vs_committed"] = _ratio_movers(detail)
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
         print(f"detail written to {detail_path}", file=sys.stderr)
+        if detail["ratio_movers_vs_committed"].get("movers"):
+            print(
+                "ratio movers >1.3x vs committed detail: "
+                + json.dumps(detail["ratio_movers_vs_committed"]["movers"]),
+                file=sys.stderr,
+            )
     finally:
         spark.stop()
 
