@@ -162,17 +162,21 @@ WIDE_RATIO = [
 # chain, so a query in BOTH lists would silently lose its wide (q3)
 # ratio, and a WIDE_RATIO name outside BENCH_QUERIES would silently
 # never run. The lists are disjoint today; make that a startup failure
-# instead of a silent measurement gap.
-assert set(WIDE_RATIO).isdisjoint(TAIL_MEDIAN), (
-    "WIDE_RATIO and TAIL_MEDIAN overlap: "
-    f"{sorted(set(WIDE_RATIO) & set(TAIL_MEDIAN))}"
-)
-assert set(WIDE_RATIO) <= set(BENCH_QUERIES), (
-    f"WIDE_RATIO not in BENCH_QUERIES: {sorted(set(WIDE_RATIO) - set(BENCH_QUERIES))}"
-)
-assert set(TAIL_MEDIAN) <= set(BENCH_QUERIES), (
-    f"TAIL_MEDIAN not in BENCH_QUERIES: {sorted(set(TAIL_MEDIAN) - set(BENCH_QUERIES))}"
-)
+# instead of a silent measurement gap. Explicit raises, not asserts:
+# `python -O` strips asserts, which would silently restore the gap.
+if not set(WIDE_RATIO).isdisjoint(TAIL_MEDIAN):
+    raise AssertionError(
+        "WIDE_RATIO and TAIL_MEDIAN overlap: "
+        f"{sorted(set(WIDE_RATIO) & set(TAIL_MEDIAN))}"
+    )
+if not set(WIDE_RATIO) <= set(BENCH_QUERIES):
+    raise AssertionError(
+        f"WIDE_RATIO not in BENCH_QUERIES: {sorted(set(WIDE_RATIO) - set(BENCH_QUERIES))}"
+    )
+if not set(TAIL_MEDIAN) <= set(BENCH_QUERIES):
+    raise AssertionError(
+        f"TAIL_MEDIAN not in BENCH_QUERIES: {sorted(set(TAIL_MEDIAN) - set(BENCH_QUERIES))}"
+    )
 
 
 def _ratio_movers(detail: dict, threshold: float = 1.3) -> dict:

@@ -138,17 +138,23 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
     out: list[str] = []
     i, n = 0, len(sql)
     m = None
+    searched_from = -1  # position the cached result (incl. None) covers
     while i < n:
         # quote-aware scan: a CAST( or paren inside a single-quoted SQL
         # literal is text, not structure (ADVICE r11: the quote-blind
         # scanner let CAST(regexp_replace(x, '(', '') AS DECIMAL(25,6))
         # silently escape the guard by miscounting depth)
         q = sql.find("'", i)
-        # reuse the cached CAST( match while it still lies ahead of the
-        # scan position — re-searching from scratch after every skipped
-        # quoted literal made literal-dense SQL O(n*m) (ADVICE r12)
-        if m is None or m.start() < i:
+        # reuse the cached CAST( search while it still covers the scan
+        # position — re-searching from scratch after every skipped
+        # quoted literal made literal-dense SQL O(n*m) (ADVICE r12). A
+        # cached None is also reusable: i only increases, so "no CAST at
+        # or after searched_from" stays true forever (review finding:
+        # caching only hits made literal-after-last-CAST inputs
+        # re-search the whole tail every iteration).
+        if searched_from < 0 or (m is not None and m.start() < i):
             m = _CAST_OPEN_RE.search(sql, i)
+            searched_from = i
         if q != -1 and (m is None or q < m.start()):
             k = _skip_quoted(sql, q)
             out.append(sql[i:k])

@@ -42,10 +42,11 @@ sys.path.insert(0, REPO)
 
 BASELINE_CORE_TOTAL = 31.8  # BASELINE.md: 18 headliners, sf0.1, best-of-2
 
-ROUND_ARTIFACT_RE = re.compile(
-    r"^(BENCH|CORRECTNESS|ORDER|STABILITY|CONFIG|SCALE|NULLS)_r\d+\.json$"
-    r"|^bench_detail\.json$"
-)
+# any ALL-CAPS round-numbered artifact (BENCH/CORRECTNESS/ORDER/
+# STABILITY/CONFIG/SCALE/SCALE_ADVERSARIAL/NULLS/SWEEPS/future ones —
+# review finding: an explicit alternation missed SWEEPS_r13.json the
+# very round it was introduced) plus the bench detail record
+ROUND_ARTIFACT_RE = re.compile(r"^[A-Z_]+_r\d+\.json$|^bench_detail\.json$")
 
 SWEEP_FILES = {
     "dirty parity (seed A)": ".scale/nulls_sweep.json",
@@ -117,22 +118,15 @@ def step_bench(report: dict) -> bool:
         entry["vs_baseline"] = round(core / BASELINE_CORE_TOTAL, 3) if core else None
         entry["within_2x_gate"] = bool(core and core <= 2 * BASELINE_CORE_TOTAL)
         ok = ok and entry["within_2x_gate"]
-        # surface ratio movers vs the COMMITTED bench_detail.json (the
-        # stated round-over-round comparison basis); bench.py itself
-        # also records these in the refreshed detail file
+        # surface the ratio movers bench.py itself just computed against
+        # the committed bench_detail.json (single source of truth —
+        # review finding: an earlier inline re-implementation here
+        # duplicated the threshold and diverged on output shape)
         try:
-            git_rc, committed, _ = _run(["git", "show", "HEAD:bench_detail.json"])
-            if git_rc == 0:
-                prev = json.loads(committed)
-                with open(os.path.join(REPO, "bench_detail.json")) as fh:
-                    cur = json.load(fh)
-                movers = {}
-                for kind in ("tail_ratio", "wide_ratio"):
-                    for q, r in (cur.get(kind) or {}).items():
-                        p = (prev.get(kind) or {}).get(q)
-                        if p and min(p, r) > 0 and max(r / p, p / r) > 1.3:
-                            movers[q] = {"prev": p, "now": r, "kind": kind}
-                entry["ratio_movers_gt_1.3x"] = movers
+            with open(os.path.join(REPO, "bench_detail.json")) as fh:
+                entry["ratio_movers_vs_committed"] = json.load(fh).get(
+                    "ratio_movers_vs_committed", {}
+                )
         except (OSError, ValueError):
             pass
     else:
@@ -141,27 +135,40 @@ def step_bench(report: dict) -> bool:
     return ok
 
 
-def step_artifacts(report: dict, round_no: int) -> bool:
+def step_artifacts(report: dict, round_no: int, bench_ran: bool = False) -> bool:
     rc, out, _ = _run(["git", "status", "--porcelain"])
-    bad = []
+    bad, commit_now = [], []
     for line in out.splitlines():
         status, _, path = line.strip().partition(" ")
         name = os.path.basename(path.strip().strip('"'))
-        if ROUND_ARTIFACT_RE.match(name):
+        if not ROUND_ARTIFACT_RE.match(name):
+            continue
+        # bench.py (run by THIS invocation's bench step) always rewrites
+        # bench_detail.json with fresh timings — that modification is the
+        # expected round-close state, to be committed with the round's
+        # artifacts, not a hygiene failure (review finding: treating it
+        # as one made a full certification run structurally unable to
+        # pass). Anything else — or a modified detail file when bench
+        # did NOT run here — is the real five-round-recurring defect.
+        if bench_ran and name == "bench_detail.json" and status in ("M", "MM"):
+            commit_now.append(line.strip())
+        else:
             bad.append(line.strip())
-    # this round's expected committed artifacts, if they exist on disk,
-    # must be TRACKED (the five-round-recurring defect)
-    expected = [
-        f"CONFIG_r{round_no}.json",
-        f"SCALE_r{round_no}.json",
-    ]
+    # every round-numbered artifact of THIS round that exists on disk
+    # must be tracked (any name class: the regex is the source of truth)
     rc2, tracked, _ = _run(["git", "ls-files"])
     tracked_set = set(tracked.splitlines())
     missing = [
-        f for f in expected
-        if os.path.exists(os.path.join(REPO, f)) and f not in tracked_set
+        f for f in sorted(os.listdir(REPO))
+        if f.endswith(f"_r{round_no}.json")
+        and ROUND_ARTIFACT_RE.match(f)
+        and f not in tracked_set
     ]
-    report["artifacts"] = {"untracked_or_modified": bad, "untracked_expected": missing}
+    report["artifacts"] = {
+        "untracked_or_modified": bad,
+        "untracked_expected": missing,
+        "commit_with_round_close": commit_now,
+    }
     return not bad and not missing
 
 
@@ -194,7 +201,11 @@ def step_sweeps(report: dict) -> bool:
     for label, path in SWEEP_FILES.items():
         full = os.path.join(REPO, path)
         if not os.path.exists(full):
-            out[label] = "absent"
+            # absent evidence is FAILED evidence: certification must not
+            # print ALL GREEN on a tree whose standing sweeps never ran
+            # (fresh clone, cleaned .scale/) — run the harnesses first
+            out[label] = "ABSENT (run the harness)"
+            ok = False
             continue
         with open(full) as fh:
             data = json.load(fh)
@@ -244,9 +255,10 @@ def main() -> None:
             continue
         print(f"== {name} ==", flush=True)
         try:
-            passed = (
-                fn(report, args.round) if name == "artifacts" else fn(report)
-            )
+            if name == "artifacts":
+                passed = fn(report, args.round, bench_ran="bench" not in skip)
+            else:
+                passed = fn(report)
         except Exception as e:  # a crashed step is a failed step
             report[name] = {"error": f"{type(e).__name__}: {e}"}
             passed = False
@@ -266,16 +278,18 @@ def main() -> None:
     if isinstance(b, dict) and b.get("core_total"):
         print(f"bench core_total: {b['core_total']} s = {b['vs_baseline']}x baseline"
               f" (gate <=2x: {'PASS' if b['within_2x_gate'] else 'FAIL'})")
-        if b.get("ratio_movers_gt_1.3x"):
-            print(f"  ratio movers >1.3x vs committed detail: "
-                  f"{json.dumps(b['ratio_movers_gt_1.3x'])}")
+        movers = (b.get("ratio_movers_vs_committed") or {}).get("movers")
+        if movers:
+            print(f"  ratio movers >1.3x vs committed detail: {json.dumps(movers)}")
     for k in ("artifacts", "pins", "sweeps"):
         if isinstance(report.get(k), dict):
             print(f"{k}: {json.dumps(report[k])}")
     print(f"\nresult: {'FAIL ' + str(failures) if failures else 'ALL GREEN'}")
 
     out_path = args.out or os.path.join(REPO, ".scale", f"certify_r{args.round}.json")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    out_dir = os.path.dirname(out_path)
+    if out_dir:  # a bare filename has no directory to create
+        os.makedirs(out_dir, exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(f"report written to {out_path}")

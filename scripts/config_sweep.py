@@ -113,8 +113,13 @@ def main() -> None:
             print(f"A[{i + 1}/{len(todo_a)}] {name}", flush=True)
         spark.stop()
 
+    # ALWAYS load the existing checkpoint: --redo re-RUNS the selected
+    # (config, query) pairs but must not discard results for configs or
+    # queries outside the selection (review finding: `--redo --configs
+    # noaqe` used to rewrite the file with only noaqe entries, wiping
+    # the other configs' completed runs)
     out: dict[str, dict] = {}
-    if os.path.exists(args.out) and not args.redo:
+    if os.path.exists(args.out):
         with open(args.out) as fh:
             out = json.load(fh)
 
@@ -128,17 +133,17 @@ def main() -> None:
             a = pd.read_pickle(_apath(name))
             if isinstance(a, str):
                 res[name] = {"ok": False, "error": f"phase A failed: {a[:400]}"}
-                continue
-            try:
-                b = queries[name](spark, args.dir).toPandas()
-                problems = compare(a, b)
-                res[name] = {"ok": not problems, "problems": problems}
-            except Exception as e:
-                res[name] = {
-                    "ok": False,
-                    "error": f"{type(e).__name__}: {str(e)[:400]}",
-                    "trace": traceback.format_exc()[-1200:],
-                }
+            else:
+                try:
+                    b = queries[name](spark, args.dir).toPandas()
+                    problems = compare(a, b)
+                    res[name] = {"ok": not problems, "problems": problems}
+                except Exception as e:
+                    res[name] = {
+                        "ok": False,
+                        "error": f"{type(e).__name__}: {str(e)[:400]}",
+                        "trace": traceback.format_exc()[-1200:],
+                    }
             status = "ok" if res[name]["ok"] else "FAIL"
             print(f"{cfg}[{i + 1}/{len(todo)}] {name}: {status}", flush=True)
             with open(args.out, "w") as fh:
