@@ -87,9 +87,27 @@ def cube_agg(spark, sf_dir):
         F.sum(F.col("l_quantity").cast(DEC)).alias("s"),
         F.count("*").alias("c"),
     )
-    return base.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("s").cast("double").alias("sum_qty"),
-        F.sum("c").alias("cnt"),
+    # the () grand-total set comes from a bare global aggregate, NOT the
+    # Expand: Spark's cube()/rollup() emit ZERO rows on empty input,
+    # while the SQL contract (DuckDB/Postgres, and any consumer reading
+    # "the total row") says the grand total always exists — one row with
+    # COUNT 0 and NULL sums. A global agg emits exactly that at any n,
+    # and on non-empty input its values are bitwise the Expand row's
+    # (same decimal partials re-aggregated). The tiny base cuboid is
+    # localCheckpoint-ed so BOTH branches read the ~6 materialized rows
+    # — AQE does not reuse the exchange across the union, and without
+    # the checkpoint each branch re-scans the fact table.
+    base = base.localCheckpoint(eager=True)
+    base.createOrReplaceTempView("cube_base_v")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(s) AS DOUBLE) AS sum_qty, SUM(c) AS cnt "
+        "FROM cube_base_v "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_returnflag), (l_linestatus)) "
+        "UNION ALL "
+        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0) FROM cube_base_v"
     )
 
 
@@ -102,9 +120,20 @@ def rollup_agg(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
         F.count("*").alias("c"),
     )
-    return base.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.sum("s").cast("double").alias("sum_price"),
-        F.sum("c").alias("cnt"),
+    # grand-total row sourced from a global aggregate for empty-input
+    # totality — same rationale, bitwise-identity argument, and
+    # one-fact-scan localCheckpoint as cube_agg
+    base = base.localCheckpoint(eager=True)
+    base.createOrReplaceTempView("rollup_base_v")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(SUM(s) AS DOUBLE) AS sum_price, SUM(c) AS cnt "
+        "FROM rollup_base_v "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+        "(o_orderstatus)) "
+        "UNION ALL "
+        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0) FROM rollup_base_v"
     )
 
 
@@ -167,15 +196,25 @@ def grouping_sets_agg(spark, sf_dir):
     rows aggregate once to the base cuboid, and only that handful of
     rows expands per grouping set (decimal partials re-aggregate
     exactly)."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    o = load(spark, sf_dir, "orders")
+    # the () set is a bare global aggregate (empty-input totality: Spark's
+    # GROUPING SETS Expand emits zero rows on empty input, the SQL grand
+    # total is one row) — same rationale and one-fact-scan checkpoint as
+    # cube_agg (a WITH-CTE referenced twice is inlined twice by Spark)
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+        F.count("*").alias("c"),
+    )
+    base = base.localCheckpoint(eager=True)
+    base.createOrReplaceTempView("gsets_base_v")
     return spark.sql(
-        "WITH base AS (SELECT o_orderstatus, o_orderpriority, "
-        "SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s, COUNT(*) AS c "
-        "FROM orders_v GROUP BY o_orderstatus, o_orderpriority) "
         "SELECT o_orderstatus, o_orderpriority, "
         "CAST(SUM(s) AS DOUBLE) AS sum_price, "
-        "SUM(c) AS cnt FROM base "
-        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+        "SUM(c) AS cnt FROM gsets_base_v "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) "
+        "UNION ALL "
+        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0) FROM gsets_base_v"
     )
 
 

@@ -233,7 +233,11 @@ def bpe_first_merge_pairs(spark, sf_dir):
     from ..io import load
 
     docs = load(spark, sf_dir, "documents")
-    first = train_bpe_merges(docs, n_merges=1)[0]  # (0, left, right, count)
+    merges = train_bpe_merges(docs, n_merges=1)  # [(0, left, right, count)]
+    # empty-corpus totality: no trainable merge means the pair table
+    # below is empty too, so the marker never evaluates — compare
+    # against a nothing-matches sentinel instead of crashing on [0]
+    first = merges[0] if merges else (0, None, None, 0)
     pairs = _pair_counts(_symbolize(_word_freqs(docs)))
     order = [F.desc("count"), F.asc("left"), F.asc("right")]
     top = pairs.orderBy(*order).limit(10)

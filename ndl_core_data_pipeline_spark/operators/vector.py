@@ -119,12 +119,25 @@ def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
 def embedding_dim(df, vec_col: str = "embedding") -> int:
     """Vector width sniff — one driver-visible row from a limit-1 scan
     (same single-row pattern as ingest.infer's stats fetch; the array
-    length is not in the parquet schema)."""
-    row = df.select(F.size(vec_col).alias("d")).limit(1).first()
-    if row is None or row["d"] is None or row["d"] < 0:
-        raise ValueError(
-            f"cannot infer {vec_col!r} width: no row with a non-null vector"
-        )
+    length is not in the parquet schema).
+
+    The non-null filter comes BEFORE the limit: the unfiltered form
+    grabbed whatever row arrived first, so a dirty table whose first
+    row carries a NULL vector crashed the whole query (a 2%-probability
+    arrival-order landmine the empty-input sweep surfaced). Zero-row /
+    all-NULL input returns a degenerate width of 1 instead of raising —
+    empty-input totality: the width only sizes plan-time literal
+    arrays, and the expressions built from them never see a non-NULL
+    vector that could disagree with it (NULL vectors hash to the same
+    bucket under any width)."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
+        .first()
+    )
+    if row is None or row["d"] is None or row["d"] <= 0:
+        return 1
     return int(row["d"])
 
 

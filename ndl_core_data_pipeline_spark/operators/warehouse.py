@@ -801,10 +801,11 @@ def _profile_sql() -> str:
     parts = []
     for cname, expr in cols.items():
         parts.append(f"""
-SELECT '{cname}' AS column_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+SELECT '{cname}' AS column_name,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
        CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT)
          AS n_null,
-       CAST(count_if(v IS NOT NULL) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(count_if(v IS NOT NULL), 0) AS BIGINT) AS n_distinct,
        {sql_r6(entropy)} AS entropy_nats
 FROM (SELECT v, COUNT(*) AS c FROM (SELECT {expr} AS v FROM orders)
       GROUP BY v),

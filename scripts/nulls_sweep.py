@@ -42,7 +42,10 @@ def main() -> None:
     )
     queries, oracles = contract.queries(), contract.oracle_sql()
     results: dict[str, dict] = {}
-    if os.path.exists(args.out) and not args.redo:
+    # ALWAYS load the checkpoint: --redo re-runs the selected names but
+    # must not discard results outside the selection (a subset
+    # `--only x --redo` used to rewrite the file with only x)
+    if os.path.exists(args.out):
         with open(args.out) as fh:
             results = json.load(fh)
     only = {n for n in args.only.split(",") if n}
