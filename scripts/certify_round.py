@@ -55,6 +55,7 @@ SWEEP_FILES = {
     "order invariance (seed B)": ".scale/order_sweep_b.json",
     "width invariance": ".scale/width_sweep.json",
     "config invariance": ".scale/config_sweep.json",
+    "empty-input totality": ".scale/empty_sweep.json",
     "oracle stability": ".scale/oracle_stability.json",
 }
 
