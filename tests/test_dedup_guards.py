@@ -88,10 +88,25 @@ def test_winnowing_shared_run_shares_fingerprint(spark, tmp_path):
     assert 4 not in by_doc  # < 3 words -> no shingles at all
 
 
-def test_embedding_dim_empty_corpus_raises_cleanly(spark):
+def test_embedding_dim_is_total_and_order_independent(spark):
+    # empty-input totality (round 13): a zero-row / all-NULL corpus gets
+    # a degenerate width instead of a raise — the width only sizes
+    # plan-time literal arrays and no row expression ever evaluates
+    # against a conflicting width, so downstream queries emit their
+    # (empty) result instead of crashing the job
     empty = spark.createDataFrame([], "doc_id long, embedding array<float>")
-    with pytest.raises(ValueError, match="cannot infer"):
-        embedding_dim(empty)
+    assert embedding_dim(empty) == 1
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, embedding array<float>"
+    )
+    assert embedding_dim(all_null) == 1
+    # arrival-order landmine (found by the empty-input sweep): the sniff
+    # must filter to non-null vectors BEFORE its limit-1 probe — the
+    # unfiltered form crashed whenever a NULL-vector row arrived first
+    null_first = spark.createDataFrame(
+        [(1, None), (2, [0.1, 0.2, 0.3])], "doc_id long, embedding array<float>"
+    ).coalesce(1)
+    assert embedding_dim(null_first) == 3
 
 
 def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):
