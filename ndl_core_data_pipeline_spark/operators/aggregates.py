@@ -70,6 +70,37 @@ def agg_stats_family(spark, sf_dir):
     )
 
 
+def _grouping_sets_with_grand_total(
+    spark, base, keys, sets_sql, measures_sql, grand_sql, view
+):
+    """Shared scaffold for the two-level cube/rollup/grouping-sets family.
+
+    The () grand-total set comes from a bare global aggregate, NOT the
+    Expand: Spark's cube()/rollup()/GROUPING SETS emit ZERO rows on
+    empty input, while the SQL contract (DuckDB/Postgres, and any
+    consumer reading "the total row") says the grand total always
+    exists — one row with COUNT 0 and NULL sums. A global agg emits
+    exactly that at any n, and on non-empty input its values are
+    bitwise the Expand row's (same decimal partials re-aggregated).
+    The tiny base cuboid is localCheckpoint-ed so BOTH branches read
+    the ~6 materialized rows — AQE does not reuse the exchange across
+    the union, and without the checkpoint each branch re-scans the
+    fact table.
+
+    `keys` are the (string-typed) grouping columns, `sets_sql` the
+    non-() grouping sets, `measures_sql` the per-set aggregate
+    projection, `grand_sql` the grand-total projection (COUNT-like
+    measures need COALESCE(.., 0) there: SUM over zero rows is NULL)."""
+    base = base.localCheckpoint(eager=True)
+    base.createOrReplaceTempView(view)
+    null_keys = ", ".join("CAST(NULL AS STRING)" for _ in keys)
+    return spark.sql(
+        f"SELECT {', '.join(keys)}, {measures_sql} FROM {view} "
+        f"GROUP BY GROUPING SETS ({sets_sql}) "
+        f"UNION ALL SELECT {null_keys}, {grand_sql} FROM {view}"
+    )
+
+
 def cube_agg(spark, sf_dir):
     """Engine surface: CUBE over two keys (superaggregate rows with NULLs).
 
@@ -87,27 +118,14 @@ def cube_agg(spark, sf_dir):
         F.sum(F.col("l_quantity").cast(DEC)).alias("s"),
         F.count("*").alias("c"),
     )
-    # the () grand-total set comes from a bare global aggregate, NOT the
-    # Expand: Spark's cube()/rollup() emit ZERO rows on empty input,
-    # while the SQL contract (DuckDB/Postgres, and any consumer reading
-    # "the total row") says the grand total always exists — one row with
-    # COUNT 0 and NULL sums. A global agg emits exactly that at any n,
-    # and on non-empty input its values are bitwise the Expand row's
-    # (same decimal partials re-aggregated). The tiny base cuboid is
-    # localCheckpoint-ed so BOTH branches read the ~6 materialized rows
-    # — AQE does not reuse the exchange across the union, and without
-    # the checkpoint each branch re-scans the fact table.
-    base = base.localCheckpoint(eager=True)
-    base.createOrReplaceTempView("cube_base_v")
-    return spark.sql(
-        "SELECT l_returnflag, l_linestatus, "
-        "CAST(SUM(s) AS DOUBLE) AS sum_qty, SUM(c) AS cnt "
-        "FROM cube_base_v "
-        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
-        "(l_returnflag), (l_linestatus)) "
-        "UNION ALL "
-        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), "
-        "CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0) FROM cube_base_v"
+    return _grouping_sets_with_grand_total(
+        spark,
+        base,
+        keys=("l_returnflag", "l_linestatus"),
+        sets_sql="(l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)",
+        measures_sql="CAST(SUM(s) AS DOUBLE) AS sum_qty, SUM(c) AS cnt",
+        grand_sql="CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0)",
+        view="cube_base_v",
     )
 
 
@@ -120,20 +138,14 @@ def rollup_agg(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
         F.count("*").alias("c"),
     )
-    # grand-total row sourced from a global aggregate for empty-input
-    # totality — same rationale, bitwise-identity argument, and
-    # one-fact-scan localCheckpoint as cube_agg
-    base = base.localCheckpoint(eager=True)
-    base.createOrReplaceTempView("rollup_base_v")
-    return spark.sql(
-        "SELECT o_orderstatus, o_orderpriority, "
-        "CAST(SUM(s) AS DOUBLE) AS sum_price, SUM(c) AS cnt "
-        "FROM rollup_base_v "
-        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
-        "(o_orderstatus)) "
-        "UNION ALL "
-        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), "
-        "CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0) FROM rollup_base_v"
+    return _grouping_sets_with_grand_total(
+        spark,
+        base,
+        keys=("o_orderstatus", "o_orderpriority"),
+        sets_sql="(o_orderstatus, o_orderpriority), (o_orderstatus)",
+        measures_sql="CAST(SUM(s) AS DOUBLE) AS sum_price, SUM(c) AS cnt",
+        grand_sql="CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0)",
+        view="rollup_base_v",
     )
 
 
@@ -197,24 +209,20 @@ def grouping_sets_agg(spark, sf_dir):
     rows expands per grouping set (decimal partials re-aggregate
     exactly)."""
     o = load(spark, sf_dir, "orders")
-    # the () set is a bare global aggregate (empty-input totality: Spark's
-    # GROUPING SETS Expand emits zero rows on empty input, the SQL grand
-    # total is one row) — same rationale and one-fact-scan checkpoint as
-    # cube_agg (a WITH-CTE referenced twice is inlined twice by Spark)
+    # (a WITH-CTE referenced twice is inlined twice by Spark, hence the
+    # DataFrame base + the shared checkpointed scaffold)
     base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
         F.count("*").alias("c"),
     )
-    base = base.localCheckpoint(eager=True)
-    base.createOrReplaceTempView("gsets_base_v")
-    return spark.sql(
-        "SELECT o_orderstatus, o_orderpriority, "
-        "CAST(SUM(s) AS DOUBLE) AS sum_price, "
-        "SUM(c) AS cnt FROM gsets_base_v "
-        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) "
-        "UNION ALL "
-        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), "
-        "CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0) FROM gsets_base_v"
+    return _grouping_sets_with_grand_total(
+        spark,
+        base,
+        keys=("o_orderstatus", "o_orderpriority"),
+        sets_sql="(o_orderstatus), (o_orderpriority)",
+        measures_sql="CAST(SUM(s) AS DOUBLE) AS sum_price, SUM(c) AS cnt",
+        grand_sql="CAST(SUM(s) AS DOUBLE), COALESCE(SUM(c), 0)",
+        view="gsets_base_v",
     )
 
 

@@ -121,17 +121,20 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     (same single-row pattern as ingest.infer's stats fetch; the array
     length is not in the parquet schema).
 
-    The non-null filter comes BEFORE the limit: the unfiltered form
+    The non-empty filter comes BEFORE the limit: the unfiltered form
     grabbed whatever row arrived first, so a dirty table whose first
     row carries a NULL vector crashed the whole query (a 2%-probability
-    arrival-order landmine the empty-input sweep surfaced). Zero-row /
-    all-NULL input returns a degenerate width of 1 instead of raising —
+    arrival-order landmine the empty-input sweep surfaced). The filter
+    is size > 0, not isNotNull: a zero-length array would otherwise win
+    the probe and size every hyperplane at width 1, silently zeroing
+    all real vectors' buckets (review finding). Zero-row / no-usable-
+    vector input returns a degenerate width of 1 instead of raising —
     empty-input totality: the width only sizes plan-time literal
-    arrays, and the expressions built from them never see a non-NULL
-    vector that could disagree with it (NULL vectors hash to the same
-    bucket under any width)."""
+    arrays, and the expressions built from them never see a non-empty
+    vector that could disagree with it (NULL and zero-length vectors
+    hash to the same bucket under any width)."""
     row = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.size(vec_col) > 0)
         .select(F.size(vec_col).alias("d"))
         .limit(1)
         .first()

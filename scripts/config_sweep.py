@@ -122,6 +122,12 @@ def main() -> None:
     if os.path.exists(args.out):
         with open(args.out) as fh:
             out = json.load(fh)
+        # prune entries for queries renamed/removed from the registry
+        # (review finding: stale rows otherwise persist forever)
+        out = {
+            cfg: {k: v for k, v in res.items() if k in queries}
+            for cfg, res in out.items()
+        }
 
     for cfg in cfg_names:
         res = out.setdefault(cfg, {})

@@ -34,10 +34,9 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+# the engine's table list is the source of truth — a locally hardcoded
+# copy would silently go stale when a table is added (review finding)
+from ndl_core_data_pipeline_spark.io import TABLES  # noqa: E402
 
 
 def build_empty(base: str, out: str) -> None:
@@ -48,7 +47,23 @@ def build_empty(base: str, out: str) -> None:
         src = pq.read_table(os.path.join(base, f"{t}.parquet"))
         pq.write_table(src.slice(0, 0), os.path.join(out, f"{t}.parquet"))
     with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
-        json.dump({"base": base, "mode": "empty", "rows": 0}, fh)
+        json.dump(
+            {"base": base, "mode": "empty", "rows": 0, "tables": list(TABLES)}, fh
+        )
+
+
+def ensure_empty_dataset(base: str, out: str) -> None:
+    """Build the fixture if missing OR if its manifest's table list no
+    longer matches the engine's (a table added after the fixture was
+    built would otherwise fail every query with file-not-found,
+    misreported as a totality defect)."""
+    manifest = os.path.join(out, "MANIFEST.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            if json.load(fh).get("tables") == list(TABLES):
+                return
+        print(f"rebuilding {out}: manifest table list is stale", flush=True)
+    build_empty(base, out)
 
 
 def main() -> None:
@@ -60,8 +75,7 @@ def main() -> None:
     ap.add_argument("--redo", action="store_true")
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.dir, "MANIFEST.json")):
-        build_empty(args.base, args.dir)
+    ensure_empty_dataset(args.base, args.dir)
 
     import __spark_entry__ as contract
     from pyspark.sql import SparkSession
@@ -80,6 +94,10 @@ def main() -> None:
     if os.path.exists(args.out):
         with open(args.out) as fh:
             results = json.load(fh)
+        # prune entries for queries renamed/removed from the registry:
+        # a stale FAIL would keep certification red with no CLI remedy,
+        # and a stale ok would count as live evidence (review finding)
+        results = {k: v for k, v in results.items() if k in reg.queries}
     only = {n for n in args.only.split(",") if n}
     names = [n for n in sorted(reg.queries) if not only or n in only]
     for i, name in enumerate(names):

@@ -48,6 +48,10 @@ def main() -> None:
     if os.path.exists(args.out):
         with open(args.out) as fh:
             results = json.load(fh)
+        # prune entries for queries renamed/removed from the registry:
+        # a stale FAIL would keep certification red with no CLI remedy,
+        # and a stale ok would count as live evidence (review finding)
+        results = {k: v for k, v in results.items() if k in queries}
     only = {n for n in args.only.split(",") if n}
     names = [n for n in sorted(queries) if not only or n in only]
     for i, name in enumerate(names):

@@ -52,6 +52,10 @@ def main() -> None:
     if os.path.exists(args.out):
         with open(args.out) as fh:
             results = json.load(fh)
+        # prune entries for queries renamed/removed from the registry:
+        # a stale FAIL would keep certification red with no CLI remedy,
+        # and a stale ok would count as live evidence (review finding)
+        results = {k: v for k, v in results.items() if k in oracles}
     only = {n for n in args.only.split(",") if n}
     unknown = only - set(oracles)
     if unknown:  # a typo must fail loudly, not print a stale success line

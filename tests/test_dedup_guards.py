@@ -107,6 +107,17 @@ def test_embedding_dim_is_total_and_order_independent(spark):
         [(1, None), (2, [0.1, 0.2, 0.3])], "doc_id long, embedding array<float>"
     ).coalesce(1)
     assert embedding_dim(null_first) == 3
+    # a ZERO-LENGTH array must not win the probe either: isNotNull alone
+    # kept it, inferred width 1, and silently zeroed every real vector's
+    # bucket (second review pass) — the filter is size > 0
+    empty_first = spark.createDataFrame(
+        [(1, []), (2, [0.1, 0.2, 0.3])], "doc_id long, embedding array<float>"
+    ).coalesce(1)
+    assert embedding_dim(empty_first) == 3
+    all_empty = spark.createDataFrame(
+        [(1, []), (2, [])], "doc_id long, embedding array<float>"
+    )
+    assert embedding_dim(all_empty) == 1
 
 
 def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):

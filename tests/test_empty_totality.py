@@ -46,10 +46,9 @@ EMPTY_DIR = os.environ.get(
 
 @pytest.fixture(scope="session")
 def empty_dir():
-    if not os.path.exists(os.path.join(EMPTY_DIR, "MANIFEST.json")):
-        from empty_sweep import build_empty
+    from empty_sweep import ensure_empty_dataset
 
-        build_empty("/root/testdata/sf0.001", EMPTY_DIR)
+    ensure_empty_dataset("/root/testdata/sf0.001", EMPTY_DIR)
     return EMPTY_DIR
 
 
