@@ -30,10 +30,9 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+# the engine's table list is the source of truth (same review finding
+# as empty_sweep: a local copy silently goes stale when a table lands)
+from ndl_core_data_pipeline_spark.io import TABLES  # noqa: E402
 
 
 def build_shuffled(base: str, out: str, seed: int = 20240815) -> None:
