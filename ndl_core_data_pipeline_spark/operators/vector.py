@@ -127,12 +127,33 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     arrival-order landmine the empty-input sweep surfaced). The filter
     is size > 0, not isNotNull: a zero-length array would otherwise win
     the probe and size every hyperplane at width 1, silently zeroing
-    all real vectors' buckets (review finding). Zero-row / no-usable-
-    vector input returns a degenerate width of 1 instead of raising —
-    empty-input totality: the width only sizes plan-time literal
-    arrays, and the expressions built from them never see a non-empty
-    vector that could disagree with it (NULL and zero-length vectors
-    hash to the same bucket under any width)."""
+    all real vectors' buckets (review finding).
+
+    Degenerate-input contract (round 14 tightening): a missing or
+    non-array ``vec_col`` RAISES plan-side before any job — width-1 can
+    only ever mean "no usable vectors", never "wrong column". A
+    ZERO-ROW input returns a degenerate width of 1 silently (empty-
+    input totality: the width only sizes plan-time literal arrays, and
+    NULL/zero-length vectors hash to the same bucket under any width).
+    A NON-EMPTY input with no usable vector — an upstream ingestion bug
+    nulled the whole column — also returns 1 so the job stays total,
+    but emits a loud warning: silence here would degrade LSH to a
+    single bucket with no trace. Rejecting such data outright is the
+    quality layer's job (checks.vector_elements_valid), not the probe's.
+    """
+    from pyspark.sql.types import ArrayType
+
+    field = next((f for f in df.schema.fields if f.name == vec_col), None)
+    if field is None:
+        raise TypeError(
+            f"embedding_dim: column {vec_col!r} not in schema "
+            f"{[f.name for f in df.schema.fields]}"
+        )
+    if not isinstance(field.dataType, ArrayType):
+        raise TypeError(
+            f"embedding_dim: column {vec_col!r} is {field.dataType.simpleString()}, "
+            "expected array<numeric>"
+        )
     row = (
         df.filter(F.size(vec_col) > 0)
         .select(F.size(vec_col).alias("d"))
@@ -140,6 +161,18 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
         .first()
     )
     if row is None or row["d"] is None or row["d"] <= 0:
+        # the extra limit-1 probe runs ONLY on this degenerate path
+        if df.select(vec_col).limit(1).first() is not None:
+            import warnings
+
+            warnings.warn(
+                f"embedding_dim: non-empty input but no row has a usable "
+                f"(size>0) {vec_col!r} vector — returning degenerate width 1; "
+                "every LSH/IVF bucket will collapse. Check ingestion "
+                "(quality layer: checks.vector_elements_valid).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return 1
     return int(row["d"])
 

@@ -96,10 +96,14 @@ def test_embedding_dim_is_total_and_order_independent(spark):
     # (empty) result instead of crashing the job
     empty = spark.createDataFrame([], "doc_id long, embedding array<float>")
     assert embedding_dim(empty) == 1
+    # NON-empty input with no usable vector stays total (width 1) but
+    # must be LOUD — silence would collapse every LSH bucket with no
+    # trace of the upstream ingestion bug (round-14 ADVICE)
     all_null = spark.createDataFrame(
         [(1, None), (2, None)], "doc_id long, embedding array<float>"
     )
-    assert embedding_dim(all_null) == 1
+    with pytest.warns(RuntimeWarning, match="no row has a usable"):
+        assert embedding_dim(all_null) == 1
     # arrival-order landmine (found by the empty-input sweep): the sniff
     # must filter to non-null vectors BEFORE its limit-1 probe — the
     # unfiltered form crashed whenever a NULL-vector row arrived first
@@ -117,7 +121,21 @@ def test_embedding_dim_is_total_and_order_independent(spark):
     all_empty = spark.createDataFrame(
         [(1, []), (2, [])], "doc_id long, embedding array<float>"
     )
-    assert embedding_dim(all_empty) == 1
+    with pytest.warns(RuntimeWarning, match="no row has a usable"):
+        assert embedding_dim(all_empty) == 1
+
+
+def test_embedding_dim_rejects_wrong_column(spark):
+    # schema problems must RAISE plan-side (VERDICT r13 item 7): a
+    # degenerate width-1 may only ever mean "no usable vectors", never
+    # "the caller named a column that does not exist / is not an array"
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2], "x")], "doc_id long, embedding array<float>, text string"
+    )
+    with pytest.raises(TypeError, match="not in schema"):
+        embedding_dim(df, "embeding")  # typo'd name
+    with pytest.raises(TypeError, match="expected array"):
+        embedding_dim(df, "text")  # exists but not an array
 
 
 def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):
