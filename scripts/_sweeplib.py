@@ -1,0 +1,121 @@
+"""Shared checkpoint plumbing for the determinism-sweep runners.
+
+Round-14 ADVICE (medium): every sweep is resumable and skips
+already-completed queries, so after an engine change certification
+could print ALL GREEN from sweep results computed on an OLDER tree.
+The fix is a content hash of the engine-relevant sources stamped into
+each checkpoint at write time; a loader that finds a different stamp
+discards the stale results (same pattern as empty_sweep's
+manifest-staleness fixture rebuild), and certify_round.step_sweeps
+independently refuses to count a mismatched checkpoint as evidence.
+
+The hash covers exactly what determines sweep outcomes: the engine
+package, the driver contract (registry + oracle text), and the
+comparator — NOT the whole repo, so COVERAGE/docs/tooling commits
+don't invalidate hours of completed sweep work.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+META_KEY = "_meta"  # reserved top-level key inside sweep checkpoints
+
+_HASH_INPUTS = (
+    "ndl_core_data_pipeline_spark/**/*.py",
+    "__spark_entry__.py",
+    "tests/oracle.py",
+)
+
+
+def engine_tree_hash() -> str:
+    """sha256 over (relative path, content hash) of every engine-relevant
+    source file. Content-based, so it is correct on a dirty working tree
+    (unlike `git rev-parse HEAD`, which misses uncommitted edits)."""
+    h = hashlib.sha256()
+    for pattern in _HASH_INPUTS:
+        for path in sorted(glob.glob(os.path.join(REPO, pattern), recursive=True)):
+            rel = os.path.relpath(path, REPO)
+            with open(path, "rb") as fh:
+                h.update(rel.encode())
+                h.update(b"\0")
+                h.update(hashlib.sha256(fh.read()).digest())
+    return h.hexdigest()
+
+
+def load_results(path: str, valid_keys=None, nested_valid_keys=None) -> dict:
+    """Load a sweep checkpoint, enforcing the three freshness rules:
+
+    1. tree staleness — a checkpoint stamped with a different engine
+       tree hash (or none: pre-round-14 format) is DISCARDED entirely;
+       its results are evidence about an older tree, not this one.
+    2. registry pruning — entries for queries renamed/removed from the
+       registry are dropped (``valid_keys``); for nested {config:
+       {query: ...}} files pass ``nested_valid_keys`` instead.
+    3. the reserved META_KEY never reaches the caller's result dict.
+    """
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        data = json.load(fh)
+    meta = data.pop(META_KEY, None)
+    current = engine_tree_hash()
+    if not isinstance(meta, dict) or meta.get("tree") != current:
+        print(
+            f"DISCARDING {path}: checkpoint tree stamp "
+            f"{(meta or {}).get('tree', 'absent')!r:.20} != current engine tree "
+            f"{current[:12]} — results were computed on a different tree",
+            flush=True,
+        )
+        return {}
+    if valid_keys is not None:
+        data = {k: v for k, v in data.items() if k in valid_keys}
+    if nested_valid_keys is not None:
+        data = {
+            cfg: {k: v for k, v in res.items() if k in nested_valid_keys}
+            for cfg, res in data.items()
+        }
+    return data
+
+
+def save_results(path: str, results: dict) -> None:
+    """Write a sweep checkpoint with a fresh tree stamp. The stamp is
+    recomputed per save (cheap: ~200 small files) so a mid-sweep engine
+    edit marks every subsequent save stale-on-next-load rather than
+    inheriting the stamp from sweep start."""
+    out = dict(results)
+    out[META_KEY] = {"tree": engine_tree_hash()}
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+def ensure_fresh_ckpt_dir(path: str) -> None:
+    """Phase-A pickle directories (width_sweep, config_sweep) have the
+    same staleness class (round-14 ADVICE, low): a resumed run would
+    compare new-code phase-B results against old-code baselines. Record
+    the engine tree in a manifest next to the pickles and wipe them when
+    it no longer matches."""
+    os.makedirs(path, exist_ok=True)
+    manifest = os.path.join(path, "_MANIFEST.json")
+    current = engine_tree_hash()
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            if json.load(fh).get("tree") == current:
+                return
+        stale = glob.glob(os.path.join(path, "*.pkl"))
+        print(
+            f"INVALIDATING {len(stale)} phase-A baselines in {path}: "
+            "manifest tree stamp != current engine tree",
+            flush=True,
+        )
+        for p in stale:
+            os.remove(p)
+    with open(manifest, "w") as fh:
+        json.dump({"tree": current}, fh)

@@ -56,11 +56,16 @@ SWEEP_FILES = {
     "width invariance": ".scale/width_sweep.json",
     "config invariance": ".scale/config_sweep.json",
     "empty-input totality": ".scale/empty_sweep.json",
+    "asymmetric-empty totality": ".scale/asym_empty_sweep.json",
+    "unicode text parity": ".scale/unicode_sweep.json",
     "oracle stability": ".scale/oracle_stability.json",
 }
 
+# nested {outer: {inner: {ok: ...}}} checkpoint shapes
+NESTED_SWEEPS = {"config invariance", "asymmetric-empty totality"}
 
-def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str]:
+
+def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str, float]:
     e = dict(os.environ)
     e.update(env or {})
     t0 = time.monotonic()
@@ -141,8 +146,15 @@ def step_artifacts(report: dict, round_no: int, bench_ran: bool = False) -> bool
     bad, commit_now = [], []
     for line in out.splitlines():
         status, _, path = line.strip().partition(" ")
-        name = os.path.basename(path.strip().strip('"'))
-        if not ROUND_ARTIFACT_RE.match(name):
+        # a rename line reads 'R  old -> new'; both sides must face the
+        # regex or a renamed round artifact escapes the hygiene gate
+        # (round-14 ADVICE)
+        names = [
+            os.path.basename(p.strip().strip('"'))
+            for p in path.strip().split(" -> ")
+        ]
+        name = next((n for n in names if ROUND_ARTIFACT_RE.match(n)), None)
+        if name is None:
             continue
         # bench.py (run by THIS invocation's bench step) always rewrites
         # bench_detail.json with fresh timings — that modification is the
@@ -197,6 +209,9 @@ def step_pins(report: dict) -> bool:
 
 
 def step_sweeps(report: dict) -> bool:
+    from _sweeplib import META_KEY, engine_tree_hash
+
+    current_tree = engine_tree_hash()
     out = {}
     ok = True
     for label, path in SWEEP_FILES.items():
@@ -210,10 +225,19 @@ def step_sweeps(report: dict) -> bool:
             continue
         with open(full) as fh:
             data = json.load(fh)
-        if label == "config invariance":  # nested per-config maps
-            for cfg, res in data.items():
+        # resumable sweeps skip completed queries, so a checkpoint can
+        # survive an engine change untouched; without the tree-stamp
+        # check, certification would count results computed on an OLDER
+        # tree as live evidence (round-14 ADVICE, medium)
+        meta = data.pop(META_KEY, None)
+        if not isinstance(meta, dict) or meta.get("tree") != current_tree:
+            out[label] = "STALE (tree stamp != current engine tree — rerun)"
+            ok = False
+            continue
+        if label in NESTED_SWEEPS:  # nested {outer: {query: {...}}} maps
+            for outer, res in data.items():
                 n_ok = sum(1 for r in res.values() if r.get("ok"))
-                out[f"{label} [{cfg}]"] = f"{n_ok}/{len(res)}"
+                out[f"{label} [{outer}]"] = f"{n_ok}/{len(res)}"
                 ok = ok and n_ok == len(res)
         elif label == "oracle stability":
             n_ok = sum(1 for r in data.values() if r.get("stable", r.get("ok")))

@@ -28,6 +28,9 @@ sweeps use):
               those sides are structurally small: single-row
               aggregates, K x dim centroid/codebook tables)
   nocodegen   spark.sql.codegen.wholeStage=false
+  tz_tokyo    spark.sql.session.timeZone=Asia/Tokyo (the session STARTS
+              on Tokyo time; the engine pins UTC at load — this proves
+              the pin covers every query path, round 14)
 
 Resumable per query per config, like the sibling sweeps.
 
@@ -39,7 +42,6 @@ Usage: python scripts/config_sweep.py [--dir .scale/nulls0.01]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import traceback
@@ -55,6 +57,15 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     },
     "nocodegen": {"spark.sql.codegen.wholeStage": "false"},
+    # round 14 (VERDICT r13 item 4): a shared cluster's ambient session
+    # timezone is whatever the platform team set — every date_trunc /
+    # window boundary / SCD2 interval / timestamp rendering would shift
+    # with it if the engine inherited it. The engine's contract is
+    # UTC-pinned-at-load (io.ensure_session_defaults), so results must be
+    # byte-identical when the session STARTS on Tokyo time; this column
+    # proves the pin actually covers every query path end-to-end
+    # (construction, execution, and toPandas timestamp rendering).
+    "tz_tokyo": {"spark.sql.session.timeZone": "Asia/Tokyo"},
 }
 
 
@@ -95,7 +106,12 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown configs {unknown}; choose from {sorted(CONFIGS)}")
 
-    os.makedirs(args.ckpt, exist_ok=True)
+    from _sweeplib import ensure_fresh_ckpt_dir, load_results, save_results
+
+    # the phase-A dir carries an engine-tree manifest: baselines pickled
+    # on an older tree are wiped rather than silently compared against
+    # new-code phase-B results (round-14 ADVICE)
+    ensure_fresh_ckpt_dir(args.ckpt)
 
     def _apath(n: str) -> str:
         return os.path.join(args.ckpt, f"{n}.pkl")
@@ -117,17 +133,10 @@ def main() -> None:
     # (config, query) pairs but must not discard results for configs or
     # queries outside the selection (review finding: `--redo --configs
     # noaqe` used to rewrite the file with only noaqe entries, wiping
-    # the other configs' completed runs)
-    out: dict[str, dict] = {}
-    if os.path.exists(args.out):
-        with open(args.out) as fh:
-            out = json.load(fh)
-        # prune entries for queries renamed/removed from the registry
-        # (review finding: stale rows otherwise persist forever)
-        out = {
-            cfg: {k: v for k, v in res.items() if k in queries}
-            for cfg, res in out.items()
-        }
+    # the other configs' completed runs). load_results additionally
+    # discards the whole checkpoint when its engine-tree stamp is stale
+    # and prunes renamed/removed queries from each config's map.
+    out: dict[str, dict] = load_results(args.out, nested_valid_keys=queries)
 
     for cfg in cfg_names:
         res = out.setdefault(cfg, {})
@@ -152,8 +161,7 @@ def main() -> None:
                     }
             status = "ok" if res[name]["ok"] else "FAIL"
             print(f"{cfg}[{i + 1}/{len(todo)}] {name}: {status}", flush=True)
-            with open(args.out, "w") as fh:
-                json.dump(out, fh, indent=1)
+            save_results(args.out, out)
         spark.stop()
 
     for cfg in cfg_names:

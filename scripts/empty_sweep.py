@@ -89,15 +89,12 @@ def main() -> None:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
+    from _sweeplib import load_results, save_results
+
     reg = contract.build_registry()
-    results: dict[str, dict] = {}
-    if os.path.exists(args.out):
-        with open(args.out) as fh:
-            results = json.load(fh)
-        # prune entries for queries renamed/removed from the registry:
-        # a stale FAIL would keep certification red with no CLI remedy,
-        # and a stale ok would count as live evidence (review finding)
-        results = {k: v for k, v in results.items() if k in reg.queries}
+    # load_results discards the whole checkpoint when its engine-tree
+    # stamp is stale and prunes queries renamed/removed from the registry
+    results: dict[str, dict] = load_results(args.out, valid_keys=reg.queries)
     only = {n for n in args.only.split(",") if n}
     names = [n for n in sorted(reg.queries) if not only or n in only]
     for i, name in enumerate(names):
@@ -120,8 +117,7 @@ def main() -> None:
             }
         status = "ok" if results[name]["ok"] else "FAIL"
         print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
-        with open(args.out, "w") as fh:
-            json.dump(results, fh, indent=1)
+        save_results(args.out, results)
     n_ok = sum(1 for r in results.values() if r["ok"])
     bad = sorted(n for n, r in results.items() if not r["ok"])
     print(f"done: {n_ok}/{len(results)} ok" + (f" FAIL={bad}" if bad else ""))

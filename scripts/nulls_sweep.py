@@ -12,7 +12,6 @@ Usage: python scripts/nulls_sweep.py [--out .scale/nulls_sweep.json]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import traceback
@@ -40,18 +39,15 @@ def main() -> None:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
+    from _sweeplib import load_results, save_results
+
     queries, oracles = contract.queries(), contract.oracle_sql()
-    results: dict[str, dict] = {}
     # ALWAYS load the checkpoint: --redo re-runs the selected names but
     # must not discard results outside the selection (a subset
-    # `--only x --redo` used to rewrite the file with only x)
-    if os.path.exists(args.out):
-        with open(args.out) as fh:
-            results = json.load(fh)
-        # prune entries for queries renamed/removed from the registry:
-        # a stale FAIL would keep certification red with no CLI remedy,
-        # and a stale ok would count as live evidence (review finding)
-        results = {k: v for k, v in results.items() if k in queries}
+    # `--only x --redo` used to rewrite the file with only x).
+    # load_results additionally discards the whole checkpoint when its
+    # engine-tree stamp is stale and prunes renamed/removed queries.
+    results: dict[str, dict] = load_results(args.out, valid_keys=queries)
     only = {n for n in args.only.split(",") if n}
     names = [n for n in sorted(queries) if not only or n in only]
     for i, name in enumerate(names):
@@ -70,8 +66,7 @@ def main() -> None:
             }
         status = "ok" if results[name]["ok"] else "FAIL"
         print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
-        with open(args.out, "w") as fh:
-            json.dump(results, fh, indent=1)
+        save_results(args.out, results)
     n_ok = sum(1 for r in results.values() if r["ok"])
     print(f"done: {n_ok}/{len(results)} ok")
 

@@ -23,10 +23,8 @@ Usage: python scripts/oracle_stability_sweep.py [--dir .scale/nulls0.01]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
-import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,18 +42,15 @@ def main() -> None:
 
     from tests.oracle import _canon, duckdb_conn
 
+    from _sweeplib import load_results, save_results
+
     oracles = contract.oracle_sql()
-    results: dict[str, dict] = {}
     # ALWAYS load the checkpoint: --redo re-runs the selected names but
     # must not discard results outside the selection (a subset
-    # `--only x --redo` used to rewrite the file with only x)
-    if os.path.exists(args.out):
-        with open(args.out) as fh:
-            results = json.load(fh)
-        # prune entries for queries renamed/removed from the registry:
-        # a stale FAIL would keep certification red with no CLI remedy,
-        # and a stale ok would count as live evidence (review finding)
-        results = {k: v for k, v in results.items() if k in oracles}
+    # `--only x --redo` used to rewrite the file with only x).
+    # load_results additionally discards the whole checkpoint when its
+    # engine-tree stamp is stale and prunes renamed/removed queries.
+    results: dict[str, dict] = load_results(args.out, valid_keys=oracles)
     only = {n for n in args.only.split(",") if n}
     unknown = only - set(oracles)
     if unknown:  # a typo must fail loudly, not print a stale success line
@@ -96,8 +91,7 @@ def main() -> None:
         }
         status = "ok" if results[name]["stable"] else "UNSTABLE"
         print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
-        with open(args.out, "w") as fh:
-            json.dump(results, fh, indent=1)
+        save_results(args.out, results)
     n_ok = sum(1 for r in results.values() if r["stable"])
     print(f"done: {n_ok}/{len(results)} stable")
 

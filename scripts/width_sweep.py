@@ -21,7 +21,6 @@ Usage: python scripts/width_sweep.py [--dir .scale/nulls0.01]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import traceback
@@ -57,14 +56,18 @@ def main() -> None:
 
     from tests.oracle import compare
 
+    from _sweeplib import ensure_fresh_ckpt_dir, load_results, save_results
+
     queries = contract.queries()
     names = sorted(queries)
 
     # phase A checkpoints each canonical result to disk (review finding:
     # holding all 221 frames only in driver memory meant ANY phase-B
     # crash discarded the full phase-A run; the sibling order_sweep.py
-    # checkpoints per query and this now matches)
-    os.makedirs(args.ckpt, exist_ok=True)
+    # checkpoints per query and this now matches). The dir carries an
+    # engine-tree manifest: baselines pickled on an older tree are wiped
+    # rather than compared against new-code phase-B results.
+    ensure_fresh_ckpt_dir(args.ckpt)
 
     def _apath(n: str) -> str:
         return os.path.join(args.ckpt, f"{n}.pkl")
@@ -81,10 +84,10 @@ def main() -> None:
     spark.stop()
 
     spark = _session(37, {"spark.sql.files.maxPartitionBytes": "1m"})
-    out: dict[str, dict] = {}
-    if os.path.exists(args.out) and not args.redo:
-        with open(args.out) as fh:
-            out = json.load(fh)
+    # tree-stamped + registry-pruned (stale results discarded on load)
+    out: dict[str, dict] = {} if args.redo else load_results(
+        args.out, valid_keys=queries
+    )
     for i, name in enumerate(names):
         if name in out and not args.redo:
             continue
@@ -104,8 +107,7 @@ def main() -> None:
             }
         status = "ok" if out[name]["ok"] else "FAIL"
         print(f"B[{i + 1}/{len(names)}] {name}: {status}", flush=True)
-        with open(args.out, "w") as fh:
-            json.dump(out, fh, indent=1)
+        save_results(args.out, out)
     n_ok = sum(1 for r in out.values() if r["ok"])
     print(f"done: {n_ok}/{len(out)} ok")
 

@@ -72,3 +72,44 @@ def test_query_is_execution_config_invariant(spark, name):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side timezone invariance (round 14, VERDICT r13 item 4's DuckDB
+# half): the oracles' calendar math runs on tz-naive TIMESTAMPs, so a
+# DuckDB session whose TimeZone is not UTC must produce identical
+# results. If an oracle ever leaked a timezone-sensitive construct
+# (timestamptz cast, epoch conversion through local time, now()-relative
+# window), a shared-notebook `SET TimeZone` would silently shift its
+# date_trunc/window boundaries away from the engine's UTC-pinned output.
+# ---------------------------------------------------------------------------
+
+_CAL_RE = __import__("re").compile(
+    r"date_trunc|time_bucket|dayofweek|strftime|EXTRACT|INTERVAL|make_date"
+    r"|to_timestamp|epoch",
+    __import__("re").IGNORECASE,
+)
+
+ORACLES = contract.oracle_sql()
+_CAL_ORACLES = sorted(n for n, sql in ORACLES.items() if _CAL_RE.search(sql))
+
+
+@pytest.mark.parametrize("name", _CAL_ORACLES)
+def test_oracle_is_duckdb_timezone_invariant(name):
+    from .oracle import _canon, duckdb_conn
+
+    base = ensure_dirty_dataset()
+    frames = []
+    for tz in (None, "Asia/Tokyo"):
+        con = duckdb_conn(base)
+        try:
+            if tz is not None:
+                con.execute(f"SET TimeZone='{tz}'")
+            frames.append(_canon(con.execute(ORACLES[name]).df()))
+        finally:
+            con.close()
+    a, b = frames
+    assert a.shape == b.shape, f"{name}: shape {a.shape} != {b.shape} under Tokyo tz"
+    assert a.astype(str).values.tolist() == b.astype(str).values.tolist(), (
+        f"{name}: oracle result shifts under SET TimeZone='Asia/Tokyo'"
+    )
