@@ -96,6 +96,51 @@ def save_results(path: str, results: dict) -> None:
         json.dump(out, fh, indent=1)
 
 
+def parity_sweep(data_dir: str, out: str, only=frozenset(), redo: bool = False) -> int:
+    """Full-registry Spark-vs-DuckDB parity run against `data_dir`,
+    checkpointed per query into `out` (tree-stamped, resumable). Shared
+    by nulls_sweep.py and unicode_sweep.py — the loop is identical, only
+    the fixture differs (r13 review: triplicated scaffolds drift).
+    Returns the number of failing queries."""
+    import traceback
+
+    import __spark_entry__ as contract
+    from pyspark.sql import SparkSession
+
+    from tests.oracle import run_compare
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    queries, oracles = contract.queries(), contract.oracle_sql()
+    results: dict[str, dict] = load_results(out, valid_keys=queries)
+    names = [n for n in sorted(queries) if not only or n in only]
+    for i, name in enumerate(names):
+        if name in results and not (only or redo):
+            continue
+        try:
+            problems = run_compare(
+                spark, name, queries[name], oracles.get(name), data_dir
+            )
+            results[name] = {"ok": not problems, "problems": problems}
+        except Exception as e:
+            results[name] = {
+                "ok": False,
+                "error": f"{type(e).__name__}: {str(e)[:400]}",
+                "trace": traceback.format_exc()[-1500:],
+            }
+        status = "ok" if results[name]["ok"] else "FAIL"
+        print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
+        save_results(out, results)
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    print(f"done: {n_ok}/{len(results)} ok")
+    return len(results) - n_ok
+
+
 def ensure_fresh_ckpt_dir(path: str) -> None:
     """Phase-A pickle directories (width_sweep, config_sweep) have the
     same staleness class (round-14 ADVICE, low): a resumed run would

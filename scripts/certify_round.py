@@ -236,6 +236,8 @@ def step_sweeps(report: dict) -> bool:
             continue
         if label in NESTED_SWEEPS:  # nested {outer: {query: {...}}} maps
             for outer, res in data.items():
+                if outer.startswith("_"):  # audit maps (e.g. _membership)
+                    continue
                 n_ok = sum(1 for r in res.values() if r.get("ok"))
                 out[f"{label} [{outer}]"] = f"{n_ok}/{len(res)}"
                 ok = ok and n_ok == len(res)

@@ -357,6 +357,103 @@ def inject_nulls(
         )
 
 
+# Deterministic multibyte snippet pool: one representative per script /
+# pathology class a 100-TB training corpus actually contains. NBSP and
+# the combining mark sit INSIDE words (tokenizer boundary tests); the
+# emoji includes a skin-tone modifier (non-BMP + modifier sequence).
+UNICODE_SNIPPETS = [
+    "漢字テスト",            # CJK ideographs + katakana
+    "données françaises",    # precomposed accented Latin
+    "Ωμέγα σήμα",            # Greek
+    "Привет мир",            # Cyrillic
+    "🔥👍🏽💡",                # emoji, incl. modifier sequence (non-BMP)
+    "e\u0301clair",          # combining acute accent (decomposed)
+    "İstanbul ışık",         # Turkish dotted İ / dotless ı
+    "ＦＵＬＬｗｉｄｔｈ１２３",  # full-width forms and digits
+    "non\u00a0breaking",     # NBSP inside a "word" (ASCII-\\s invisible)
+    "نص عربي",               # RTL Arabic
+    "한국어 텍스트",          # Hangul
+    "ﬁnal ﬂow",              # ligature code points
+]
+
+
+def inject_unicode(base: str, out: str, seed: int = 8814, frac: float = 0.05) -> None:
+    """Copy every driver table from `base` with multibyte text injected
+    into ~frac of every string column's cells (VERDICT r13 missing #5):
+    the dirty tier injects NULL/NaN/'' but never non-ASCII, yet real
+    training corpora are mostly non-ASCII and Spark (JVM UTF8String) and
+    DuckDB (utf8proc) can disagree on case mapping, length, regex and
+    collation semantics for exactly these code points. Four injection
+    modes per hit cell — replace, append, insert-as-word, glue-onto-word
+    (hybrid ASCII+multibyte token, the tokenizer-boundary case).
+    events.props stays VALID JSON (the snippet goes into the value);
+    documents.n_chars is recomputed so the stored stat matches the new
+    text on both engines. Deterministic (fixed seed); schema preserved."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    n_injected_total = 0
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+        new_cols, fields = [], []
+        touched_text = None
+        for field in tbl.schema:
+            arr = tbl.column(field.name).combine_chunks()
+            if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
+                vals = arr.to_pylist()
+                k = max(1, int(n * frac)) if n else 0
+                hits = rng.choice(n, size=k, replace=False) if n else []
+                for i in hits:
+                    snip = UNICODE_SNIPPETS[int(rng.integers(0, len(UNICODE_SNIPPETS)))]
+                    cur = vals[i]
+                    if t == "events" and field.name == "props":
+                        vals[i] = '{"k": "' + snip.replace('"', "") + '"}'
+                    elif cur is None or cur == "":
+                        vals[i] = snip
+                    else:
+                        mode = int(rng.integers(0, 4))
+                        if mode == 0:
+                            vals[i] = snip
+                        elif mode == 1:
+                            vals[i] = cur + " " + snip
+                        elif mode == 2:
+                            ws = cur.split(" ")
+                            pos = int(rng.integers(0, len(ws) + 1))
+                            vals[i] = " ".join(ws[:pos] + [snip] + ws[pos:])
+                        else:  # glue: hybrid token, no space boundary
+                            ws = cur.split(" ")
+                            pos = int(rng.integers(0, len(ws)))
+                            ws[pos] = ws[pos] + snip.split(" ")[0]
+                            vals[i] = " ".join(ws)
+                    n_injected_total += 1
+                arr = pa.array(vals, type=field.type)
+                if t == "documents" and field.name == "text":
+                    touched_text = vals
+            new_cols.append(arr)
+            fields.append(pa.field(field.name, field.type, nullable=True))
+        out_tbl = pa.Table.from_arrays(new_cols, schema=pa.schema(fields))
+        if touched_text is not None and "n_chars" in out_tbl.column_names:
+            idx = out_tbl.column_names.index("n_chars")
+            ref_type = out_tbl.schema.field(idx).type
+            recomputed = pa.array(
+                [None if s is None else len(s) for s in touched_text]
+            ).cast(ref_type)
+            out_tbl = out_tbl.set_column(
+                idx, pa.field("n_chars", ref_type, nullable=True), recomputed
+            )
+        pq.write_table(out_tbl, os.path.join(out, f"{t}.parquet"))
+        print(f"wrote {t}: {n} rows")
+    print(f"injected {n_injected_total} multibyte cells")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {"mode": "unicode", "base": base, "seed": seed, "frac": frac}, f
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="row multiplier vs sf0.1")
