@@ -27,10 +27,18 @@ class Registry:
         if sql is not None:
             # mirror Spark's non-ANSI NaN/Inf->NULL decimal cast in every
             # oracle (DuckDB CAST raises on non-finite doubles; identity
-            # on clean data — see _util.guard_nonfinite_decimal_casts)
-            from .operators._util import guard_nonfinite_decimal_casts
+            # on clean data — see _util.guard_nonfinite_decimal_casts),
+            # and the JVM's FULL Unicode lowercase of U+0130 'İ' (DuckDB
+            # applies the simple mapping — see _util.guard_unicode_lower;
+            # also identity on clean/ASCII data)
+            from .operators._util import (
+                guard_nonfinite_decimal_casts,
+                guard_unicode_lower,
+            )
 
-            self.oracles[name] = guard_nonfinite_decimal_casts(sql)
+            self.oracles[name] = guard_unicode_lower(
+                guard_nonfinite_decimal_casts(sql)
+            )
 
 
 def build_registry() -> Registry:

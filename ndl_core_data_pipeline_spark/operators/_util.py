@@ -196,6 +196,77 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
     return "".join(out)
 
 
+_LOWER_OPEN_RE = re.compile(r"\blower\s*\(", re.IGNORECASE)
+# Java/Python FULL lowercase of U+0130 (LATIN CAPITAL LETTER I WITH DOT
+# ABOVE) is the two-code-point "i" + U+0307 COMBINING DOT ABOVE
+# (SpecialCasing.txt); DuckDB's utf8proc applies the SIMPLE mapping and
+# yields a bare "i", silently dropping the dot.
+_I_DOT_LOWER = "i̇"
+_LOWER_GUARD_SUFFIX = f", 'İ', '{_I_DOT_LOWER}')"
+
+
+def guard_unicode_lower(sql: str) -> str:
+    """Rewrite every `lower(expr)` in a DuckDB oracle to
+    `lower(replace(expr, 'İ', 'i̇'))`.
+
+    The engine's lower() is Spark's UTF8String → JVM full Unicode case
+    mapping, which matches the reference's Python str.lower(); DuckDB's
+    lower() is utf8proc's SIMPLE mapping. The two disagree on exactly one
+    unconditional code point, U+0130 'İ' (full: "i"+combining dot above;
+    simple: bare "i") — every downstream token, md5 fingerprint, simhash
+    and length() then diverges, which is how the round-14 unicode sweep
+    surfaced 13 of its 18 failures. Pre-substituting İ with its full
+    lowercase BEFORE DuckDB's lower() reproduces the JVM/Python result
+    (lower() maps "i"+U+0307 to itself); ASCII and every other pool code
+    point are untouched, so the guard is the identity on clean data.
+    (Context-sensitive full mappings — Greek final sigma — remain
+    unguarded: they require position info replace() cannot express; the
+    unicode fixture deliberately carries no uppercase Σ.)
+
+    Applied centrally at registry build (contract.Registry.add), like
+    guard_nonfinite_decimal_casts. Quote-aware balanced-paren parse,
+    innermost calls first, idempotent (an already-guarded arg is left
+    alone). Runs once per oracle at build time — no caching needed."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        q = sql.find("'", i)
+        m = _LOWER_OPEN_RE.search(sql, i)
+        if q != -1 and (m is None or q < m.start()):
+            k = _skip_quoted(sql, q)
+            out.append(sql[i:k])
+            i = k
+            continue
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        depth, j = 1, m.end()
+        while j < n and depth:
+            c = sql[j]
+            if c == "'":
+                j = _skip_quoted(sql, j)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        inner = guard_unicode_lower(sql[m.end() : j - 1])
+        stripped = inner.strip()
+        if stripped.startswith("replace(") and stripped.endswith(
+            _LOWER_GUARD_SUFFIX
+        ):
+            # already guarded: re-emit with nested calls rewritten
+            out.append(f"{sql[m.start():m.end()]}{inner})")
+        else:
+            out.append(
+                f"lower(replace({inner}, 'İ', '{_I_DOT_LOWER}'))"
+            )
+        i = j
+    return "".join(out)
+
+
 def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent SUM over a double column."""
     return F.sum(col.cast(dec)).cast("double").alias(alias)

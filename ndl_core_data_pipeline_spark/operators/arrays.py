@@ -209,7 +209,9 @@ def map_family(spark, sf_dir):
 
 _MAP_SQL = """
 SELECT event_id,
-       CAST(CASE WHEN json_valid(props)
+       -- TRY_CAST: a valid-JSON STRING value (unicode tier) raises under
+       -- DuckDB CAST where Spark's non-ANSI cast yields NULL
+       TRY_CAST(CASE WHEN json_valid(props)
                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val,
        event_type AS type_val,
        CAST(2 AS BIGINT) AS n_keys,

@@ -74,17 +74,35 @@ def token_count_regex(spark, sf_dir):
     )
 
 
+def _sql_in(pat: str) -> str:
+    """Render a '|'-joined stoplist as a SQL IN list for the oracles."""
+    return ", ".join(f"'{w}'" for w in pat.split("|"))
+
+
+def _stop_count(low_col, pat: str):
+    """Stopword occurrences as TOKEN-EXACT matches over the canonical
+    ASCII-\\s split, not a \\b(...)\\b regex: Java's \\b is Unicode-aware
+    (é/漢 count as word chars) while RE2's is ASCII, so the regex form
+    diverges between the engine and the DuckDB oracle on any multibyte
+    neighbor — 'es' inside 'données' is a boundary match for RE2 but not
+    for the JVM (round-14 unicode sweep). Token counting is identical on
+    clean data (pure [a-z0-9 ] text) and consistent on both engines for
+    any input, because both split on ASCII \\s+."""
+    stops = pat.split("|")
+    return F.size(
+        F.filter(F.split(low_col, r"\s+"), lambda w: w.isin(stops))
+    ).cast("bigint")
+
+
 def langid_heuristic(spark, sf_dir):
     """X6 deterministic tier: stopword-profile language ID (langdetect tier is
     a pandas UDF; ref: assets/processing/assets.py:318-327). Ties resolve by
     fixed priority en>de>es>fr, mirroring the reference's 'en' fallback."""
     docs = load(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
-
-    def hits(pat):
-        return F.regexp_count(low, F.lit(rf"\b({pat})\b")).cast("bigint")
-
-    n_en, n_de, n_es, n_fr = hits(EN_STOP), hits(DE_STOP), hits(ES_STOP), hits(FR_STOP)
+    n_en, n_de, n_es, n_fr = (
+        _stop_count(low, p) for p in (EN_STOP, DE_STOP, ES_STOP, FR_STOP)
+    )
     guess = (
         F.when(n_en >= F.greatest(n_de, n_es, n_fr), "en")
         .when(n_de >= F.greatest(n_es, n_fr), "de")
@@ -109,7 +127,7 @@ def quality_score(spark, sf_dir):
     n_words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
     n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
-    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b({EN_STOP})\b")).cast("bigint")
+    n_stop = _stop_count(F.lower(F.col("text")), EN_STOP)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     digit_ratio = F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
@@ -630,11 +648,13 @@ SELECT doc_id, n_en, n_de, n_es, n_fr,
        WHEN n_es >= n_fr THEN 'es'
        ELSE 'fr' END AS lang_guess
 FROM (
+  -- token-exact stopword counts (not \b regex): Java \b is
+  -- Unicode-aware, RE2 \b is ASCII — see _stop_count
   SELECT doc_id,
-    CAST(len(regexp_extract_all(lower(text), '\b({EN_STOP})\b')) AS INT) AS n_en,
-    CAST(len(regexp_extract_all(lower(text), '\b({DE_STOP})\b')) AS INT) AS n_de,
-    CAST(len(regexp_extract_all(lower(text), '\b({ES_STOP})\b')) AS INT) AS n_es,
-    CAST(len(regexp_extract_all(lower(text), '\b({FR_STOP})\b')) AS INT) AS n_fr
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ({_sql_in(EN_STOP)}))) AS INT) AS n_en,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ({_sql_in(DE_STOP)}))) AS INT) AS n_de,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ({_sql_in(ES_STOP)}))) AS INT) AS n_es,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ({_sql_in(FR_STOP)}))) AS INT) AS n_fr
   FROM documents) t
 """,
     )
@@ -657,7 +677,7 @@ FROM (
     len(regexp_extract_all(text, '\S+')) AS n_words,
     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-    CAST(len(regexp_extract_all(lower(text), '\b({EN_STOP})\b')) AS INT) AS n_stop
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ({_sql_in(EN_STOP)}))) AS INT) AS n_stop
   FROM documents) t
 """,
     )
@@ -724,8 +744,11 @@ FROM events""",
         "func_json_extract",
         json_extract,
         # json_valid guard: DuckDB json_extract_string RAISES on malformed
-        # input (e.g. '') where Spark's get_json_object yields NULL
-        "SELECT event_id, CAST(CASE WHEN json_valid(props) THEN "
+        # input (e.g. '') where Spark's get_json_object yields NULL.
+        # TRY_CAST: a valid-JSON STRING value (unicode tier injects
+        # {"k": "漢字"}) raises under DuckDB CAST where Spark's non-ANSI
+        # cast yields NULL; identity on clean integer values.
+        "SELECT event_id, TRY_CAST(CASE WHEN json_valid(props) THEN "
         "json_extract_string(props, '$.k') END AS BIGINT) AS k_value FROM events",
     )
     reg.add(
@@ -956,8 +979,14 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         "CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS BIGINT) AS days_to_eoy "
         "FROM orders",
     )
+    # replace-after-upper: the JVM's FULL uppercase expands the ligature
+    # code points ﬁ/ﬂ to FI/FL (unicode tier) while DuckDB's simple
+    # mapping leaves them unchanged — post-substituting the SURVIVING
+    # ligatures reproduces the engine; no other pool code point differs
+    # under upper() and ASCII is untouched (identity on clean data)
     dirty_sql = (
-        "'HTTPS://' || upper(source) || '.Example.COM:443//docs//' || "
+        "'HTTPS://' || replace(replace(upper(source), 'ﬁ', 'FI'), 'ﬂ', 'FL')"
+        " || '.Example.COM:443//docs//' || "
         "CAST(doc_id AS VARCHAR) || '/?utm_source=feed&utm_campaign=x&id=' || "
         "CAST(doc_id AS VARCHAR) || '&fbclid=abc'"
     )
@@ -979,10 +1008,14 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
     reg.add(
         "func_string_family",
         string_function_family,
-        # DuckDB lacks initcap — emulated per word (upper head + lower tail)
+        # DuckDB lacks initcap — emulated per word (upper head + lower
+        # tail). The head substitutions mirror the JVM's TITLE-case of a
+        # leading ligature (ﬁ→Fi, ﬂ→Fl, SpecialCasing.txt) which
+        # DuckDB's simple upper() leaves unchanged; identity on ASCII.
         "SELECT p_partkey, "
         "array_to_string(list_transform(string_split(p_name, ' '), "
-        "w -> upper(w[1]) || lower(w[2:])), ' ') AS title_name, "
+        "w -> replace(replace(upper(w[1]), 'ﬁ', 'Fi'), 'ﬂ', 'Fl') "
+        "|| lower(w[2:])), ' ') AS title_name, "
         "lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key, "
         "translate(p_name, 'aeiou', '') AS consonants, "
         "CAST(levenshtein(p_name, translate(p_name, 'aeiou', '')) AS BIGINT) "
@@ -994,9 +1027,11 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         "func_variant_json",
         variant_json_extract,
         # json_valid guards: DuckDB json_extract_string RAISES on
-        # malformed input where Spark's try_parse_json null-safes it
+        # malformed input where Spark's try_parse_json null-safes it.
+        # TRY_CAST: string-valued k (unicode tier) raises under CAST
+        # where Spark's non-ANSI cast yields NULL; identity on clean ints.
         "SELECT event_id, "
-        "CAST(CASE WHEN json_valid(props) THEN "
+        "TRY_CAST(CASE WHEN json_valid(props) THEN "
         "json_extract_string(props, '$.k') END AS BIGINT) AS k_value, "
         "CASE WHEN json_valid(props) THEN "
         "json_extract_string(props, '$.tag') END AS tag_value, "

@@ -96,18 +96,45 @@ def save_results(path: str, results: dict) -> None:
         json.dump(out, fh, indent=1)
 
 
-def parity_sweep(data_dir: str, out: str, only=frozenset(), redo: bool = False) -> int:
+def _drop_non_ascii_rows(df):
+    """Rows whose string cells are all-ASCII (NULLs kept). Used by the
+    ascii_subset fallback for oracle-inexpressible queries."""
+
+    def _bad(v):
+        return isinstance(v, str) and not v.isascii()
+
+    mask = df.apply(lambda row: any(_bad(v) for v in row), axis=1)
+    return df[~mask], int(mask.sum())
+
+
+def parity_sweep(
+    data_dir: str,
+    out: str,
+    only=frozenset(),
+    redo: bool = False,
+    ascii_subset: dict | None = None,
+) -> int:
     """Full-registry Spark-vs-DuckDB parity run against `data_dir`,
     checkpointed per query into `out` (tree-stamped, resumable). Shared
     by nulls_sweep.py and unicode_sweep.py — the loop is identical, only
     the fixture differs (r13 review: triplicated scaffolds drift).
-    Returns the number of failing queries."""
+
+    ``ascii_subset`` maps query names to a REASON string for queries
+    whose full result is oracle-inexpressible on multibyte input (e.g.
+    DuckDB 1.x levenshtein is byte-based where the engine's is
+    code-point). For those, both result sets are compared after dropping
+    rows containing any non-ASCII string cell; the entry records the
+    weaker check and the dropped-row counts so certification shows the
+    exemption rather than a silent pass. Returns the number of failing
+    queries."""
     import traceback
 
     import __spark_entry__ as contract
     from pyspark.sql import SparkSession
 
-    from tests.oracle import run_compare
+    from tests.oracle import compare, duckdb_conn, run_compare
+
+    ascii_subset = ascii_subset or {}
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -123,10 +150,27 @@ def parity_sweep(data_dir: str, out: str, only=frozenset(), redo: bool = False) 
         if name in results and not (only or redo):
             continue
         try:
-            problems = run_compare(
-                spark, name, queries[name], oracles.get(name), data_dir
-            )
-            results[name] = {"ok": not problems, "problems": problems}
+            if name in ascii_subset:
+                a = queries[name](spark, data_dir).toPandas()
+                con = duckdb_conn(data_dir)
+                try:
+                    b = con.execute(oracles[name]).df()
+                finally:
+                    con.close()
+                a2, na = _drop_non_ascii_rows(a)
+                b2, nb = _drop_non_ascii_rows(b)
+                problems = compare(a2, b2)
+                results[name] = {
+                    "ok": not problems,
+                    "problems": problems,
+                    "ascii_subset_only": ascii_subset[name],
+                    "dropped_rows": {"spark": na, "oracle": nb},
+                }
+            else:
+                problems = run_compare(
+                    spark, name, queries[name], oracles.get(name), data_dir
+                )
+                results[name] = {"ok": not problems, "problems": problems}
         except Exception as e:
             results[name] = {
                 "ok": False,

@@ -29,6 +29,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Queries whose FULL multibyte result is oracle-inexpressible: compared
+# on the all-ASCII row subset instead, with the reason and dropped-row
+# counts recorded in the checkpoint (parity_sweep ascii_subset).
+ASCII_SUBSET_EXEMPT = {
+    "join_fuzzy_name_pairs": (
+        "DuckDB 1.x levenshtein/damerau/editdist3 are all BYTE-based "
+        "(probed: levenshtein('ab','aنb')=2); the engine's "
+        "F.levenshtein is code-point-based, matching the reference's "
+        "Python semantics. No stock-DuckDB expression reproduces "
+        "code-point edit distance, so multibyte-name pairs are "
+        "uncheckable; ASCII-name pairs (the clean driver data) remain "
+        "fully checked."
+    ),
+}
+
+
 def ensure_unicode_dataset(base: str, out: str) -> None:
     """Build the fixture if missing or if its manifest no longer matches
     the injection parameters (empty_sweep's manifest pattern)."""
@@ -58,7 +74,10 @@ def main() -> None:
     from _sweeplib import parity_sweep
 
     only = frozenset(n for n in args.only.split(",") if n)
-    n_bad = parity_sweep(args.dir, args.out, only=only, redo=args.redo)
+    n_bad = parity_sweep(
+        args.dir, args.out, only=only, redo=args.redo,
+        ascii_subset=ASCII_SUBSET_EXEMPT,
+    )
     sys.exit(1 if n_bad else 0)
 
 

@@ -202,3 +202,37 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     assert not offenders, (
         f"oracles not fixpoints of the NaN-decimal guard: {sorted(offenders)}"
     )
+
+
+def test_unicode_lower_guard_rewrites_all_lower_sites():
+    """Every oracle lower(x) must reach DuckDB as
+    lower(replace(x, 'İ', 'i̇')) (registry-time rewrite in
+    contract.Registry.add): the JVM applies the FULL Unicode lowercase
+    of U+0130 (two code points) where utf8proc applies the simple one
+    (bare 'i'), so every token/md5/simhash derived from lower() diverged
+    on the round-14 unicode fixture. Pins the transform: idempotent,
+    literal-skipping, nested-call-aware, and a registry-wide fixpoint."""
+    from ndl_core_data_pipeline_spark.operators._util import (
+        guard_unicode_lower as g,
+    )
+
+    assert g("lower(text)") == "lower(replace(text, 'İ', 'i̇'))"
+    out = g("lower(trim(text))")
+    assert out == "lower(replace(trim(text), 'İ', 'i̇'))"
+    assert g(out) == out  # idempotent
+    # nested lower() calls each get their own guard
+    nested = g("lower(concat(lower(a), b))")
+    assert nested.count("replace(") == 2 and g(nested) == nested
+    # 'lower(' inside a string literal is text, not a call site
+    assert g("SELECT 'lower(' AS label") == "SELECT 'lower(' AS label"
+    # ')' inside a literal must not close the call early
+    paren = g("lower(replace(x, ')', ''))")
+    assert paren.count("'İ'") == 1 and g(paren) == paren
+    # word boundary: flower( is not lower(
+    assert g("flower(x)") == "flower(x)"
+
+    # registry-wide fixpoint (Registry.add must keep applying it)
+    offenders = {name for name, sql in ORACLES.items() if g(sql) != sql}
+    assert not offenders, (
+        f"oracles not fixpoints of the unicode-lower guard: {sorted(offenders)}"
+    )
