@@ -74,20 +74,34 @@ _NUM_LIT_RE = re.compile(r"^\s*-?\d+(\.\d+)?\s*$")
 
 
 def _skip_quoted(s: str, j: int) -> int:
-    """`j` points at an opening single quote; return the index just past the
-    closing quote. `''` inside a literal is SQL's escaped quote. An
-    unterminated literal consumes the rest of the string (malformed SQL —
-    DuckDB will reject it loudly anyway)."""
+    """`j` points at an opening quote — single (string literal) OR double
+    (quoted identifier; review finding: a double-quoted identifier
+    containing 'lower(', a quote, or a stray paren would desync the
+    scanners) — return the index just past the closing quote. A doubled
+    quote inside is SQL's escape. An unterminated literal consumes the
+    rest of the string (malformed SQL — DuckDB will reject it loudly
+    anyway)."""
+    q = s[j]
     n = len(s)
     j += 1
     while j < n:
-        if s[j] == "'":
-            if j + 1 < n and s[j + 1] == "'":
+        if s[j] == q:
+            if j + 1 < n and s[j + 1] == q:
                 j += 2
                 continue
             return j + 1
         j += 1
     return n
+
+
+def _find_quote(s: str, i: int) -> int:
+    """Index of the nearest single OR double quote at/after i, else -1."""
+    q1, q2 = s.find("'", i), s.find('"', i)
+    if q1 == -1:
+        return q2
+    if q2 == -1:
+        return q1
+    return min(q1, q2)
 
 
 def _split_last_top_level_as(inner: str) -> int:
@@ -98,7 +112,7 @@ def _split_last_top_level_as(inner: str) -> int:
     depth, pos, j, n = 0, -1, 0, len(inner)
     while j < n:
         c = inner[j]
-        if c == "'":
+        if c in "'\"":
             j = _skip_quoted(inner, j)
             continue
         if c == "(":
@@ -144,7 +158,7 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
         # literal is text, not structure (ADVICE r11: the quote-blind
         # scanner let CAST(regexp_replace(x, '(', '') AS DECIMAL(25,6))
         # silently escape the guard by miscounting depth)
-        q = sql.find("'", i)
+        q = _find_quote(sql, i)
         # reuse the cached CAST( search while it still covers the scan
         # position — re-searching from scratch after every skipped
         # quoted literal made literal-dense SQL O(n*m) (ADVICE r12). A
@@ -167,7 +181,7 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
         depth, j = 1, m.end()
         while j < n and depth:
             c = sql[j]
-            if c == "'":
+            if c in "'\"":
                 j = _skip_quoted(sql, j)
                 continue
             if c == "(":
@@ -230,7 +244,7 @@ def guard_unicode_lower(sql: str) -> str:
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
-        q = sql.find("'", i)
+        q = _find_quote(sql, i)
         m = _LOWER_OPEN_RE.search(sql, i)
         if q != -1 and (m is None or q < m.start()):
             k = _skip_quoted(sql, q)
@@ -244,7 +258,7 @@ def guard_unicode_lower(sql: str) -> str:
         depth, j = 1, m.end()
         while j < n and depth:
             c = sql[j]
-            if c == "'":
+            if c in "'\"":
                 j = _skip_quoted(sql, j)
                 continue
             if c == "(":

@@ -87,7 +87,10 @@ def _stop_count(low_col, pat: str):
     neighbor — 'es' inside 'données' is a boundary match for RE2 but not
     for the JVM (round-14 unicode sweep). Token counting is identical on
     clean data (pure [a-z0-9 ] text) and consistent on both engines for
-    any input, because both split on ASCII \\s+."""
+    the fixtures' whitespace repertoire. (Known residual gap, shared
+    with every \\s-splitting oracle: Java's \\s includes vertical tab
+    U+000B, RE2's does not — a VT-bearing corpus would need the split
+    class spelled explicitly on both sides. No fixture injects VT.)"""
     stops = pat.split("|")
     return F.size(
         F.filter(F.split(low_col, r"\s+"), lambda w: w.isin(stops))

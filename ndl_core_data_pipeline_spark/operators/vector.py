@@ -143,7 +143,14 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     """
     from pyspark.sql.types import ArrayType
 
-    field = next((f for f in df.schema.fields if f.name == vec_col), None)
+    # case-insensitive match (exact name wins): Spark column resolution
+    # is case-insensitive under the default spark.sql.caseSensitive=false,
+    # so a caller passing 'Embedding' worked before this assert existed
+    # and must keep working (review finding)
+    matches = [f for f in df.schema.fields if f.name.lower() == vec_col.lower()]
+    field = next((f for f in matches if f.name == vec_col), None) or (
+        matches[0] if matches else None
+    )
     if field is None:
         raise TypeError(
             f"embedding_dim: column {vec_col!r} not in schema "

@@ -10,8 +10,9 @@ manifest-staleness fixture rebuild), and certify_round.step_sweeps
 independently refuses to count a mismatched checkpoint as evidence.
 
 The hash covers exactly what determines sweep outcomes: the engine
-package, the driver contract (registry + oracle text), and the
-comparator — NOT the whole repo, so COVERAGE/docs/tooling commits
+package, the driver contract (registry + oracle text), the comparator,
+the fixture generators, and the sweep runners themselves — NOT
+read-only reporting (certify_round, bench) or docs, so those commits
 don't invalidate hours of completed sweep work.
 """
 
@@ -30,6 +31,24 @@ _HASH_INPUTS = (
     "ndl_core_data_pipeline_spark/**/*.py",
     "__spark_entry__.py",
     "tests/oracle.py",
+    # sweep-outcome-determining tooling (review finding: the docstring
+    # claimed the hash covered "exactly what determines sweep outcomes"
+    # while fixture generators and the sweep-side comparator were
+    # outside it — an inject_unicode/snippet edit would have left old
+    # fixtures AND old checkpoints counting as live evidence).
+    # certify_round.py and bench tooling only READ results, so they are
+    # deliberately excluded: a reporting edit must not invalidate hours
+    # of completed sweep work.
+    "scripts/_sweeplib.py",
+    "scripts/gen_scale.py",
+    "scripts/nulls_sweep.py",
+    "scripts/order_sweep.py",
+    "scripts/width_sweep.py",
+    "scripts/config_sweep.py",
+    "scripts/empty_sweep.py",
+    "scripts/asym_empty_sweep.py",
+    "scripts/unicode_sweep.py",
+    "scripts/oracle_stability_sweep.py",
 )
 
 
@@ -99,6 +118,12 @@ def save_results(path: str, results: dict) -> None:
 def _drop_non_ascii_rows(df):
     """Rows whose string cells are all-ASCII (NULLs kept). Used by the
     ascii_subset fallback for oracle-inexpressible queries."""
+
+    if df.empty:
+        # df.apply on a 0-row frame would collapse it to 0 COLUMNS,
+        # turning an agreeing empty result into a spurious
+        # column-mismatch verdict (review finding)
+        return df, 0
 
     def _bad(v):
         return isinstance(v, str) and not v.isascii()
@@ -198,10 +223,16 @@ def ensure_fresh_ckpt_dir(path: str) -> None:
         with open(manifest) as fh:
             if json.load(fh).get("tree") == current:
                 return
-        stale = glob.glob(os.path.join(path, "*.pkl"))
+    # a mismatched OR MISSING manifest means the pickles' provenance is
+    # unknown/stale — wipe them (review finding: the missing-manifest
+    # case, i.e. every pre-round-14 checkpoint dir, previously kept old
+    # pickles and stamped them as current: the exact stale-evidence
+    # class this module exists to close)
+    stale = glob.glob(os.path.join(path, "*.pkl"))
+    if stale:
         print(
             f"INVALIDATING {len(stale)} phase-A baselines in {path}: "
-            "manifest tree stamp != current engine tree",
+            "manifest tree stamp missing or != current engine tree",
             flush=True,
         )
         for p in stale:

@@ -248,6 +248,14 @@ def step_sweeps(report: dict) -> bool:
         else:
             n_ok = sum(1 for r in data.values() if r.get("ok"))
             out[label] = f"{n_ok}/{len(data)}"
+            # a weakened (ascii-subset-only) pass must be VISIBLE in
+            # certification, not folded into the plain ok count
+            # (review finding)
+            subset = sorted(
+                n for n, r in data.items() if r.get("ascii_subset_only")
+            )
+            if subset:
+                out[label] += f" (ascii-subset-only: {subset})"
             ok = ok and n_ok == len(data)
     report["sweeps"] = out
     return ok

@@ -253,3 +253,13 @@ def test_output_bound_plans_emit_row_counters(spark, sf_small):
     n_cand = obs_m.get["n_candidate_pairs"]
     # every surviving scored pair came from >= 1 candidate collision
     assert n_cand >= n_pairs and n_cand > 0
+
+
+def test_embedding_dim_column_lookup_is_case_insensitive(spark):
+    # Spark resolves columns case-insensitively by default; the schema
+    # assert must not be stricter than the engine it guards
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "doc_id long, Embedding array<float>"
+    )
+    assert embedding_dim(df, "embedding") == 2
+    assert embedding_dim(df, "EMBEDDING") == 2

@@ -230,6 +230,11 @@ def test_unicode_lower_guard_rewrites_all_lower_sites():
     assert paren.count("'İ'") == 1 and g(paren) == paren
     # word boundary: flower( is not lower(
     assert g("flower(x)") == "flower(x)"
+    # double-quoted identifiers are opaque text, not call sites (review
+    # finding: the quote-pair-blind scanner mangled them into garbage)
+    assert g('SELECT "lower(x" FROM t') == 'SELECT "lower(x" FROM t'
+    dq = g('lower("weird)col")')
+    assert dq == 'lower(replace("weird)col", \'İ\', \'i̇\'))' and g(dq) == dq
 
     # registry-wide fixpoint (Registry.add must keep applying it)
     offenders = {name for name, sql in ORACLES.items() if g(sql) != sql}
