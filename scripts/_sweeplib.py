@@ -49,6 +49,7 @@ _HASH_INPUTS = (
     "scripts/asym_empty_sweep.py",
     "scripts/unicode_sweep.py",
     "scripts/oracle_stability_sweep.py",
+    "scripts/forced_distributed_sweep.py",
 )
 
 

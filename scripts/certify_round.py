@@ -59,6 +59,7 @@ SWEEP_FILES = {
     "asymmetric-empty totality": ".scale/asym_empty_sweep.json",
     "unicode text parity": ".scale/unicode_sweep.json",
     "oracle stability": ".scale/oracle_stability.json",
+    "forced-distributed oracle parity": ".scale/forced_distributed_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes
