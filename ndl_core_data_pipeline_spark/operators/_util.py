@@ -94,14 +94,53 @@ def _skip_quoted(s: str, j: int) -> int:
     return n
 
 
-def _find_quote(s: str, i: int) -> int:
-    """Index of the nearest single OR double quote at/after i, else -1."""
-    q1, q2 = s.find("'", i), s.find('"', i)
-    if q1 == -1:
-        return q2
-    if q2 == -1:
-        return q1
-    return min(q1, q2)
+def _skip_region(s: str, j: int) -> int:
+    """`j` points at the start of a skippable region — a quote, a `--`
+    line comment, or a `/*` block comment — return the index just past
+    its end. Comments join quotes here because an apostrophe INSIDE a
+    comment (e.g. "-- Spark's convention") would otherwise open a
+    phantom string literal that swallows following SQL, silently hiding
+    any lower()/DECIMAL-cast site inside the swallowed span from the
+    guards (round-14 ADVICE, medium). Block comments don't nest in SQL.
+    An unterminated region consumes the rest of the string."""
+    if s[j] in "'\"":
+        return _skip_quoted(s, j)
+    if s.startswith("--", j):
+        e = s.find("\n", j)
+        return len(s) if e == -1 else e + 1
+    e = s.find("*/", j + 2)
+    return len(s) if e == -1 else e + 2
+
+
+def _find_skip(s: str, i: int) -> int:
+    """Index of the nearest skippable-region start (single/double quote,
+    `--`, or `/*`) at/after i, else -1."""
+    best = -1
+    for tok in ("'", '"', "--", "/*"):
+        p = s.find(tok, i)
+        if p != -1 and (best == -1 or p < best):
+            best = p
+    return best
+
+
+def _at_skip_start(s: str, j: int) -> bool:
+    """True when position j opens a skippable region (quote or comment)."""
+    return s[j] in "'\"" or s.startswith("--", j) or s.startswith("/*", j)
+
+
+def _has_comment(s: str) -> bool:
+    """True when s contains a SQL comment outside quoted regions. The
+    guards' rewrites inline an expression into a longer single line; an
+    expression ending in a `--` comment would swallow the generated tail
+    (`) THEN ...`), so such expressions get a terminating newline."""
+    i = 0
+    while True:
+        p = _find_skip(s, i)
+        if p == -1:
+            return False
+        if s[p] not in "'\"":
+            return True
+        i = _skip_quoted(s, p)
 
 
 def _split_last_top_level_as(inner: str) -> int:
@@ -112,8 +151,8 @@ def _split_last_top_level_as(inner: str) -> int:
     depth, pos, j, n = 0, -1, 0, len(inner)
     while j < n:
         c = inner[j]
-        if c in "'\"":
-            j = _skip_quoted(inner, j)
+        if _at_skip_start(inner, j):
+            j = _skip_region(inner, j)
             continue
         if c == "(":
             depth += 1
@@ -154,11 +193,13 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
     m = None
     searched_from = -1  # position the cached result (incl. None) covers
     while i < n:
-        # quote-aware scan: a CAST( or paren inside a single-quoted SQL
-        # literal is text, not structure (ADVICE r11: the quote-blind
-        # scanner let CAST(regexp_replace(x, '(', '') AS DECIMAL(25,6))
-        # silently escape the guard by miscounting depth)
-        q = _find_quote(sql, i)
+        # quote/comment-aware scan: a CAST( or paren inside a quoted SQL
+        # literal or a comment is text, not structure (ADVICE r11: the
+        # quote-blind scanner let CAST(regexp_replace(x, '(', '') AS
+        # DECIMAL(25,6)) silently escape the guard by miscounting depth;
+        # ADVICE r14: an apostrophe inside a -- comment opened a phantom
+        # literal that swallowed following SQL)
+        q = _find_skip(sql, i)
         # reuse the cached CAST( search while it still covers the scan
         # position — re-searching from scratch after every skipped
         # quoted literal made literal-dense SQL O(n*m) (ADVICE r12). A
@@ -170,7 +211,7 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
             m = _CAST_OPEN_RE.search(sql, i)
             searched_from = i
         if q != -1 and (m is None or q < m.start()):
-            k = _skip_quoted(sql, q)
+            k = _skip_region(sql, q)
             out.append(sql[i:k])
             i = k
             continue
@@ -181,8 +222,8 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
         depth, j = 1, m.end()
         while j < n and depth:
             c = sql[j]
-            if c in "'\"":
-                j = _skip_quoted(sql, j)
+            if _at_skip_start(sql, j):
+                j = _skip_region(sql, j)
                 continue
             if c == "(":
                 depth += 1
@@ -199,8 +240,13 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                 and not _NUM_LIT_RE.match(expr)
                 and not expr.upper().startswith("CASE WHEN ISFINITE(")
             ):
+                # an expr containing a -- comment needs its line
+                # terminated before the inlined tail, else the comment
+                # swallows `) THEN ...`
+                nl = "\n" if _has_comment(expr) else ""
                 out.append(
-                    f"CAST(CASE WHEN isfinite({expr}) THEN {expr} END AS {typ})"
+                    f"CAST(CASE WHEN isfinite({expr}{nl}) "
+                    f"THEN {expr}{nl} END AS {typ})"
                 )
                 wrapped = True
         if not wrapped:
@@ -244,10 +290,10 @@ def guard_unicode_lower(sql: str) -> str:
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
-        q = _find_quote(sql, i)
+        q = _find_skip(sql, i)
         m = _LOWER_OPEN_RE.search(sql, i)
         if q != -1 and (m is None or q < m.start()):
-            k = _skip_quoted(sql, q)
+            k = _skip_region(sql, q)
             out.append(sql[i:k])
             i = k
             continue
@@ -258,8 +304,8 @@ def guard_unicode_lower(sql: str) -> str:
         depth, j = 1, m.end()
         while j < n and depth:
             c = sql[j]
-            if c in "'\"":
-                j = _skip_quoted(sql, j)
+            if _at_skip_start(sql, j):
+                j = _skip_region(sql, j)
                 continue
             if c == "(":
                 depth += 1
@@ -274,8 +320,9 @@ def guard_unicode_lower(sql: str) -> str:
             # already guarded: re-emit with nested calls rewritten
             out.append(f"{sql[m.start():m.end()]}{inner})")
         else:
+            nl = "\n" if _has_comment(inner) else ""
             out.append(
-                f"lower(replace({inner}, 'İ', '{_I_DOT_LOWER}'))"
+                f"lower(replace({inner}{nl}, 'İ', '{_I_DOT_LOWER}'))"
             )
         i = j
     return "".join(out)
@@ -289,6 +336,22 @@ def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
 def davg(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent AVG: exact decimal sum / count, divided as doubles."""
     return (F.sum(col.cast(dec)).cast("double") / F.count(col)).alias(alias)
+
+
+def sql_str_to_bigint(expr: str) -> str:
+    """DuckDB SQL mirroring Spark's non-ANSI string→BIGINT cast, which
+    TRUNCATES fractional strings toward zero ('3.5'→3, '-3.5'→-3) where
+    DuckDB's TRY_CAST rounds ('3.5'→4, probed on DuckDB 1.x). Integer
+    strings keep the exact direct cast — a via-DOUBLE path would lose
+    integer precision past 2^53 — and everything else goes through
+    trunc(DOUBLE), yielding NULL on non-numeric input exactly like
+    Spark's cast (r14 ADVICE: the old bare TRY_CAST(... AS BIGINT) was
+    only the identity because no fixture wrote fractional strings)."""
+    return (
+        f"CASE WHEN regexp_matches(trim({expr}), '^[+-]?\\d+$') "
+        f"THEN TRY_CAST({expr} AS BIGINT) "
+        f"ELSE TRY_CAST(trunc(TRY_CAST({expr} AS DOUBLE)) AS BIGINT) END"
+    )
 
 
 def sql_dsum(expr: str, dec: str = "DECIMAL(25,6)") -> str:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import davg, rebalance_narrow_scan
+from ._util import davg, rebalance_narrow_scan, sql_str_to_bigint
 
 # reference license map (assets/processing/assets.py:299-315): lowercase
 # lookup with default "OGL-UK-3.0"
@@ -748,11 +748,17 @@ FROM events""",
         json_extract,
         # json_valid guard: DuckDB json_extract_string RAISES on malformed
         # input (e.g. '') where Spark's get_json_object yields NULL.
-        # TRY_CAST: a valid-JSON STRING value (unicode tier injects
-        # {"k": "漢字"}) raises under DuckDB CAST where Spark's non-ANSI
-        # cast yields NULL; identity on clean integer values.
-        "SELECT event_id, TRY_CAST(CASE WHEN json_valid(props) THEN "
-        "json_extract_string(props, '$.k') END AS BIGINT) AS k_value FROM events",
+        # sql_str_to_bigint: a valid-JSON STRING value (unicode tier
+        # injects {"k": "漢字"}) raises under DuckDB CAST where Spark's
+        # non-ANSI cast yields NULL, and DuckDB TRY_CAST ROUNDS
+        # fractional strings where Spark truncates; identity on clean
+        # integer values.
+        "SELECT event_id, "
+        + sql_str_to_bigint(
+            "CASE WHEN json_valid(props) THEN "
+            "json_extract_string(props, '$.k') END"
+        )
+        + " AS k_value FROM events",
     )
     reg.add(
         "func_numeric_clean",
@@ -1031,11 +1037,16 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         variant_json_extract,
         # json_valid guards: DuckDB json_extract_string RAISES on
         # malformed input where Spark's try_parse_json null-safes it.
-        # TRY_CAST: string-valued k (unicode tier) raises under CAST
-        # where Spark's non-ANSI cast yields NULL; identity on clean ints.
+        # sql_str_to_bigint: string-valued k (unicode tier) raises under
+        # CAST where Spark's non-ANSI cast yields NULL, and DuckDB
+        # TRY_CAST rounds fractional strings where Spark truncates;
+        # identity on clean ints.
         "SELECT event_id, "
-        "TRY_CAST(CASE WHEN json_valid(props) THEN "
-        "json_extract_string(props, '$.k') END AS BIGINT) AS k_value, "
+        + sql_str_to_bigint(
+            "CASE WHEN json_valid(props) THEN "
+            "json_extract_string(props, '$.k') END"
+        )
+        + " AS k_value, "
         "CASE WHEN json_valid(props) THEN "
         "json_extract_string(props, '$.tag') END AS tag_value, "
         "(props IS NULL OR NOT json_valid(props)) AS malformed "

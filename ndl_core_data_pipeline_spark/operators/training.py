@@ -440,9 +440,14 @@ def mix_source_weights(spark, sf_dir):
 
 
 def _sql_mix() -> str:
-    return """WITH c AS (
+    from ._util import sql_str_to_bigint
+
+    # sql_str_to_bigint mirrors Spark's truncating string→BIGINT cast
+    # (DuckDB TRY_CAST would round a fractional suffix; identity on the
+    # clean all-integer source suffixes)
+    return f"""WITH c AS (
   SELECT source, COUNT(*) AS n_docs,
-         TRY_CAST(substring(source, 4) AS BIGINT) + 1 AS target_w
+         {sql_str_to_bigint("substring(source, 4)")} + 1 AS target_w
   FROM documents GROUP BY 1
 )
 SELECT source, n_docs, target_w,

@@ -148,9 +148,17 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     # so a caller passing 'Embedding' worked before this assert existed
     # and must keep working (review finding)
     matches = [f for f in df.schema.fields if f.name.lower() == vec_col.lower()]
-    field = next((f for f in matches if f.name == vec_col), None) or (
-        matches[0] if matches else None
-    )
+    field = next((f for f in matches if f.name == vec_col), None)
+    if field is None and len(matches) > 1:
+        # fail loud here instead of validating an arbitrary pick and
+        # letting Spark's later AMBIGUOUS_REFERENCE surface far from the
+        # cause (r14 ADVICE) — same plan-side contract as the other raises
+        raise TypeError(
+            f"embedding_dim: column {vec_col!r} is ambiguous — "
+            f"candidates differing only by case: {[f.name for f in matches]}"
+        )
+    if field is None:
+        field = matches[0] if matches else None
     if field is None:
         raise TypeError(
             f"embedding_dim: column {vec_col!r} not in schema "

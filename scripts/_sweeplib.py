@@ -186,6 +186,16 @@ def parity_sweep(
                 a2, na = _drop_non_ascii_rows(a)
                 b2, nb = _drop_non_ascii_rows(b)
                 problems = compare(a2, b2)
+                # equal dropped-row counts is a free invariant the
+                # subset check still owes: a divergence confined to
+                # multibyte rows (engine emits pairs the oracle omits,
+                # or vice versa) drops DIFFERENT counts per side yet
+                # compares equal on the ascii remainder (r14 ADVICE)
+                if na != nb:
+                    problems = problems + [
+                        f"multibyte-row count mismatch: spark dropped "
+                        f"{na}, oracle dropped {nb}"
+                    ]
                 results[name] = {
                     "ok": not problems,
                     "problems": problems,

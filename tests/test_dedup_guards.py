@@ -136,6 +136,20 @@ def test_embedding_dim_rejects_wrong_column(spark):
         embedding_dim(df, "embeding")  # typo'd name
     with pytest.raises(TypeError, match="expected array"):
         embedding_dim(df, "text")  # exists but not an array
+    # several columns differing only by case and no exact match must
+    # raise NAMING the candidates, not validate an arbitrary pick and
+    # let Spark's later AMBIGUOUS_REFERENCE surface far from the cause
+    # (r14 ADVICE)
+    amb = spark.createDataFrame(
+        [(1, [0.1], [0.2, 0.3])],
+        "doc_id long, Embedding array<float>, EMBEDDING array<float>",
+    )
+    with pytest.raises(TypeError, match="ambiguous"):
+        embedding_dim(amb, "embedding")
+    # single case-insensitive match keeps working (Spark resolution is
+    # case-insensitive under default spark.sql.caseSensitive=false)
+    one = spark.createDataFrame([(1, [0.1, 0.2])], "id long, Emb array<float>")
+    assert embedding_dim(one, "emb") == 2
 
 
 def test_lsh_plan_has_literal_hyperplanes(spark, sf_small):

@@ -194,6 +194,32 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     # CAST( spelled inside a literal is not a cast site
     assert g("SELECT 'CAST(' AS label") == "SELECT 'CAST(' AS label"
 
+    # ADVICE r14 (medium): comments are skippable regions like quotes.
+    # An apostrophe inside a -- comment must not open a phantom literal
+    # that swallows a following cast site...
+    c1 = g("-- Spark's convention\nCAST(v AS DECIMAL(25,6))")
+    assert c1 == (
+        "-- Spark's convention\n"
+        "CAST(CASE WHEN isfinite(v) THEN v END AS DECIMAL(25,6))"
+    )
+    # ...a cast spelled INSIDE a comment is text, not a site...
+    c2 = "-- CAST(v AS DECIMAL(25,6))\nSELECT 1"
+    assert g(c2) == c2
+    blk = "/* don't CAST(v AS DECIMAL(25,6)) */ SELECT 1"
+    assert g(blk) == blk
+    # ...and a stray paren in a comment inside a CAST body must not
+    # desync the depth counter
+    c3 = g("CAST(v -- don't )\n AS DECIMAL(25,6))")
+    assert "isfinite(v -- don't )" in c3 and c3.rstrip().endswith(
+        "AS DECIMAL(25,6))"
+    )
+    assert g(c3) == c3  # idempotent with the comment inside the CASE
+    # the rewritten form must still be parseable SQL: the inlined
+    # comment may not swallow the generated `) THEN ...` tail
+    import duckdb
+
+    assert duckdb.sql(f"SELECT {c3.replace('v ', '1.5 ')}").fetchone()[0] is not None
+
     # registry-wide: registered oracle text must be a FIXPOINT of the
     # transform — if Registry.add regressed and stopped applying it,
     # re-applying here would change the text. (A regex scan can't cross
@@ -235,6 +261,21 @@ def test_unicode_lower_guard_rewrites_all_lower_sites():
     assert g('SELECT "lower(x" FROM t') == 'SELECT "lower(x" FROM t'
     dq = g('lower("weird)col")')
     assert dq == 'lower(replace("weird)col", \'İ\', \'i̇\'))' and g(dq) == dq
+
+    # ADVICE r14 (medium): an apostrophe inside a -- comment must not
+    # open a phantom literal that hides a following lower() site
+    cm = g("-- Spark's convention\nlower(text)")
+    assert cm == "-- Spark's convention\nlower(replace(text, 'İ', 'i̇'))"
+    # lower( inside a comment is text, not a call site
+    assert g("-- lower(text)\nSELECT 1") == "-- lower(text)\nSELECT 1"
+    assert g("/* don't lower(x) */ SELECT 1") == "/* don't lower(x) */ SELECT 1"
+    # a comment inside the arg gets its line terminated before the
+    # inlined replace() tail, and stays idempotent + parseable
+    ci = g("lower(x -- don't )\n)")
+    assert g(ci) == ci and ci.rstrip().endswith("'i̇'))")
+    import duckdb
+
+    assert duckdb.sql(f"SELECT {ci.replace('x ', chr(39) + 'A' + chr(39) + ' ')}").fetchone()[0] == "a"
 
     # registry-wide fixpoint (Registry.add must keep applying it)
     offenders = {name for name, sql in ORACLES.items() if g(sql) != sql}

@@ -486,6 +486,38 @@ def test_round6_det_half_boundary_cross_engine(spark):
     assert row["spark_round"] == -0.015815  # the class this guards against
 
 
+def test_sql_str_to_bigint_mirrors_spark_truncation(spark):
+    """Pins the string→BIGINT cast class (r14 ADVICE): DuckDB
+    TRY_CAST('3.5' AS BIGINT) ROUNDS to 4 where Spark's non-ANSI cast
+    truncates toward zero to 3, so JSON-extracted numeric strings need
+    sql_str_to_bigint on the oracle side. The helper keeps integer
+    strings on the exact direct-cast path (precision past 2^53) and
+    routes everything else through trunc(DOUBLE)."""
+    import duckdb
+
+    from ndl_core_data_pipeline_spark.io import ensure_session_defaults
+    from ndl_core_data_pipeline_spark.operators._util import sql_str_to_bigint
+
+    # the engine's permissive cast semantics are a session default set by
+    # load(); a bare Spark-4 session has ANSI ON where CAST('3.5' AS
+    # BIGINT) throws — pin the real query-path configuration explicitly
+    # so this test is order-independent
+    ensure_session_defaults(spark)
+    cases = ["3.5", "-3.5", "2.5", "3", " 42 ", "abc",
+             "9223372036854775807", "9007199254740993", None]
+    con = duckdb.connect()
+    try:
+        for s in cases:
+            lit = "NULL" if s is None else f"'{s}'"
+            duck = con.sql(f"SELECT {sql_str_to_bigint(lit)}").fetchone()[0]
+            sp = spark.sql(f"SELECT CAST({lit} AS BIGINT)").first()[0]
+            assert duck == sp, f"{s!r}: duck={duck} spark={sp}"
+        # the class this guards against
+        assert con.sql("SELECT TRY_CAST('3.5' AS BIGINT)").fetchone()[0] == 4
+    finally:
+        con.close()
+
+
 def test_markov_rows_sum_to_one(spark, sf_small):
     from ndl_core_data_pipeline_spark.operators.eventwindows import (
         events_markov_transitions,
