@@ -50,6 +50,7 @@ _HASH_INPUTS = (
     "scripts/unicode_sweep.py",
     "scripts/oracle_stability_sweep.py",
     "scripts/forced_distributed_sweep.py",
+    "scripts/skew_sweep.py",
 )
 
 

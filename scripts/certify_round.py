@@ -60,6 +60,7 @@ SWEEP_FILES = {
     "unicode text parity": ".scale/unicode_sweep.json",
     "oracle stability": ".scale/oracle_stability.json",
     "forced-distributed oracle parity": ".scale/forced_distributed_sweep.json",
+    "hot-key skew parity": ".scale/skew_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

@@ -374,7 +374,24 @@ UNICODE_SNIPPETS = [
     "نص عربي",               # RTL Arabic
     "한국어 텍스트",          # Hangul
     "ﬁnal ﬂow",              # ligature code points
+    # round-15 residual fixtures (VERDICT r14 item 4):
+    "ΟΔΥΣΣΕΎΣ ΣΟΦΌΣ",        # uppercase Σ, medial + final (Final_Sigma
+    #                          rule: JVM/Python → ...σσ...ς, utf8proc → σ
+    #                          everywhere; oracle guarded by
+    #                          _util._SIGMA_PATTERN — no combining mark
+    #                          may follow a Σ here, see its scope note)
+    "verti\x0bcal tab",    # VT U+000B inside a "word": Java/Python \s
+    #                          split on it, RE2's \s does not (oracle
+    #                          guarded by _util.guard_vt_whitespace)
 ]
+
+
+def _snippet_pool_fingerprint() -> str:
+    """Stable fingerprint of UNICODE_SNIPPETS for fixture-manifest
+    staleness checks."""
+    import hashlib
+
+    return hashlib.sha256("\x00".join(UNICODE_SNIPPETS).encode()).hexdigest()[:16]
 
 
 def inject_unicode(base: str, out: str, seed: int = 8814, frac: float = 0.05) -> None:
@@ -450,7 +467,112 @@ def inject_unicode(base: str, out: str, seed: int = 8814, frac: float = 0.05) ->
     print(f"injected {n_injected_total} multibyte cells")
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump(
-            {"mode": "unicode", "base": base, "seed": seed, "frac": frac}, f
+            {
+                "mode": "unicode",
+                "base": base,
+                "seed": seed,
+                "frac": frac,
+                # the pool is an injection parameter: a snippet edit
+                # must rebuild the fixture, not leave a stale one
+                # counting as live evidence (round-15: the Σ/VT
+                # additions would otherwise never reach the sweep)
+                "snippet_pool": _snippet_pool_fingerprint(),
+            },
+            f,
+        )
+
+
+def inject_hotkey(base: str, out: str, seed: int = 1503, frac: float = 0.5) -> None:
+    """Copy every driver table from `base` with one HOT value planted
+    into ~frac of each skew-relevant column (VERDICT r14 missing #6):
+    the order/width/config sweeps vary EXECUTION, never data shape, so
+    cross-engine correctness under a hot key — the exact shape the
+    salted-join, banded-dedup-cap and Misra-Gries paths exist for, and
+    the one real 100-TB logs always have — was unattested (only their
+    TIMING was, SCALE_ADVERSARIAL_r11). Per column, ~frac of rows get
+    the value the column carries at row 0 (deterministic, always
+    in-domain):
+
+    - join keys: orders.o_custkey, lineitem.l_partkey / l_suppkey
+      (customer←orders and part/supplier←lineitem joins go hot)
+    - group keys: events.user_id + event_type, documents.source
+    - LSH band / content: documents.text and embeddings.embedding
+      collapse onto one base value, putting ~frac·n rows into ONE
+      minhash band bucket / hyperplane bucket / gram family (at sf0.01
+      that is ~250 members — well under MAX_BUCKET_MEMBERS=4096, so the
+      cap's silent-truncation deviation is deliberately NOT triggered;
+      pair outputs stay ~n²·frac²/2 ≈ 31k rows, comparable)
+
+    Identity / tiebreak columns (doc_id, event_id, vec_id, o_orderkey,
+    l_orderkey+l_linenumber, timestamps, numeric measure columns) are
+    left untouched: collapsing them would break the LIMIT/window
+    totality contract (r12) and basket-keyed operators would go
+    quadratic (frequent_pairs baskets on l_orderkey), turning the sweep
+    into a nondeterminism generator instead of a correctness axis.
+    Deterministic (fixed seed); schema preserved."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    hot_cols = {
+        "orders": ("o_custkey",),
+        "lineitem": ("l_partkey", "l_suppkey"),
+        "events": ("user_id", "event_type"),
+        "documents": ("source", "text"),
+        "embeddings": ("embedding",),
+    }
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    planted: dict[str, dict] = {}
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+        for col in hot_cols.get(t, ()):
+            arr = tbl.column(col).combine_chunks()
+            k = max(1, int(n * frac)) if n else 0
+            hits = rng.choice(n, size=k, replace=False) if n else []
+            if pa.types.is_nested(arr.type):
+                vals = arr.to_pylist()
+                hot = vals[0]
+                for i in hits:
+                    vals[i] = hot
+                new = pa.array(vals, type=arr.type)
+                planted_desc = f"row-0 vector (dim {len(hot)})"
+            else:
+                hot = arr[0].as_py()
+                mask = np.zeros(n, dtype=bool)
+                mask[hits] = True
+                new = pc.if_else(pa.array(mask), pa.scalar(hot, arr.type), arr)
+                planted_desc = repr(hot)[:60]
+            idx = tbl.column_names.index(col)
+            tbl = tbl.set_column(idx, tbl.schema.field(idx), new)
+            planted[f"{t}.{col}"] = {"hot": planted_desc, "n_planted": int(k)}
+        # documents.n_chars must keep matching the (possibly hot) text
+        if t == "documents":
+            texts = tbl.column("text").combine_chunks().to_pylist()
+            idx = tbl.column_names.index("n_chars")
+            ref_type = tbl.schema.field(idx).type
+            tbl = tbl.set_column(
+                idx,
+                tbl.schema.field(idx),
+                pa.array(
+                    [None if s is None else len(s) for s in texts]
+                ).cast(ref_type),
+            )
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+        print(f"wrote {t}: {n} rows")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "mode": "hotkey",
+                "base": base,
+                "seed": seed,
+                "frac": frac,
+                "planted": planted,
+            },
+            f,
         )
 
 
