@@ -28,16 +28,19 @@ class Registry:
             # mirror Spark's non-ANSI NaN/Inf->NULL decimal cast in every
             # oracle (DuckDB CAST raises on non-finite doubles; identity
             # on clean data — see _util.guard_nonfinite_decimal_casts),
-            # and the JVM's FULL Unicode lowercase of U+0130 'İ' (DuckDB
-            # applies the simple mapping — see _util.guard_unicode_lower;
-            # also identity on clean/ASCII data)
+            # the JVM's FULL Unicode lowercase of U+0130 'İ' and Greek
+            # final sigma (DuckDB applies the simple mapping — see
+            # _util.guard_unicode_lower; also identity on clean/ASCII
+            # data), and the JVM \s whitespace class (RE2's \s lacks
+            # vertical tab — see _util.guard_vt_whitespace)
             from .operators._util import (
                 guard_nonfinite_decimal_casts,
                 guard_unicode_lower,
+                guard_vt_whitespace,
             )
 
-            self.oracles[name] = guard_unicode_lower(
-                guard_nonfinite_decimal_casts(sql)
+            self.oracles[name] = guard_vt_whitespace(
+                guard_unicode_lower(guard_nonfinite_decimal_casts(sql))
             )
 
 

@@ -256,6 +256,40 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
     return "".join(out)
 
 
+def guard_vt_whitespace(sql: str) -> str:
+    r"""Rewrite every `\s+` regex in a DuckDB oracle to the explicit
+    ASCII whitespace class `[ \t\n\x0B\f\r]+`.
+
+    The engine's split/replace regexes run on the JVM, whose `\s` is
+    exactly [ \t\n\x0B\f\r]; DuckDB's RE2 `\s` is [ \t\n\f\r] — NO
+    vertical tab U+000B (probed: regexp_split_to_array('a'||chr(11)||'b',
+    '\s+') does not split). Python's re.ASCII `\s` (the reference
+    tokenizer semantics, _util.WS_ASCII_RE) includes VT like Java, so
+    the engine is right and the oracle is the outlier — a VT-bearing
+    corpus silently diverges every tokenizer-derived count, fingerprint
+    and slug (round-14 documented residual, fixtured in round 15).
+    Spelling the class explicitly on the oracle side aligns RE2 with
+    the JVM; identity on every corpus without VT. `\s` only ever occurs
+    inside single-quoted regex literals in oracle SQL, so textual
+    replaces are exact — two ordered forms: `\s]` (class-FINAL member,
+    e.g. '[£$€,%\s]') expands to the bare members, and every remaining
+    `\s` becomes the bracketed class, which composes with any following
+    quantifier (+, *, ?). A `\s` in a NON-final class position would be
+    mangled into a nested class; the registry-wide guard test's canary
+    (no '[[ ' in any oracle) enforces the write-\s-last convention.
+    `\S` (the complement — RE2 wrongly treats VT as a WORD char, so
+    'verti<VT>cal' counted as ONE token where Java/Python count two;
+    round-15 unicode sweep, text_word_count family) becomes the negated
+    class; no oracle uses \S inside a bracket class. Idempotent because
+    no replacement contains `\s`/`\S`. Applied centrally at registry
+    build (contract.Registry.add) with the other guards."""
+    return (
+        sql.replace(r"\s]", " \\t\\n\\x0B\\f\\r]")
+        .replace(r"\s", r"[ \t\n\x0B\f\r]")
+        .replace(r"\S", r"[^ \t\n\x0B\f\r]")
+    )
+
+
 _LOWER_OPEN_RE = re.compile(r"\blower\s*\(", re.IGNORECASE)
 # Java/Python FULL lowercase of U+0130 (LATIN CAPITAL LETTER I WITH DOT
 # ABOVE) is the two-code-point "i" + U+0307 COMBINING DOT ABOVE
@@ -263,11 +297,34 @@ _LOWER_OPEN_RE = re.compile(r"\blower\s*\(", re.IGNORECASE)
 # yields a bare "i", silently dropping the dot.
 _I_DOT_LOWER = "i̇"
 _LOWER_GUARD_SUFFIX = f", 'İ', '{_I_DOT_LOWER}')"
+# Final-sigma pre-rewrite (SQL text, single-quoted RE2 pattern): Greek
+# capital Σ lowercases context-sensitively — ς when, skipping
+# CASE-IGNORABLE code points, it is preceded by a cased letter and not
+# followed by one (Unicode Final_Sigma), σ otherwise. JVM and Python
+# implement the rule (probed identical on '.'/''/':'/ '·' transparency,
+# digits, and sigma runs); utf8proc's simple mapping always yields σ.
+# RE2 has no lookarounds, so the context is CAPTURED and re-emitted:
+# \1 = cased letter + trailing ignorables, \2 = ignorables + (end | a
+# char that is neither cased nor ignorable). Left-to-right
+# non-overlapping scan handles runs (ΑΣΣ → ασς, ΣΣ → σς like Python)
+# because \2 never contains a cased letter and so never steals another
+# match's \1. Cased ≈ Lu|Ll|Lt; ignorable ≈ the MidLetter/MidNumLet
+# punctuation . ' : · ’ plus the M/Cf/Lm/Sk categories — the full
+# Case_Ignorable set minus a tail of exotic word-join punctuation no
+# fixture or realistic corpus-derived SQL concatenation produces.
+_SIGMA_CASED = r"\p{Lu}\p{Ll}\p{Lt}"
+# the apostrophe is DOUBLED: this text lives inside a single-quoted SQL
+# pattern literal; RE2 receives a single ' after SQL unescaping
+_SIGMA_IGN = r".'':·’\p{M}\p{Cf}\p{Lm}\p{Sk}"
+_SIGMA_PATTERN = (
+    f"'([{_SIGMA_CASED}][{_SIGMA_IGN}]*)Σ"
+    f"([{_SIGMA_IGN}]*($|[^{_SIGMA_CASED}{_SIGMA_IGN}]))', '\\1ς\\2', 'g'"
+)
 
 
 def guard_unicode_lower(sql: str) -> str:
     """Rewrite every `lower(expr)` in a DuckDB oracle to
-    `lower(replace(expr, 'İ', 'i̇'))`.
+    `lower(replace(regexp_replace(expr, <final-sigma>), 'İ', 'i̇'))`.
 
     The engine's lower() is Spark's UTF8String → JVM full Unicode case
     mapping, which matches the reference's Python str.lower(); DuckDB's
@@ -279,9 +336,12 @@ def guard_unicode_lower(sql: str) -> str:
     lowercase BEFORE DuckDB's lower() reproduces the JVM/Python result
     (lower() maps "i"+U+0307 to itself); ASCII and every other pool code
     point are untouched, so the guard is the identity on clean data.
-    (Context-sensitive full mappings — Greek final sigma — remain
-    unguarded: they require position info replace() cannot express; the
-    unicode fixture deliberately carries no uppercase Σ.)
+    Round 15 adds the second divergent mapping, Greek capital Σ's
+    context-sensitive Final_Sigma rule (Python/JVM: ΟΔΥΣΣΕΎΣ →
+    οδυσσεύς; utf8proc: ...σ) via a captured-context regexp_replace
+    BEFORE lower() — see _SIGMA_PATTERN for the rule, the RE2
+    no-lookaround encoding, and the combining-mark approximation
+    scope.
 
     Applied centrally at registry build (contract.Registry.add), like
     guard_nonfinite_decimal_casts. Quote-aware balanced-paren parse,
@@ -322,7 +382,8 @@ def guard_unicode_lower(sql: str) -> str:
         else:
             nl = "\n" if _has_comment(inner) else ""
             out.append(
-                f"lower(replace({inner}{nl}, 'İ', '{_I_DOT_LOWER}'))"
+                f"lower(replace(regexp_replace({inner}{nl}, "
+                f"{_SIGMA_PATTERN}), 'İ', '{_I_DOT_LOWER}'))"
             )
         i = j
     return "".join(out)
@@ -336,6 +397,25 @@ def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
 def davg(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent AVG: exact decimal sum / count, divided as doubles."""
     return (F.sum(col.cast(dec)).cast("double") / F.count(col)).alias(alias)
+
+
+def sql_jackson_json(col: str = "props") -> str:
+    r"""DuckDB-side JSON input mirroring Spark's permissive Jackson
+    parser: Spark's get_json_object/try_parse_json enable
+    ALLOW_UNESCAPED_CONTROL_CHARS, so a raw vertical tab inside a JSON
+    string VALUE parses fine on the engine while DuckDB's yyjson calls
+    the document malformed (probed: json_extract_string raises
+    "unexpected control character in string"). Pre-escaping VT to its
+    six-char backslash-u000B escape form makes yyjson accept the document and decode the escape
+    back to the same VT the engine extracted — identity on every
+    VT-free document, including all other injected multibyte text.
+    Scope: VT (U+000B) only, the one control char any fixture injects;
+    a corpus with other raw C0 bytes inside JSON strings would need the
+    same replace per char. A raw VT OUTSIDE a string value is invalid
+    for BOTH parsers (Jackson's allowance is string-interior only, and
+    the escaped form is likewise invalid there), so NULL/malformed
+    agree everywhere."""
+    return f"replace({col}, chr(11), '\\u000B')"
 
 
 def sql_str_to_bigint(expr: str) -> str:

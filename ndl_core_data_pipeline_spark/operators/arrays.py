@@ -207,23 +207,28 @@ def map_family(spark, sf_dir):
     )
 
 
-_MAP_SQL = """
+def _map_sql() -> str:
+    from ._util import sql_jackson_json, sql_str_to_bigint
+
+    # sql_jackson_json: Spark's Jackson parses raw control chars inside
+    # JSON string values where DuckDB's yyjson rejects the document;
+    # sql_str_to_bigint: string k (unicode tier) raises under CAST and
+    # rounds under TRY_CAST where Spark's non-ANSI cast yields
+    # NULL/truncates. Both identity on clean data.
+    j = sql_jackson_json()
+    k = f"CASE WHEN json_valid({j}) THEN json_extract_string({j}, '$.k') END"
+    return f"""
 SELECT event_id,
-       -- TRY_CAST: a valid-JSON STRING value (unicode tier) raises under
-       -- DuckDB CAST where Spark's non-ANSI cast yields NULL
-       TRY_CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val,
+       {sql_str_to_bigint(k)} AS k_val,
        event_type AS type_val,
        CAST(2 AS BIGINT) AS n_keys,
        'props_k,type' AS keys_sorted,
        array_to_string(
-         list_sort([concat_ws('=', 'props_k',
-                              CASE WHEN json_valid(props) THEN
-                              json_extract_string(props, '$.k') END),
+         list_sort([concat_ws('=', 'props_k', {k}),
                     concat_ws('=', 'type', event_type)]), ',') AS entries_sorted
 FROM events
 """
 
 
 def register_round6b(reg):
-    reg.add("func_map_family", map_family, _MAP_SQL)
+    reg.add("func_map_family", map_family, _map_sql())

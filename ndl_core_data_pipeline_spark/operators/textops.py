@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import davg, rebalance_narrow_scan, sql_str_to_bigint
+from ._util import (
+    davg,
+    rebalance_narrow_scan,
+    sql_jackson_json,
+    sql_str_to_bigint,
+)
 
 # reference license map (assets/processing/assets.py:299-315): lowercase
 # lookup with default "OGL-UK-3.0"
@@ -87,10 +92,11 @@ def _stop_count(low_col, pat: str):
     neighbor — 'es' inside 'données' is a boundary match for RE2 but not
     for the JVM (round-14 unicode sweep). Token counting is identical on
     clean data (pure [a-z0-9 ] text) and consistent on both engines for
-    the fixtures' whitespace repertoire. (Known residual gap, shared
-    with every \\s-splitting oracle: Java's \\s includes vertical tab
-    U+000B, RE2's does not — a VT-bearing corpus would need the split
-    class spelled explicitly on both sides. No fixture injects VT.)"""
+    the fixtures' whitespace repertoire. (The former VT residual —
+    Java's \\s includes vertical tab U+000B, RE2's does not — is closed
+    as of round 15: every oracle \\s+ is rewritten to the explicit JVM
+    class at registry build (_util.guard_vt_whitespace) and the unicode
+    fixture injects a VT-bearing snippet.)"""
     stops = pat.split("|")
     return F.size(
         F.filter(F.split(low_col, r"\s+"), lambda w: w.isin(stops))
@@ -752,11 +758,12 @@ FROM events""",
         # injects {"k": "漢字"}) raises under DuckDB CAST where Spark's
         # non-ANSI cast yields NULL, and DuckDB TRY_CAST ROUNDS
         # fractional strings where Spark truncates; identity on clean
-        # integer values.
+        # integer values. sql_jackson_json: Spark's Jackson parses raw
+        # control chars inside JSON strings where yyjson rejects.
         "SELECT event_id, "
         + sql_str_to_bigint(
-            "CASE WHEN json_valid(props) THEN "
-            "json_extract_string(props, '$.k') END"
+            f"CASE WHEN json_valid({sql_jackson_json()}) THEN "
+            f"json_extract_string({sql_jackson_json()}, '$.k') END"
         )
         + " AS k_value FROM events",
     )
@@ -1040,16 +1047,18 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         # sql_str_to_bigint: string-valued k (unicode tier) raises under
         # CAST where Spark's non-ANSI cast yields NULL, and DuckDB
         # TRY_CAST rounds fractional strings where Spark truncates;
-        # identity on clean ints.
+        # identity on clean ints. sql_jackson_json: Spark's Jackson
+        # parses raw control chars inside JSON strings where yyjson
+        # rejects the document (malformed must agree too).
         "SELECT event_id, "
         + sql_str_to_bigint(
-            "CASE WHEN json_valid(props) THEN "
-            "json_extract_string(props, '$.k') END"
+            f"CASE WHEN json_valid({sql_jackson_json()}) THEN "
+            f"json_extract_string({sql_jackson_json()}, '$.k') END"
         )
         + " AS k_value, "
-        "CASE WHEN json_valid(props) THEN "
-        "json_extract_string(props, '$.tag') END AS tag_value, "
-        "(props IS NULL OR NOT json_valid(props)) AS malformed "
+        f"CASE WHEN json_valid({sql_jackson_json()}) THEN "
+        f"json_extract_string({sql_jackson_json()}, '$.tag') END AS tag_value, "
+        f"(props IS NULL OR NOT json_valid({sql_jackson_json()})) AS malformed "
         "FROM events",
     )
     reg.add(

@@ -48,10 +48,16 @@ ASCII_SUBSET_EXEMPT = {
 def ensure_unicode_dataset(base: str, out: str) -> None:
     """Build the fixture if missing or if its manifest no longer matches
     the injection parameters (empty_sweep's manifest pattern)."""
-    from gen_scale import inject_unicode
+    from gen_scale import _snippet_pool_fingerprint, inject_unicode
 
     manifest = os.path.join(out, "MANIFEST.json")
-    want = {"mode": "unicode", "base": base, "seed": 8814, "frac": 0.05}
+    want = {
+        "mode": "unicode",
+        "base": base,
+        "seed": 8814,
+        "frac": 0.05,
+        "snippet_pool": _snippet_pool_fingerprint(),
+    }
     if os.path.exists(manifest):
         with open(manifest) as fh:
             if json.load(fh) == want:

@@ -242,13 +242,19 @@ def test_unicode_lower_guard_rewrites_all_lower_sites():
         guard_unicode_lower as g,
     )
 
-    assert g("lower(text)") == "lower(replace(text, 'İ', 'i̇'))"
+    from ndl_core_data_pipeline_spark.operators._util import _SIGMA_PATTERN
+
+    sigma = f"regexp_replace(text, {_SIGMA_PATTERN})"
+    assert g("lower(text)") == f"lower(replace({sigma}, 'İ', 'i̇'))"
     out = g("lower(trim(text))")
-    assert out == "lower(replace(trim(text), 'İ', 'i̇'))"
+    assert out == (
+        f"lower(replace(regexp_replace(trim(text), {_SIGMA_PATTERN}), "
+        "'İ', 'i̇'))"
+    )
     assert g(out) == out  # idempotent
     # nested lower() calls each get their own guard
     nested = g("lower(concat(lower(a), b))")
-    assert nested.count("replace(") == 2 and g(nested) == nested
+    assert nested.count("'İ'") == 2 and g(nested) == nested
     # 'lower(' inside a string literal is text, not a call site
     assert g("SELECT 'lower(' AS label") == "SELECT 'lower(' AS label"
     # ')' inside a literal must not close the call early
@@ -260,12 +266,15 @@ def test_unicode_lower_guard_rewrites_all_lower_sites():
     # finding: the quote-pair-blind scanner mangled them into garbage)
     assert g('SELECT "lower(x" FROM t') == 'SELECT "lower(x" FROM t'
     dq = g('lower("weird)col")')
-    assert dq == 'lower(replace("weird)col", \'İ\', \'i̇\'))' and g(dq) == dq
+    assert dq == (
+        f'lower(replace(regexp_replace("weird)col", {_SIGMA_PATTERN}), '
+        "'İ', 'i̇'))"
+    ) and g(dq) == dq
 
     # ADVICE r14 (medium): an apostrophe inside a -- comment must not
     # open a phantom literal that hides a following lower() site
     cm = g("-- Spark's convention\nlower(text)")
-    assert cm == "-- Spark's convention\nlower(replace(text, 'İ', 'i̇'))"
+    assert cm == f"-- Spark's convention\nlower(replace({sigma}, 'İ', 'i̇'))"
     # lower( inside a comment is text, not a call site
     assert g("-- lower(text)\nSELECT 1") == "-- lower(text)\nSELECT 1"
     assert g("/* don't lower(x) */ SELECT 1") == "/* don't lower(x) */ SELECT 1"
@@ -282,3 +291,86 @@ def test_unicode_lower_guard_rewrites_all_lower_sites():
     assert not offenders, (
         f"oracles not fixpoints of the unicode-lower guard: {sorted(offenders)}"
     )
+
+
+def test_final_sigma_guard_matches_jvm_full_lowercase(spark):
+    """Cross-engine pin for the round-15 Σ residual: Python/JVM lower()
+    applies Unicode Final_Sigma (ΟΔΥΣΣΕΎΣ → οδυσσεύς, trailing ς) while
+    utf8proc's simple mapping yields σ everywhere; the guarded oracle
+    form must reproduce the JVM on medial, final, lone and run-adjacent
+    sigmas."""
+    import duckdb
+
+    from ndl_core_data_pipeline_spark.operators._util import (
+        guard_unicode_lower as g,
+    )
+
+    cases = ["ΟΔΥΣΣΕΎΣ ΣΟΦΌΣ", "Σ", "ΑΣ", "ΣΣ ΣΣ", "ΑΣΣ", "ΒΙΟΣ.", "İΣ",
+             # case-ignorable transparency (.':· and combining marks):
+             # Σ before '.EXAMPLE' is NOT final — the very divergence
+             # the round-15 unicode sweep caught in func_url_normalize
+             "ΣΟΦΌΣ.EXAMPLE", "Α.Σ", "ΑΣ.", "ΑΣ.Β", "ΑΣ'Β", "ΑΣ'",
+             "ΑΣ:Β", "ΑΣ··Β", "ΑΣ-Β", "ΑΣ2", "ΑΣ.2", "ΑΣ́Β", "ΑΣ́",
+             "HTTPS://SRC4 ΟΔΥΣΣΕΎΣ ΣΟΦΌΣ.EXAMPLE.COM"]
+    con = duckdb.connect()
+    try:
+        for s in cases:
+            assert s.lower() == spark.sql(
+                "SELECT lower(:s)", args={"s": s}
+            ).first()[0], f"JVM != Python on {s!r} — reference drift"
+            guarded = g("lower(?)")
+            duck = con.execute(f"SELECT {guarded.replace('?', '$s')}",
+                               {"s": s}).fetchone()[0]
+            assert duck == s.lower(), f"{s!r}: duck={duck!r} py={s.lower()!r}"
+        # the class this guards against: bare utf8proc lower never
+        # produces a final sigma
+        bare = con.execute("SELECT lower('ΟΔΥΣΣΕΎΣ')").fetchone()[0]
+        assert bare == "οδυσσεύσ"
+    finally:
+        con.close()
+
+
+def test_vt_whitespace_guard_rewrites_all_split_sites():
+    r"""Every oracle `\s+` must reach DuckDB as the explicit JVM class
+    `[ \t\n\x0B\f\r]+` (registry-time rewrite): RE2's \s lacks vertical
+    tab U+000B where Java's and Python's (the engine + reference
+    semantics) include it, so a VT-bearing corpus diverged every
+    \s-split token count, fingerprint and slug until round 15."""
+    import duckdb
+
+    from ndl_core_data_pipeline_spark.operators._util import (
+        guard_vt_whitespace as g,
+    )
+
+    assert g(r"string_split_regex(x, '\s+')") == (
+        r"string_split_regex(x, '[ \t\n\x0B\f\r]+')"
+    )
+    assert g(g(r"regexp_replace(x, '\s+', ' ', 'g')")) == g(
+        r"regexp_replace(x, '\s+', ' ', 'g')"
+    )  # idempotent
+    # class-final member form ('[£$€,%\s]') expands to bare members;
+    # quantified bare forms compose with their quantifier
+    assert g(r"'[£$€,%\s]'") == r"'[£$€,% \t\n\x0B\f\r]'"
+    assert g(r"'(?m)^\s*[-*]'") == r"'(?m)^[ \t\n\x0B\f\r]*[-*]'"
+    assert g(r"'[^A-Za-z0-9\s]'") == r"'[^A-Za-z0-9 \t\n\x0B\f\r]'"
+    # cross-engine: the rewritten class splits VT like Java/Python \s
+    con = duckdb.connect()
+    try:
+        got = con.execute(
+            "SELECT len(string_split_regex('a' || chr(11) || 'b', "
+            r"'[ \t\n\x0B\f\r]+'))"
+        ).fetchone()[0]
+        assert got == 2
+        bare = con.execute(
+            r"SELECT len(string_split_regex('a' || chr(11) || 'b', '\s+'))"
+        ).fetchone()[0]
+        assert bare == 1  # the class this guards against
+    finally:
+        con.close()
+    # registry-wide: no registered oracle may still carry a bare \s,
+    # and none may carry the nested-class mangle a non-final class \s
+    # would produce (write-\s-last convention, see the guard docstring)
+    left = {n for n, sql in ORACLES.items() if "\\s" in sql}
+    assert not left, f"oracles with unrewritten \\s: {sorted(left)}"
+    mangled = {n for n, sql in ORACLES.items() if "[[ \\t" in sql}
+    assert not mangled, f"oracles with nested-class mangle: {sorted(mangled)}"
