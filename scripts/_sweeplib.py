@@ -51,6 +51,7 @@ _HASH_INPUTS = (
     "scripts/oracle_stability_sweep.py",
     "scripts/forced_distributed_sweep.py",
     "scripts/skew_sweep.py",
+    "scripts/nonfinite_sweep.py",
 )
 
 

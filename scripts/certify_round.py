@@ -61,6 +61,7 @@ SWEEP_FILES = {
     "oracle stability": ".scale/oracle_stability.json",
     "forced-distributed oracle parity": ".scale/forced_distributed_sweep.json",
     "hot-key skew parity": ".scale/skew_sweep.json",
+    "non-finite doubles parity": ".scale/nonfinite_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

@@ -279,6 +279,8 @@ def inject_nulls(
     frac_null: float = 0.02,
     frac_nan: float = 0.01,
     frac_empty: float = 0.01,
+    frac_inf: float = 0.0,
+    frac_negzero: float = 0.0,
 ) -> None:
     """Copy every driver table from `base` with adversarial dirty cells:
     ~frac_null of every column NULL (independent per-column masks, so
@@ -329,6 +331,29 @@ def inject_nulls(
                         pa.scalar(float("nan"), field.type),
                         arr,
                     )
+                    # the non-finite tier (round 15) also plants ±Inf
+                    # (split evenly) and IEEE negative zero; both fracs
+                    # default 0 so the established dirty fixtures are
+                    # byte-identical to their r11 form
+                    if frac_inf:
+                        m_inf = mask(frac_inf)
+                        sign = rng.random(n) < 0.5
+                        arr = pc.if_else(
+                            pa.array(m_inf & sign),
+                            pa.scalar(float("inf"), field.type),
+                            arr,
+                        )
+                        arr = pc.if_else(
+                            pa.array(m_inf & ~sign),
+                            pa.scalar(float("-inf"), field.type),
+                            arr,
+                        )
+                    if frac_negzero:
+                        arr = pc.if_else(
+                            pa.array(mask(frac_negzero)),
+                            pa.scalar(-0.0, field.type),
+                            arr,
+                        )
                 if pa.types.is_string(field.type) or pa.types.is_large_string(
                     field.type
                 ):
@@ -346,12 +371,14 @@ def inject_nulls(
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump(
             {
-                "mode": "nulls",
+                "mode": "nulls" if not (frac_inf or frac_negzero) else "nonfinite",
                 "base": base,
                 "seed": seed,
                 "frac_null": frac_null,
                 "frac_nan": frac_nan,
                 "frac_empty": frac_empty,
+                "frac_inf": frac_inf,
+                "frac_negzero": frac_negzero,
             },
             f,
         )

@@ -109,8 +109,14 @@ def compare(spark_df, oracle_df) -> list[str]:
             sv = sv.astype("float64")
             ov = ov.astype("float64")
             both_nan = sv.isna() & ov.isna()
+            # IEEE equality first: inf - inf = nan, so the tolerance
+            # test alone flags EQUAL infinities as diffs (round-15
+            # non-finite tier). -0.0 == 0.0 under IEEE is accepted here;
+            # a rendering-sensitive consumer (md5 of a formatted float)
+            # compares exactly via its string column.
+            same = sv == ov
             diff = (sv - ov).abs()
-            bad = ~both_nan & ~(diff <= FLOAT_TOL)
+            bad = ~both_nan & ~same & ~(diff <= FLOAT_TOL)
             if bad.any():
                 i = bad.idxmax()
                 problems.append(
