@@ -414,23 +414,37 @@ def sql_jackson_json(col: str = "props") -> str:
     same replace per char. A raw VT OUTSIDE a string value is invalid
     for BOTH parsers (Jackson's allowance is string-interior only, and
     the escaped form is likewise invalid there), so NULL/malformed
-    agree everywhere."""
+    agree everywhere. Use ONLY for oracles of get_json_object-backed
+    queries: Spark's try_parse_json (Variant) is STRICT about raw
+    control chars exactly like yyjson (probed: NULL on raw-VT JSON
+    where get_json_object parses it), so try-parse oracles must keep
+    the raw document."""
     return f"replace({col}, chr(11), '\\u000B')"
 
 
 def sql_str_to_bigint(expr: str) -> str:
-    """DuckDB SQL mirroring Spark's non-ANSI string→BIGINT cast, which
-    TRUNCATES fractional strings toward zero ('3.5'→3, '-3.5'→-3) where
-    DuckDB's TRY_CAST rounds ('3.5'→4, probed on DuckDB 1.x). Integer
-    strings keep the exact direct cast — a via-DOUBLE path would lose
-    integer precision past 2^53 — and everything else goes through
-    trunc(DOUBLE), yielding NULL on non-numeric input exactly like
-    Spark's cast (r14 ADVICE: the old bare TRY_CAST(... AS BIGINT) was
-    only the identity because no fixture wrote fractional strings)."""
+    """DuckDB SQL mirroring Spark's non-ANSI string→BIGINT cast (probed
+    on Spark 4 with ANSI off): plain decimal strings TRUNCATE toward
+    zero TEXTUALLY — '3.5'→3, '9007199254740993.5'→9007199254740993
+    (exact, no double round-trip), '.5'→0, '3.'→3 — and everything
+    else, INCLUDING scientific notation ('1e2') and non-ASCII digits,
+    is NULL. DuckDB's TRY_CAST instead rounds fractions ('3.5'→4) and
+    accepts '1e2', so neither it nor a trunc(DOUBLE) bridge matches
+    (round-15 review: the first fix's via-DOUBLE ELSE branch parsed
+    '1e2'→100 and rounded huge fractionals at 2^53). Truncation =
+    sign + integer-part digits, extracted textually; an empty integer
+    part ('.5', '+.5') is 0. `expr` is inlined several times — keep the
+    argument a plain column reference (the JSON oracles bind their
+    escaped/extracted value in a CTE first)."""
+    t = f"trim({expr})"
+    ip = f"regexp_extract({t}, '^[+-]?[0-9]*')"
     return (
-        f"CASE WHEN regexp_matches(trim({expr}), '^[+-]?\\d+$') "
-        f"THEN TRY_CAST({expr} AS BIGINT) "
-        f"ELSE TRY_CAST(trunc(TRY_CAST({expr} AS DOUBLE)) AS BIGINT) END"
+        f"CASE WHEN regexp_matches({t}, '^[+-]?[0-9]+$') "
+        f"THEN TRY_CAST({t} AS BIGINT) "
+        f"WHEN regexp_matches({t}, '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)$') "
+        f"THEN CASE WHEN {ip} IN ('', '+', '-') THEN 0 "
+        f"ELSE TRY_CAST({ip} AS BIGINT) END "
+        f"ELSE NULL END"
     )
 
 

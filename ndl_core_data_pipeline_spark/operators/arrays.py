@@ -214,19 +214,22 @@ def _map_sql() -> str:
     # JSON string values where DuckDB's yyjson rejects the document;
     # sql_str_to_bigint: string k (unicode tier) raises under CAST and
     # rounds under TRY_CAST where Spark's non-ANSI cast yields
-    # NULL/truncates. Both identity on clean data.
-    j = sql_jackson_json()
-    k = f"CASE WHEN json_valid({j}) THEN json_extract_string({j}, '$.k') END"
+    # NULL/truncates. Both identity on clean data. The escaped doc and
+    # extracted string are CTE-bound, computed once per row.
     return f"""
+WITH p AS (SELECT event_id, event_type, {sql_jackson_json()} AS _p FROM events),
+ j AS (SELECT event_id, event_type,
+       CASE WHEN json_valid(_p) THEN json_extract_string(_p, '$.k') END AS _k
+       FROM p)
 SELECT event_id,
-       {sql_str_to_bigint(k)} AS k_val,
+       {sql_str_to_bigint("_k")} AS k_val,
        event_type AS type_val,
        CAST(2 AS BIGINT) AS n_keys,
        'props_k,type' AS keys_sorted,
        array_to_string(
-         list_sort([concat_ws('=', 'props_k', {k}),
+         list_sort([concat_ws('=', 'props_k', _k),
                     concat_ws('=', 'type', event_type)]), ',') AS entries_sorted
-FROM events
+FROM j
 """
 
 

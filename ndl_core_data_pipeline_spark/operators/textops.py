@@ -759,13 +759,14 @@ FROM events""",
         # non-ANSI cast yields NULL, and DuckDB TRY_CAST ROUNDS
         # fractional strings where Spark truncates; identity on clean
         # integer values. sql_jackson_json: Spark's Jackson parses raw
-        # control chars inside JSON strings where yyjson rejects.
-        "SELECT event_id, "
-        + sql_str_to_bigint(
-            f"CASE WHEN json_valid({sql_jackson_json()}) THEN "
-            f"json_extract_string({sql_jackson_json()}, '$.k') END"
-        )
-        + " AS k_value FROM events",
+        # control chars inside JSON strings where yyjson rejects. The
+        # escaped doc and the extracted string are each bound ONCE in
+        # CTEs — inlining them re-ran replace+json_extract ~7x per row
+        # (review finding).
+        f"""WITH p AS (SELECT event_id, {sql_jackson_json()} AS _p FROM events),
+ j AS (SELECT event_id, CASE WHEN json_valid(_p) THEN
+       json_extract_string(_p, '$.k') END AS _k FROM p)
+SELECT event_id, {sql_str_to_bigint("_k")} AS k_value FROM j""",
     )
     reg.add(
         "func_numeric_clean",
@@ -1047,19 +1048,20 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         # sql_str_to_bigint: string-valued k (unicode tier) raises under
         # CAST where Spark's non-ANSI cast yields NULL, and DuckDB
         # TRY_CAST rounds fractional strings where Spark truncates;
-        # identity on clean ints. sql_jackson_json: Spark's Jackson
-        # parses raw control chars inside JSON strings where yyjson
-        # rejects the document (malformed must agree too).
-        "SELECT event_id, "
-        + sql_str_to_bigint(
-            f"CASE WHEN json_valid({sql_jackson_json()}) THEN "
-            f"json_extract_string({sql_jackson_json()}, '$.k') END"
-        )
-        + " AS k_value, "
-        f"CASE WHEN json_valid({sql_jackson_json()}) THEN "
-        f"json_extract_string({sql_jackson_json()}, '$.tag') END AS tag_value, "
-        f"(props IS NULL OR NOT json_valid({sql_jackson_json()})) AS malformed "
-        "FROM events",
+        # identity on clean ints. NO sql_jackson_json here, unlike the
+        # get_json_object-backed oracles: the engine side is
+        # try_parse_json (Variant), which is STRICT about raw control
+        # chars exactly like yyjson (probed: NULL on raw-VT JSON where
+        # get_json_object parses it), so bare props already agrees.
+        # CTE-bound extract, computed once per row (review finding).
+        """WITH j AS (SELECT event_id,
+       CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS _k,
+       CASE WHEN json_valid(props) THEN json_extract_string(props, '$.tag') END AS _tag,
+       (props IS NULL OR NOT json_valid(props)) AS malformed FROM events)
+SELECT event_id, """
+        + sql_str_to_bigint("_k")
+        + """ AS k_value,
+       _tag AS tag_value, malformed FROM j""",
     )
     reg.add(
         "agg_ordered_string_concat",

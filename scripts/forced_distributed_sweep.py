@@ -67,6 +67,33 @@ def discover_members(queries: dict) -> list[str]:
     return sorted(members)
 
 
+def make_driver_path_guards(dedup_mod, bpe_mod):
+    """Replacement driver-path helpers that raise ONLY when handed real
+    work: with the thresholds forced to 0, an EMPTY probe result still
+    legitimately satisfies len(head) <= 0 and takes the driver branch —
+    0 edges / 0 vocab is trivially equivalent on both paths, and raising
+    there would misdiagnose empty input as a threshold bypass (review
+    finding). Shared with tests/test_forced_distributed.py."""
+    orig_uf = dedup_mod._union_find_labels
+    orig_tf = bpe_mod._train_from_freqs
+
+    def uf(edge_rows, *a, **k):
+        if edge_rows:
+            raise AssertionError(
+                "driver path taken despite forced-distributed thresholds"
+            )
+        return orig_uf(edge_rows, *a, **k)
+
+    def tf(freqs, *a, **k):
+        if freqs:
+            raise AssertionError(
+                "driver path taken despite forced-distributed thresholds"
+            )
+        return orig_tf(freqs, *a, **k)
+
+    return uf, tf
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -86,16 +113,12 @@ def main() -> None:
     if not members:
         raise SystemExit("no size-adaptive members discovered — scan broken?")
 
-    # guard 1: driver-path helpers become raisers
-    def _forbidden(*a, **k):
-        raise AssertionError(
-            "driver path taken despite forced-distributed thresholds"
-        )
-
+    # guard 1: driver-path helpers raise on non-empty work
+    uf, tf = make_driver_path_guards(dedup, bpe)
     dedup.CC_EDGES_DRIVER_MAX = 0
     bpe.VOCAB_DRIVER_MAX = 0
-    dedup._union_find_labels = _forbidden
-    bpe._train_from_freqs = _forbidden
+    dedup._union_find_labels = uf
+    bpe._train_from_freqs = tf
 
     # guard 2: adaptive entry points count calls
     calls = {"n": 0}

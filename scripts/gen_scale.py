@@ -557,9 +557,14 @@ def inject_hotkey(base: str, out: str, seed: int = 1503, frac: float = 0.5) -> N
         tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
         n = tbl.num_rows
         for col in hot_cols.get(t, ()):
+            if n == 0:
+                # nothing to plant and no row-0 hot value to read —
+                # without this skip the vals[0]/arr[0] reads below raise
+                # on an empty base table (review finding)
+                continue
             arr = tbl.column(col).combine_chunks()
-            k = max(1, int(n * frac)) if n else 0
-            hits = rng.choice(n, size=k, replace=False) if n else []
+            k = max(1, int(n * frac))
+            hits = rng.choice(n, size=k, replace=False)
             if pa.types.is_nested(arr.type):
                 vals = arr.to_pylist()
                 hot = vals[0]

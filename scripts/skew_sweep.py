@@ -31,22 +31,28 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+PARAMS = {"seed": 1503, "frac": 0.5}
+
+
 def ensure_hotkey_dataset(base: str, out: str) -> None:
     """Build the fixture if missing or if its manifest no longer matches
     the injection parameters (empty_sweep's manifest pattern). The
     manifest's `planted` audit map is ignored for staleness — the
-    parameters determine it."""
+    parameters determine it. One PARAMS dict feeds both the builder and
+    the staleness check (review finding: a hardcoded `want` that relies
+    on the builder's defaults staying in sync rebuilds forever the day
+    they drift)."""
     from gen_scale import inject_hotkey
 
     manifest = os.path.join(out, "MANIFEST.json")
-    want = {"mode": "hotkey", "base": base, "seed": 1503, "frac": 0.5}
+    want = {"mode": "hotkey", "base": base, **PARAMS}
     if os.path.exists(manifest):
         with open(manifest) as fh:
             got = json.load(fh)
         if {k: got.get(k) for k in want} == want:
             return
         print(f"rebuilding {out}: manifest is stale", flush=True)
-    inject_hotkey(base, out)
+    inject_hotkey(base, out, **PARAMS)
 
 
 def main() -> None:

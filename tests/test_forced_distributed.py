@@ -31,7 +31,10 @@ from .oracle import run_compare
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
-from forced_distributed_sweep import discover_members  # noqa: E402
+from forced_distributed_sweep import (  # noqa: E402
+    discover_members,
+    make_driver_path_guards,
+)
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_NULLS_SWEEP"),
@@ -59,15 +62,13 @@ def test_membership_scan_finds_the_known_adaptive_queries():
 def test_distributed_branch_matches_oracle(spark, monkeypatch, name):
     from ndl_core_data_pipeline_spark.operators import bpe, dedup
 
-    def _forbidden(*a, **k):
-        raise AssertionError(
-            "driver path taken despite forced-distributed thresholds"
-        )
-
+    # raise only on NON-EMPTY driver work: with thresholds 0, an empty
+    # probe legitimately takes the driver branch (equivalent on both)
+    uf, tf = make_driver_path_guards(dedup, bpe)
     monkeypatch.setattr(dedup, "CC_EDGES_DRIVER_MAX", 0)
     monkeypatch.setattr(bpe, "VOCAB_DRIVER_MAX", 0)
-    monkeypatch.setattr(dedup, "_union_find_labels", _forbidden)
-    monkeypatch.setattr(bpe, "_train_from_freqs", _forbidden)
+    monkeypatch.setattr(dedup, "_union_find_labels", uf)
+    monkeypatch.setattr(bpe, "_train_from_freqs", tf)
 
     problems = run_compare(spark, name, QUERIES[name], ORACLES.get(name), _SF_DIR)
     assert not problems, f"{name} forced-distributed: " + "; ".join(problems)

@@ -504,7 +504,12 @@ def test_sql_str_to_bigint_mirrors_spark_truncation(spark):
     # so this test is order-independent
     ensure_session_defaults(spark)
     cases = ["3.5", "-3.5", "2.5", "3", " 42 ", "abc",
-             "9223372036854775807", "9007199254740993", None]
+             "9223372036854775807", "9007199254740993", None,
+             # round-15 review: scientific notation is NULL on Spark
+             # (UTF8String rejects 'e'), huge fractionals truncate
+             # TEXTUALLY (no 2^53 double rounding), '.5' is 0
+             "1e2", "3.5e1", "9007199254740993.5", "3.", ".5", "+3.5",
+             "  -7.9  ", "123abc", "٣٤"]
     con = duckdb.connect()
     try:
         for s in cases:
