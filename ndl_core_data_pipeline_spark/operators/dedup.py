@@ -622,10 +622,18 @@ HAVING COUNT(*) / {float(N_MINHASH)} >= 0.25""",
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
 bsize AS (SELECT source, shingle, COUNT(*) AS m FROM shingles GROUP BY source, shingle),
 inter AS (
+  -- null-safe source match: the engine BLOCKS by groupBy(source,
+  -- shingle), where a NULL source is one real block (docs with an
+  -- unknown source still dedup against each other) — a plain equi-join
+  -- here drops those pairs (NULL = NULL is NULL), one pair short at 30%
+  -- NULL density (NULLHEAVY_r15); bsize's GROUP BY already treats NULL
+  -- as one group, so only the join predicates need IS NOT DISTINCT FROM
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shingles a JOIN shingles b
-    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN bsize s ON s.source = a.source AND s.shingle = a.shingle
+    ON a.source IS NOT DISTINCT FROM b.source
+   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.source IS NOT DISTINCT FROM a.source
+   AND s.shingle = a.shingle
   WHERE s.m <= {MAX_BUCKET_MEMBERS}
   GROUP BY a.doc_id, b.doc_id
 )

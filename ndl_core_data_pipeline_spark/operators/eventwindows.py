@@ -210,8 +210,16 @@ def register_round6(reg):
     reg.add(
         "events_pattern_match",
         sequence_pattern_match,
+        # ORDER BY carries the aggregated char itself as the final
+        # tiebreak: the engine side sorts (ts, event_id, c) STRUCTS, so
+        # rows tying on both keys (dirty data: both NULL, ~9% at 30%
+        # NULL density) order by c there — without the same tiebreak
+        # here the oracle's tie order is arrival-dependent and the
+        # strict-funnel count diverges (NULLHEAVY_r15; rows tying on all
+        # three contribute identical chars, so order among them is moot)
         "WITH seqs AS (SELECT user_id, "
-        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
+        "string_agg(substr(event_type, 1, 1), '' "
+        "ORDER BY ts, event_id, substr(event_type, 1, 1)) AS seq "
         "FROM events GROUP BY user_id) "
         "SELECT user_id, CAST(LENGTH(seq) AS BIGINT) AS n_events, "
         "CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'vcp', ''))) / 3 AS BIGINT) "
@@ -320,7 +328,11 @@ WITH b AS (
                         ROWS UNBOUNDED PRECEDING) AS sess
   FROM b
 ), paths AS (
-  SELECT user_id, sess, string_agg(c, '' ORDER BY ts, event_id) AS path
+  -- c tiebreak: the engine sorts (ts, event_id, c) structs, so the
+  -- oracle's within-tie order must also fall to the char (same class as
+  -- events_pattern_match; found by the totality linter, not a sweep —
+  -- ties here need same-user same-ts NULL event_id collisions)
+  SELECT user_id, sess, string_agg(c, '' ORDER BY ts, event_id, c) AS path
   FROM s GROUP BY user_id, sess
 ), tris AS (
   SELECT UNNEST(list_transform(generate_series(1, length(path) - 2),
@@ -491,14 +503,23 @@ def events_debounce(spark, sf_dir):
     come from one lag() gap test; a running sum of start flags numbers
     the bursts; one keyed aggregation emits (start, size, value total)
     per burst. Both windows and the aggregation share the (user_id,
-    event_type) key — one shuffle total, decimal-exact value sums."""
+    event_type) key — one shuffle total, decimal-exact value sums.
+    Sort key (ts, event_id, value): the burst numbering is a running sum
+    (positional), and dirty data ties (ts, event_id) with both NULL and
+    differing values — every NULL-ts row is its own singleton burst, so
+    without the value tiebreak which payload lands in burst_id k depends
+    on arrival order (NULLHEAVY_r15; r12 totality rule — NaN values sort
+    GREATEST identically in Spark and DuckDB, and rows tying on all
+    three keys emit identical burst rows)."""
     from pyspark.sql import Window
     from ._util import DEC
 
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id", "value"
+    )
     us = F.unix_micros(F.col("ts"))
     prev = F.lag(us).over(w)
     is_start = F.when(
@@ -524,11 +545,11 @@ WITH marked AS (
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {DEBOUNCE_US}
               THEN 1 ELSE 0 END AS is_start
   FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id, value)
 ),
 numbered AS (
   SELECT *, SUM(is_start) OVER (PARTITION BY user_id, event_type
-    ORDER BY ts, event_id
+    ORDER BY ts, event_id, value
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
   FROM marked
 )

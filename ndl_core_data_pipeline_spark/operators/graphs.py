@@ -368,8 +368,19 @@ def graph_pagerank(spark, sf_dir):
         "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(PR_ITERS):
+        # pr/deg is a DERIVED double: casting it straight to decimal
+        # rounds the shortest repr (Spark BigDecimal.valueOf, HALF_UP)
+        # vs the binary expansion (DuckDB) — at a 10-dp half boundary
+        # the two engines produce decimals one ulp apart, which rode
+        # through the last iteration into a 1e-6 final-rank divergence
+        # on the NULL-thinned graph (NULLHEAVY_r15). _round10_det makes
+        # the contribution a bit-identical shared double FIRST (the
+        # round6_det discipline); the decimal cast of a k/1e10 double is
+        # then exact in both engines. Contributions are O(1/N)/deg, so
+        # 10 dp keeps ≥4 significant digits ahead of the 6-dp output.
         contrib = sym.join(r, sym["src"] == r["node"]).select(
-            sym["dst"].alias("cn"), (r["pr"] / r["deg"]).alias("c")
+            sym["dst"].alias("cn"),
+            _round10_det(r["pr"] / r["deg"]).alias("c"),
         )
         sums = contrib.groupBy("cn").agg(
             F.sum(F.col("c").cast(_PR_DEC)).cast("double").alias("s")
@@ -418,7 +429,8 @@ r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nv) AS pr FROM deg)"""
         parts.append(
             f""",
 c{i} AS (SELECT s.dst AS node,
-  CAST(SUM(CAST(r.pr / r.deg AS DECIMAL(27,10))) AS DOUBLE) AS s
+  CAST(SUM(CAST(FLOOR(r.pr / r.deg * 10000000000.0 + 0.5) / 10000000000.0
+               AS DECIMAL(27,10))) AS DOUBLE) AS s
   FROM sym s JOIN r{i} r ON s.src = r.node GROUP BY s.dst),
 r{i + 1} AS (SELECT d.node, d.deg,
   FLOOR(({1.0 - PR_DAMP!r} / (SELECT n FROM nv)

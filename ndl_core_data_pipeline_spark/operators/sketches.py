@@ -289,7 +289,16 @@ def bottomk_sample_quantiles(spark, sf_dir):
     ).cast("bigint")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_orderpriority").orderBy("h", "o_orderkey")
+    # o_totalprice tiebreak: NULL o_orderkey hashes to NULL, so dirty
+    # data piles a (h NULL, key NULL) tie group at the head of every
+    # partition; row_number is positional, and without the price
+    # tiebreak WHICH tied rows enter the sample is arrival-order-
+    # dependent (p50/p95 drift, NULLHEAVY_r15). Rows tying on all three
+    # keys contribute identical prices — r12 totality rule. NaN prices
+    # sort GREATEST in both engines.
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "h", "o_orderkey", "o_totalprice"
+    )
     sample = (
         o.withColumn("h", h)
         .withColumn("rn", F.row_number().over(w))
@@ -337,7 +346,7 @@ WITH h AS (
 sample AS (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                 ORDER BY hv, o_orderkey) AS rn
+                                 ORDER BY hv, o_orderkey, o_totalprice) AS rn
     FROM h) WHERE rn <= {BK_K}
 ),
 est AS (

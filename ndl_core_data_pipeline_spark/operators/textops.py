@@ -978,7 +978,7 @@ ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}""",
         rf"""WITH words AS (
   SELECT DISTINCT doc_id, t.term FROM (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-    FROM documents) d, UNNEST(d.ws) AS t(term)
+    FROM documents WHERE doc_id IS NOT NULL) d, UNNEST(d.ws) AS t(term)
   WHERE len(t.term) > 0
 )
 SELECT term, COUNT(*) AS df,
@@ -1180,8 +1180,14 @@ def inverted_postings(spark, sf_dir):
     postings are the skew hazard of index builds; the cap is the same
     degenerate-bucket guard the dedup family uses). One explode → one
     distinct → one keyed collect; postings ship as compact sorted lists,
-    and at 100 TB the term key partitions the index naturally."""
-    docs = load(spark, sf_dir, "documents")
+    and at 100 TB the term key partitions the index naturally.
+
+    A posting needs an identity (the simhash rule): NULL doc_ids would
+    merge into one pseudo-doc, where this plan's per-doc array_distinct
+    counts each NULL row toward df separately but the oracle's cross-doc
+    DISTINCT (doc_id, term) collapses them (df 16 vs 12 at 30% NULL
+    density, NULLHEAVY_r15) — both engines drop NULL ids."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     words = _words(docs, distinct_per_doc=True)
     return (
         words.groupBy("term")

@@ -278,8 +278,16 @@ def contamination_ngram(spark, sf_dir):
     relative to the corpus, so the overlap is a broadcast hash join on
     the gram hash — per-doc work never touches other train docs (no
     all-pairs). This is the standard n-gram decontamination pass (GPT-3
-    appendix C / PaLM-style) as one declarative plan."""
-    docs = load(spark, sf_dir, "documents")
+    appendix C / PaLM-style) as one declarative plan.
+
+    Per-doc scores need an identity (the simhash rule): NULL doc_ids
+    would merge into one pseudo-doc whose n_grams this plan counts with
+    per-ROW dedup only, while the oracle's cross-doc DISTINCT (doc_id,
+    source, gh) collapses repeats across the merged group (3583 vs 3571
+    at 30% NULL density, NULLHEAVY_r15) — both engines drop NULL ids at
+    the scan, before the eval/train split, so the eval gram set and the
+    per-doc scores stay in lockstep."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     docs = rebalance_narrow_scan(docs, spark)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     # hash each gram inside the transform and dedup the HASHES (not the gram
@@ -322,7 +330,7 @@ def contamination_ngram(spark, sf_dir):
 def _sql_contamination() -> str:
     return rf"""WITH w AS (
   SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 grams AS (
   SELECT DISTINCT doc_id, source,

@@ -101,11 +101,24 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_base"), zero_n)
                 + F.coalesce(F.col("n_delta"), zero_n)
             ).alias("n_orders"),
-            (
-                F.coalesce(F.col("sum_base"), zero_s)
-                + F.coalesce(F.col("sum_delta"), zero_s)
+            # SUM over a group with NO non-NULL prices is NULL in SQL,
+            # and the incremental merge must preserve that: coalescing
+            # BOTH absent partials to 0 minted a 0.0 where the full
+            # recompute (the oracle) says NULL (NULLHEAVY_r15 — 16 rows
+            # at 30% NULL density). A partial is absent when the side
+            # has no rows (outer-join NULL) OR when the side's SUM
+            # itself is NULL (all its prices NULL/non-finite); only if
+            # BOTH partials are absent is the merged SUM NULL.
+            F.when(
+                F.col("sum_base").isNull() & F.col("sum_delta").isNull(),
+                F.lit(None).cast("double"),
             )
-            .cast("double")
+            .otherwise(
+                (
+                    F.coalesce(F.col("sum_base"), zero_s)
+                    + F.coalesce(F.col("sum_delta"), zero_s)
+                ).cast("double")
+            )
             .alias("total_spend"),
         )
     )
@@ -127,9 +140,14 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     [valid_from, valid_to) with an is_current flag — lag() finds change
     points, lead() closes intervals. Both windows partition by user_id,
     so the whole build is one shuffle on the dimension key; row order
-    within a user is (ts, event_id)-deterministic."""
+    within a user is (ts, event_id, event_type)-total — lag/lead are
+    positional, and dirty data ties (ts, event_id) with both NULL and
+    differing states, which without the state tiebreak makes WHICH rows
+    count as change points arrival-order-dependent (the interval ROW
+    COUNT itself drifted ±2 in NULLHEAVY_r15; r12 totality rule — rows
+    tying on all three keys are fully duplicate)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
     changes = (
         ev.withColumn("prev_state", F.lag("event_type").over(w))
         .filter(
@@ -150,15 +168,15 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS prev_state
   FROM events
 ), changes AS (
   SELECT user_id, ts, event_id, event_type FROM ordered
   WHERE prev_state IS NULL OR prev_state <> event_type
 )
 SELECT user_id, event_type AS state, ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) IS NULL) AS is_current
 FROM changes
 """
 
@@ -602,7 +620,7 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIT_SQL = f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type)
            AS prev_state
   FROM events
 ), changes AS (
@@ -610,7 +628,7 @@ WITH ordered AS (
   WHERE prev_state IS NULL OR prev_state <> event_type
 ), dim AS (
   SELECT user_id, event_type AS state, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS valid_to
   FROM changes
 )
 SELECT e.event_id, e.user_id, e.ts, d.state, d.valid_from

@@ -100,11 +100,18 @@ def ranking_family(spark, sf_dir):
 def running_sum_frame(spark, sf_dir):
     """Engine surface: cumulative frame (rowsBetween unboundedPreceding..0).
     Decimal accumulation keeps the running sum order-independent for the
-    oracle hash."""
+    oracle hash. Sort key (o_orderdate, o_orderkey, o_totalprice): a
+    running sum is positional, and dirty data ties the first two keys
+    with BOTH NULL and differing prices — without the price tiebreak each
+    tied row's prefix depends on arrival order (found by the r16
+    null-heavy CERTIFICATION sweep, the round after the r15 probe listed
+    ten other sites — this one passed the probe by arrival-order luck;
+    r12 totality rule, rows tying on all three keys are fully duplicate
+    in every selected column)."""
     o = load(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey", "o_totalprice")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return o.select(
@@ -193,7 +200,7 @@ def register(reg):
         running_sum_frame,
         "SELECT o_custkey, o_orderkey, "
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER "
-        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey, o_totalprice "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total "
         "FROM orders",
     )
@@ -354,7 +361,14 @@ def rolling_stats(spark, sf_dir):
     """Time-series rolling statistics — trailing ROLL_N-row mean / std /
     z-score of events.value per user (the anomaly-detection primitive a
     monitoring pipeline runs per key). One keyed window, frame
-    rowsBetween(-6, 0), orderBy (ts, event_id) for tie-stable frames.
+    rowsBetween(-6, 0), orderBy (ts, event_id, value): a ROWS frame's
+    membership is positional, so the sort must be total up to
+    fully-duplicate rows — dirty data ties (ts, event_id) with BOTH NULL
+    and differing values (~9% of rows at 30% NULL density,
+    NULLHEAVY_r15), and without the value tiebreak each tied row's
+    trailing frame depends on arrival order (the r12 totality rule; rows
+    tying on all three keys are identical in every selected column, so
+    their swap cannot change any frame sum).
     Σx and Σx² accumulate as exact decimals so mean/variance are
     order-independent; variance clamps at 0 (double rounding can push a
     constant frame fractionally negative — same guard as
@@ -373,7 +387,7 @@ def rolling_stats(spark, sf_dir):
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "value")
         .rowsBetween(-(ROLL_N - 1), 0)
     )
     x = F.col("value")
@@ -402,7 +416,7 @@ WITH f AS (
          CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
          CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s2
   FROM events WHERE value IS NOT NULL AND isfinite(value)
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value
                ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
