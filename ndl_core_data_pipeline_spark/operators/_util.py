@@ -433,10 +433,18 @@ def sql_str_to_bigint(expr: str) -> str:
     (round-15 review: the first fix's via-DOUBLE ELSE branch parsed
     '1e2'→100 and rounded huge fractionals at 2^53). Truncation =
     sign + integer-part digits, extracted textually; an empty integer
-    part ('.5', '+.5') is 0. `expr` is inlined several times — keep the
-    argument a plain column reference (the JSON oracles bind their
-    escaped/extracted value in a CTE first)."""
-    t = f"trim({expr})"
+    part ('.5', '+.5') is 0. Edge whitespace: Spark's cast trims the
+    ASCII control/space set — probed per code point on Spark 4, the
+    trimmed class is exactly [\\x00-\\x20\\x7F] at both ends ('\\t42',
+    '\\x0B42', '\\x7F42' all cast to 42; U+00A0/U+2009 do NOT trim) —
+    where DuckDB trim() strips only ' ' (round-15 ADVICE: '\\t42' was
+    42 on the engine but NULL in the oracle). `expr` is inlined several
+    times — keep the argument a plain column reference (the JSON
+    oracles bind their escaped/extracted value in a CTE first)."""
+    t = (
+        f"regexp_replace({expr}, "
+        "'^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g')"
+    )
     ip = f"regexp_extract({t}, '^[+-]?[0-9]*')"
     return (
         f"CASE WHEN regexp_matches({t}, '^[+-]?[0-9]+$') "

@@ -130,13 +130,22 @@ def asof_join_last_view(spark, sf_dir):
     """As-of join: for each purchase event, the most recent prior 'view' by
     the same user (engine surface — ordered-adjacency family of J3/W1).
     Implemented as a window carry-forward, not a join: one shuffle on
-    user_id, no range-join explosion."""
+    user_id, no range-join explosion.
+
+    Sort key (ts, event_id, event_type): the carry-forward is positional
+    (PRECEDING..-1 frame), and dirty data ties (ts, event_id) — both
+    NULL, or equal ts with NULL ids — between a view and a purchase;
+    whether the view lands inside the purchase's frame would otherwise
+    depend on arrival order (r16 totality lint). event_type closes the
+    key over every column the window READS: tied rows equal in all
+    three contribute identical (view_ts, view_id) pairs, so any
+    remaining tie is carry-equivalent."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "event_type")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
@@ -237,16 +246,20 @@ def range_join_binned(spark, sf_dir):
     local = stream.withColumn("c_cnt", F.sum("cnt").over(w_in)).withColumn(
         "c_val", F.sum("val").over(w_in)
     )
-    # bucket totals = the cumulative at each bucket's LAST row (the
-    # window order is total, so max_by is deterministic); aggregating
-    # over `local` instead of `stream` makes both consumers share one
-    # subtree, so the bucket Exchange is computed once and the second
-    # branch reads a ReusedExchange instead of re-scanning events
-    # (pinned by test_range_binned_is_prefix_sum)
-    last_key = F.struct("t", "kind", "row_id", "sign")
+    # bucket totals = plain per-bucket SUMS, not the cumulative at the
+    # bucket's last row: a max_by(c_val, last_key) lookup breaks when
+    # the last sort key TIES (equal ts + NULL event_id views — max_by
+    # picks an arbitrary tied row whose prefix may exclude the other
+    # tied row's value; r16 totality lint). Sums are order-independent
+    # by construction and numerically identical (the bucket-end prefix
+    # IS the bucket sum). Aggregating over `local` instead of `stream`
+    # keeps both consumers on one subtree, so the bucket Exchange is
+    # computed once and the second branch reads a ReusedExchange
+    # instead of re-scanning events (pinned by
+    # test_range_binned_is_prefix_sum)
     totals = local.groupBy("bucket").agg(
-        F.max("c_cnt").alias("b_cnt"),
-        F.max_by("c_val", last_key).alias("b_val"),
+        F.sum("cnt").alias("b_cnt"),
+        F.sum("val").alias("b_val"),
     )
     w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
@@ -442,7 +455,7 @@ def register(reg):
         "SELECT event_id, user_id, ts, event_type, "
         "last_value(CASE WHEN event_type='view' THEN ts END IGNORE NULLS) OVER w AS last_view_ts, "
         "last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER w AS last_view_id "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, event_type "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
         ") t WHERE event_type = 'purchase'",
     )
@@ -506,7 +519,7 @@ def register_round6(reg):
         "SELECT event_id, user_id, ts, event_type, "
         "last_value(CASE WHEN event_type='view' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS v_us, "
         "last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER w AS v_id "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, event_type "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
         ") t WHERE event_type = 'purchase'",
     )
@@ -521,13 +534,16 @@ def asof_join_with_tolerance(spark, sf_dir):
     same user ONLY if that view is within 30 minutes — older matches
     null out. Same single user_id-keyed window carry-forward as
     `join_asof_last_view` plus a map-side recency predicate; no
-    range-join explosion at any scale."""
+    range-join explosion at any scale. Sort key (ts, event_id,
+    event_type) for the same totality reason as join_asof_last_view:
+    event_type closes the key over every column the carry-forward
+    reads (r16 totality lint)."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "event_type")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     us = F.unix_micros(F.col("ts"))

@@ -50,7 +50,10 @@ def cosine_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
+        # label closes the sort key over the full OUTPUT row (r16
+        # totality lint): dirty data ties (equal rounded cos_sim, NULL
+        # vec_id) with different labels at the rank-20 cut
+        .orderBy(F.desc("cos_sim"), "vec_id", "label")
         .limit(20)
     )
 
@@ -72,7 +75,8 @@ def threshold_labels(spark, sf_dir):
         .select("query_id", "vec_id", "label", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.3)
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    # label tiebreak: totality over the output row (r16 lint)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id", "label")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
@@ -309,7 +313,8 @@ def ivf_topk(spark, sf_dir):
     return (
         cand.crossJoin(F.broadcast(q))
         .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
+        # label tiebreak: totality over the output row (r16 lint)
+        .orderBy(F.desc("cos_sim"), "vec_id", "label")
         .limit(10)
     )
 
@@ -611,7 +616,7 @@ def register(reg):
         "WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) "
         f"SELECT vec_id, label, ROUND({cos_expr}, 6) AS cos_sim "
         "FROM embeddings e, q WHERE vec_id <> 0 "
-        "ORDER BY cos_sim DESC, vec_id LIMIT 20",
+        "ORDER BY cos_sim DESC, vec_id, label LIMIT 20",
     )
     reg.add(
         "vector_threshold_labels",
@@ -622,7 +627,7 @@ def register(reg):
         "  FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
         "ranked AS ("
         "  SELECT query_id, vec_id, label, cos_sim, "
-        "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk "
+        "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id, label) AS rnk "
         "  FROM scored WHERE cos_sim > 0.3) "
         "SELECT query_id, rnk, vec_id, label, cos_sim FROM ranked WHERE rnk <= 3",
     )
@@ -703,7 +708,7 @@ def register(reg):
         f"SELECT e.vec_id, e.label, ROUND({cos_expr}, 6) AS cos_sim "
         "FROM embeddings e JOIN members USING (vec_id), q "
         "WHERE e.vec_id <> 0 "
-        "ORDER BY cos_sim DESC, vec_id LIMIT 10",
+        "ORDER BY cos_sim DESC, vec_id, label LIMIT 10",
     )
     reg.add(
         "vector_lsh_buckets",
@@ -899,7 +904,8 @@ def pq_adc_topk(spark, sf_dir):
         .join(F.broadcast(lut), ["m", "code"])
         .groupBy("vec_id", "label")
         .agg(F.sum(F.col("qd2").cast("decimal(25,6)")).cast("double").alias("adc_d2"))
-        .orderBy("adc_d2", "vec_id")
+        # label tiebreak: totality over the output row (r16 lint)
+        .orderBy("adc_d2", "vec_id", "label")
         .limit(10)
     )
 
@@ -953,7 +959,7 @@ def register_round6(reg):
         "FROM best b JOIN lut l ON b.m = l.m AND b.code = l.code "
         "WHERE b.rn = 1 AND b.vec_id <> 0 "
         "GROUP BY b.vec_id, b.label "
-        "ORDER BY adc_d2, vec_id LIMIT 10",
+        "ORDER BY adc_d2, vec_id, label LIMIT 10",
     )
 
 
@@ -1251,7 +1257,8 @@ def ivfpq_adc_search(spark, sf_dir):
             .cast("double")
             .alias("adc_d2")
         )
-        .orderBy("adc_d2", "vec_id")
+        # label/cell_id tiebreaks: totality over the output row (r16 lint)
+        .orderBy("adc_d2", "vec_id", "label", "cell_id")
         .limit(10)
     )
 
@@ -1318,7 +1325,7 @@ def _ivfpq_oracle_sql() -> str:
         "ON b.cell_id = l.cell_id AND b.m = l.m AND b.code = l.code "
         "WHERE b.rn = 1 AND b.vec_id <> 0 "
         "GROUP BY b.vec_id, b.label, b.cell_id "
-        "ORDER BY adc_d2, vec_id LIMIT 10"
+        "ORDER BY adc_d2, vec_id, label, b.cell_id LIMIT 10"
     )
 
 
@@ -1364,7 +1371,11 @@ def matryoshka_prefix_topk(spark, sf_dir):
             "q_emb",
             round6_det(pre_cos).alias("pre_cos"),
         )
-        .orderBy(F.desc("pre_cos"), "vec_id")
+        # label tiebreak (r16 lint); residual: a tie equal in
+        # (pre_cos, vec_id, label) with a DIFFERENT embedding at the
+        # candidate cut remains order-dependent — requires a round6
+        # collision on top of NULL keys, accepted
+        .orderBy(F.desc("pre_cos"), "vec_id", "label")
         .limit(MRL_CANDIDATES)
     )
     full_cos = _dot(F.col("embedding"), F.col("q_emb")) / (
@@ -1374,7 +1385,7 @@ def matryoshka_prefix_topk(spark, sf_dir):
         cands.select(
             "vec_id", "label", "pre_cos", round6_det(full_cos).alias("cos_sim")
         )
-        .orderBy(F.desc("cos_sim"), "vec_id")
+        .orderBy(F.desc("cos_sim"), "vec_id", "label", "pre_cos")
         .limit(10)
     )
 
@@ -1408,12 +1419,12 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id <> 0
 ),
 cands AS (
-  SELECT * FROM scored ORDER BY pre_cos DESC, vec_id LIMIT {MRL_CANDIDATES}
+  SELECT * FROM scored ORDER BY pre_cos DESC, vec_id, label LIMIT {MRL_CANDIDATES}
 )
 SELECT c.vec_id, c.label, c.pre_cos,
        {_sql_r6(full)} AS cos_sim
 FROM cands c, q
-ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+ORDER BY cos_sim DESC, c.vec_id, c.label, c.pre_cos LIMIT 10
 """
 
 

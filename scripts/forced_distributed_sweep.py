@@ -142,7 +142,11 @@ def main() -> None:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
-    results: dict[str, dict] = load_results(args.out, valid_keys=queries)
+    # prune by the CURRENT member set, not the full registry: a stale
+    # row for a query that left the membership would otherwise survive
+    # the load and keep counting as a live attestation in both this
+    # summary and certify_round's sweep count (round-15 ADVICE, low)
+    results: dict[str, dict] = load_results(args.out, valid_keys=set(members))
     for i, name in enumerate(members):
         if name in results and not args.redo:
             continue

@@ -407,3 +407,51 @@ def test_vt_whitespace_guard_rewrites_all_split_sites():
     nested = _re.compile(r"\[[^\]]*\[ \\t")
     mangled = {n for n, sql in ORACLES.items() if nested.search(sql)}
     assert not mangled, f"oracles with nested-class mangle: {sorted(mangled)}"
+
+
+def test_vt_guard_inputs_keep_backslash_s_inside_quotes(monkeypatch):
+    r"""guard_vt_whitespace is textual and context-blind: it rewrites the
+    2-char sequence \s ANYWHERE in the oracle, so a `\\s` (regex-literal
+    backslash followed by 's') or a \s outside a single-quoted literal
+    (e.g. in a comment or a double-quoted identifier) would be silently
+    corrupted without the post-guard canaries noticing (round-15 ADVICE,
+    low). Assert the guard's PRECONDITION on the raw pre-guard oracle
+    text — rebuilt with the registry-time guards monkeypatched to
+    identity: every \s / \S occurrence lies inside a single-quoted span,
+    and the corruptible `\\s` / `\\S` sequences never occur at all."""
+    from ndl_core_data_pipeline_spark import contract as eng_contract
+    from ndl_core_data_pipeline_spark.operators import _util
+
+    for g in (
+        "guard_vt_whitespace",
+        "guard_unicode_lower",
+        "guard_nonfinite_decimal_casts",
+    ):
+        monkeypatch.setattr(_util, g, lambda s: s)
+    raw = eng_contract.build_registry().oracles
+    assert set(raw) == set(ORACLES)  # same registry, guards inert
+
+    def _single_quoted_spans(s: str) -> list[tuple[int, int]]:
+        spans, i = [], 0
+        while True:
+            p = _util._find_skip(s, i)
+            if p == -1:
+                return spans
+            e = _util._skip_region(s, p)
+            if s[p] == "'":
+                spans.append((p, e))
+            i = e
+
+    bad: list[str] = []
+    for name, sql in raw.items():
+        if "\\\\s" in sql or "\\\\S" in sql:
+            bad.append(f"{name}: contains literal-backslash \\\\s/\\\\S")
+            continue
+        spans = _single_quoted_spans(sql)
+        for m in re.finditer(r"\\[sS]", sql):
+            if not any(a < m.start() and m.end() <= b for a, b in spans):
+                bad.append(
+                    f"{name}: \\{sql[m.start() + 1]} at offset {m.start()} "
+                    "is outside every single-quoted literal"
+                )
+    assert not bad, "\n".join(bad)

@@ -490,9 +490,11 @@ def test_sql_str_to_bigint_mirrors_spark_truncation(spark):
     """Pins the string→BIGINT cast class (r14 ADVICE): DuckDB
     TRY_CAST('3.5' AS BIGINT) ROUNDS to 4 where Spark's non-ANSI cast
     truncates toward zero to 3, so JSON-extracted numeric strings need
-    sql_str_to_bigint on the oracle side. The helper keeps integer
-    strings on the exact direct-cast path (precision past 2^53) and
-    routes everything else through trunc(DOUBLE)."""
+    sql_str_to_bigint on the oracle side. The helper extracts sign +
+    integer-part digits TEXTUALLY (the r15 trunc(DOUBLE) bridge parsed
+    '1e2'→100 and rounded huge fractionals at 2^53) after stripping
+    Spark's probed edge-trim class [\\x00-\\x20\\x7F] (r15 ADVICE:
+    DuckDB trim() only strips spaces, so '\\t42' diverged)."""
     import duckdb
 
     from ndl_core_data_pipeline_spark.io import ensure_session_defaults
@@ -509,7 +511,14 @@ def test_sql_str_to_bigint_mirrors_spark_truncation(spark):
              # (UTF8String rejects 'e'), huge fractionals truncate
              # TEXTUALLY (no 2^53 double rounding), '.5' is 0
              "1e2", "3.5e1", "9007199254740993.5", "3.", ".5", "+3.5",
-             "  -7.9  ", "123abc", "٣٤"]
+             "  -7.9  ", "123abc", "٣٤",
+             # round-16 (r15 ADVICE): control-padded strings — Spark's
+             # cast edge-trims [\x00-\x20\x7F]; DuckDB trim() is
+             # space-only, so the oracle must strip the full class.
+             # NBSP and thin space are NOT in the class (stay NULL);
+             # interior controls still reject.
+             "\t42", "\x0b42", "\x7f42", "\r\n42\r\n", "\x0b3.5",
+             "\x1f-7", "\xa042", " 42", "4\x0c2", "\x0b"]
     con = duckdb.connect()
     try:
         for s in cases:
