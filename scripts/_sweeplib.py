@@ -52,6 +52,8 @@ _HASH_INPUTS = (
     "scripts/forced_distributed_sweep.py",
     "scripts/skew_sweep.py",
     "scripts/nonfinite_sweep.py",
+    "scripts/nullheavy_sweep.py",
+    "scripts/compound_sweep.py",
 )
 
 

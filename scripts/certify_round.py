@@ -62,6 +62,11 @@ SWEEP_FILES = {
     "forced-distributed oracle parity": ".scale/forced_distributed_sweep.json",
     "hot-key skew parity": ".scale/skew_sweep.json",
     "non-finite doubles parity": ".scale/nonfinite_sweep.json",
+    # round 16: the r15 escalation probe promoted to a certified gate
+    # (30% NULL density, seed 7121) and the three-axis compound fixture
+    # (hotkey 50% -> unicode 5% -> nulls 30% on one copy)
+    "null-heavy parity (30%)": ".scale/nullheavy_sweep.json",
+    "compound hot+unicode+null parity": ".scale/compound_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes
@@ -170,21 +175,35 @@ def step_artifacts(report: dict, round_no: int, bench_ran: bool = False) -> bool
             commit_now.append(line.strip())
         else:
             bad.append(line.strip())
-    # every round-numbered artifact of THIS round that exists on disk
-    # must be tracked (any name class: the regex is the source of truth)
+    # EVERY round-numbered artifact on disk must be tracked — any round,
+    # not just this one: the driver writes BENCH_rN/CORRECTNESS_rN after
+    # the builder's last commit, so the PRIOR round's files are exactly
+    # the ones that recur untracked at judge time (eight consecutive
+    # rounds through r15 — round-16 VERDICT item 4). certify now STAGES
+    # them itself (git add, no commit) so the round-close commit picks
+    # them up mechanically instead of by memory.
     rc2, tracked, _ = _run(["git", "ls-files"])
     tracked_set = set(tracked.splitlines())
     missing = [
         f for f in sorted(os.listdir(REPO))
-        if f.endswith(f"_r{round_no}.json")
-        and ROUND_ARTIFACT_RE.match(f)
-        and f not in tracked_set
+        if ROUND_ARTIFACT_RE.match(f) and f not in tracked_set
     ]
+    staged = []
+    for f in missing + [
+        line.split(None, 1)[1] for line in commit_now
+    ]:
+        rc3, _, _ = _run(["git", "add", "--", f])
+        if rc3 == 0:
+            staged.append(f)
     report["artifacts"] = {
         "untracked_or_modified": bad,
-        "untracked_expected": missing,
+        "staged_for_round_close_commit": staged,
         "commit_with_round_close": commit_now,
     }
+    # staging fixes the tree for the NEXT commit, but certification
+    # still FAILS while anything beyond the expected bench refresh is
+    # dirty: evidence files must be committed, not merely staged, when
+    # the judge reads the tree
     return not bad and not missing
 
 
@@ -286,6 +305,27 @@ def main() -> None:
         raise SystemExit(f"unknown steps {sorted(unknown)}; have {sorted(STEPS)}")
 
     report: dict = {"round": args.round}
+    # frozen-tree stamps: the engine hash ties this report to the exact
+    # sweep-relevant sources; the TESTS hash (round-16 VERDICT item 8)
+    # additionally freezes tests/ so a pin test landing after
+    # certification is visible as a stamp mismatch instead of silently
+    # post-dating the "frozen tree" (the r15
+    # test_turkish_i_casing_agrees_without_locale case)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from _sweeplib import engine_tree_hash
+
+    import glob as _glob
+    import hashlib as _hashlib
+
+    th = _hashlib.sha256()
+    for p in sorted(_glob.glob(os.path.join(REPO, "tests", "**", "*.py"),
+                               recursive=True)):
+        with open(p, "rb") as fh:
+            th.update(os.path.relpath(p, REPO).encode())
+            th.update(b"\0")
+            th.update(_hashlib.sha256(fh.read()).digest())
+    report["engine_tree"] = engine_tree_hash()
+    report["tests_tree"] = th.hexdigest()
     failures: list[str] = []
     for name, fn in STEPS.items():
         if name in skip:
