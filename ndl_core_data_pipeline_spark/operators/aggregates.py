@@ -419,8 +419,14 @@ def register_round6(reg):
         mode_per_group,
         "WITH counts AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt "
         "FROM customer GROUP BY c_mktsegment, c_nationkey), "
+        # NULLS LAST mirrors the engine's max_by struct ordering, where a
+        # NULL -c_nationkey field is SMALLEST and so loses count ties to
+        # every real key; the session pragma's nulls-first-on-asc default
+        # made the NULL nationkey WIN oracle ties instead (r16 compound
+        # sweep — hot keys pile counts until the NULL group ties a real
+        # one)
         "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
-        "ORDER BY cnt DESC, c_nationkey ASC) AS rnk FROM counts) "
+        "ORDER BY cnt DESC, c_nationkey ASC NULLS LAST) AS rnk FROM counts) "
         "SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count "
         "FROM ranked WHERE rnk = 1",
     )

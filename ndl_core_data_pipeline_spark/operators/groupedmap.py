@@ -48,8 +48,14 @@ def register(reg):
     reg.add(
         "groupedmap_zscore",
         zscore_per_group,
+# the NULL-n_chars branch comes FIRST: a row with no length has no
+        # z-score (the pandas form propagates NaN through (x-mean)/std and
+        # x*0.0 alike), but the bare ELSE 0.0 assigned such rows 0.0 in
+        # zero-variance groups — which hot-key duplication mass-produces
+        # (r16 compound sweep)
         "SELECT doc_id, source, n_chars, "
-        "ROUND(CASE WHEN stddev_pop(n_chars) OVER w > 0 "
+        "ROUND(CASE WHEN n_chars IS NULL THEN NULL "
+        "WHEN stddev_pop(n_chars) OVER w > 0 "
         "THEN (n_chars - AVG(n_chars) OVER w) / (stddev_pop(n_chars) OVER w) "
         "ELSE 0.0 END, 6) AS zscore "
         "FROM documents WINDOW w AS (PARTITION BY source)",

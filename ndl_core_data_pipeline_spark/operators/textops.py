@@ -950,12 +950,12 @@ FROM counts GROUP BY doc_id""",
         rf"""WITH words AS (
   SELECT doc_id, t.term FROM (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-    FROM documents) d, UNNEST(d.ws) AS t(term)
+    FROM documents WHERE doc_id IS NOT NULL) d, UNNEST(d.ws) AS t(term)
   WHERE len(t.term) > 0
 ),
 doclen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
 stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
        WHERE term IN ({terms_in}) GROUP BY doc_id, term),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -1117,8 +1117,16 @@ def bm25_topk(spark, sf_dir):
     formulation derived doclen/stats/tf from a shared `words` subtree —
     Catalyst re-executes an uncached subtree per consumer, so the corpus
     was exploded three times (27 s vs ~2 s at sf0.1). Per-term scores
-    round to 6 dp and sum as decimals (_util.py discipline)."""
-    docs = load(spark, sf_dir, "documents")
+    round to 6 dp and sum as decimals (_util.py discipline).
+
+    Identified docs only (the postings/contamination rule, r15): the
+    engine's groupBy keeps a merged NULL-doc_id pseudo-doc while the
+    oracle's JOIN doclen USING (doc_id) silently drops it, so its score
+    entered one top-15 and not the other (r16 compound sweep). Identity
+    on clean data (ids are never NULL there)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     docs = rebalance_narrow_scan(docs, spark)
     words = _words(docs)
     tf_cols = [
@@ -1229,8 +1237,15 @@ def ordered_string_concat(spark, sf_dir):
         .distinct()
         .groupBy("o_orderstatus")
         .agg(
-            F.array_join(
-                F.array_sort(F.collect_list("o_orderpriority")), ","
+            # a group whose priorities are ALL NULL must aggregate to
+            # NULL like SQL string_agg, not '' (collect_list skips NULLs
+            # and array_join('') masked the difference — r16 compound
+            # sweep); a group holding a real empty string still yields ''
+            F.when(
+                F.size(F.collect_list("o_orderpriority")) > 0,
+                F.array_join(
+                    F.array_sort(F.collect_list("o_orderpriority")), ","
+                ),
             ).alias("priorities")
         )
     )

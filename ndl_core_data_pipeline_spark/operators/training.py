@@ -94,8 +94,14 @@ def sample_stratified(spark, sf_dir):
     rate = F.when(F.col("lang") == "en", F.lit(STRAT_PCT_EN)).otherwise(
         F.lit(STRAT_PCT_OTHER)
     )
+    # a NULL doc_id hashes to a NULL bucket: define it NOT SAMPLED
+    # (0), matching the oracle's CASE (NULL < rate is false there) — a
+    # bare cast left it NULL, so a stratum whose ids were ALL NULL
+    # summed to NULL instead of 0 (r16 compound sweep)
     return (
-        docs.withColumn("sampled", (bucket < rate).cast("bigint"))
+        docs.withColumn(
+            "sampled", F.coalesce((bucket < rate).cast("bigint"), F.lit(0))
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_total"),

@@ -66,9 +66,18 @@ def sessionize_conversations(spark, sf_dir):
     """W4: stateful-scan sessionization — running sum over boundary flags
     (ref: hansard conversation segmentation, parser.py:203-252: new
     conversation at each 'Start Question'). Here: new session per user when
-    idle gap > 30 min; emits per-session aggregates."""
+    idle gap > 30 min; emits per-session aggregates.
+
+    Sort key (ts, event_id, value): session numbering is a running sum
+    (positional), and every NULL-ts row is its own singleton session —
+    so the session_id ordinal <-> value pairing depends on arrival order
+    when (ts, event_id) tie with BOTH NULL and differing values. The
+    r16 compound sweep caught it (a 50%-hot user carries ~1500 NULL-ts
+    rows; the single-axis tiers passed on small tie groups by layout
+    luck). value closes the key over every consumed column — rows tying
+    on all three are fully duplicate in the aggregates."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id", "value")
     micros = F.unix_micros(F.col("ts"))
     gap = micros - F.lag(micros, 1).over(w)
     is_start = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
@@ -177,9 +186,9 @@ def register(reg):
         "WITH flagged AS ("
         "  SELECT user_id, ts, event_id, value,"
         "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000 THEN 0 ELSE 1 END AS is_start"
-        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value)"
         "), numbered AS ("
-        "  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id, value "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged"
         ") SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
         "MIN(ts) AS session_start, MAX(ts) AS session_end, "

@@ -259,10 +259,12 @@ ALLOWLIST: dict[tuple[str, str, str, str], str] = {
      "n_chars,doc_id"):
         "output-dup: partition ∪ keys = the full output row",
     ("operators/windows.py", "sessionize_conversations", "window",
-     "ts,event_id"):
-        "tie-safe: tied rows share ts ⇒ identical gap/is_start flags "
-        "for every permutation, and the per-session aggregates "
-        "(min/max/count/decimal-sum) are order-insensitive",
+     "ts,event_id,value"):
+        "full-row: value closes the key over every consumed column. The "
+        "first lint pass allowlisted (ts,event_id) as tie-safe — wrong: "
+        "NULL-ts rows are singleton sessions, so the session ORDINAL "
+        "pairs with a value arrival-dependently; the r16 compound sweep "
+        "caught it on a 50%-hot user",
     ("operators/windows.py", "ranking_family", "window",
      "c_acctbal,c_custkey"):
         "output-dup: partition ∪ keys cover every output column; "
