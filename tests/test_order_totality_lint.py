@@ -420,3 +420,82 @@ def test_registry_wide_order_totality():
         "changed or site removed — re-review):\n  "
         + "\n  ".join(map(str, stale))
     )
+
+
+# Engine sites whose oracle legitimately uses a DIFFERENT decomposition,
+# so the engine's key tuple cannot appear verbatim in the oracle text.
+# (function, keys) -> reason.
+ORACLE_DECOMPOSITION_EXEMPT: dict[tuple[str, str], str] = {
+    ("trend_weekly_growth", "week"):
+        "oracle orders by the date_trunc expression, not the alias",
+    ("range_join_binned", "t,kind,row_id,sign"):
+        "oracle is the naive LEFT JOIN form — no prefix-sum stream",
+    ("range_join_binned", "bucket"):
+        "oracle is the naive LEFT JOIN form — no bucket offset scan",
+    ("bottomk_sample_quantiles", "h,o_orderkey,o_totalprice"):
+        "oracle inlines the md5 hash expression where the engine "
+        "materializes column h",
+    ("text_zipf_fit", "n,g"):
+        "oracle ranks with ONE global window; the engine's two-level "
+        "(histogram offset + within-group) decomposition is pinned "
+        "bit-identical by its own test",
+    ("text_zipf_fit", "term"):
+        "same two-level decomposition",
+    ("sample_topk_per_source", "h,doc_id"):
+        "oracle inlines the hash expression",
+    ("ann_recall_report", "qd2,cell_id"):
+        "oracle inlines the squared-L2 expression",
+    ("ivf_topk", "qd2,cell_id"):
+        "oracle inlines the squared-L2 expression",
+    ("distributed_prefix_sum", "day"):
+        "oracle uses one global window; the engine's per-day offset "
+        "scan is the distributed decomposition",
+}
+
+
+def test_engine_order_keys_appear_in_oracle_text():
+    """Engine↔oracle sort-key consistency: for every reviewed
+    window/limit site whose keys are plain columns, the SAME column
+    sequence must appear in an ORDER BY of the paired oracle SQL
+    (optionally qualified / DESC / NULLS-annotated). This pins the
+    desync mode every totality fix this round had to patch twice —
+    engine edited, oracle forgotten (or vice versa) — at build time.
+    Sites where the oracle legitimately uses another decomposition are
+    exempt with a reason above; an exemption whose site vanished goes
+    stale-loud like the main allowlist."""
+    import __spark_entry__ as contract
+
+    qs, orc = contract.queries(), contract.oracle_sql()
+    fn2q: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        fn2q.setdefault(fn.__name__, []).append(name)
+
+    def key_pattern(keys: str):
+        cols = keys.split(",")
+        if any(not re.match(r"^[a-z_0-9]+$", c) for c in cols):
+            return None  # expression keys — not textually matchable
+        part = r"[\w\.]*%s(\s+(DESC|ASC))?(\s+NULLS\s+(FIRST|LAST))?"
+        return re.compile(
+            r"ORDER\s+BY\s+"
+            + r"\s*,\s*".join(part % re.escape(c) for c in cols),
+            re.I,
+        )
+
+    missing, used_exempt = [], set()
+    for (file, fn, kind, keys) in ALLOWLIST:
+        pat = key_pattern(keys)
+        if pat is None:
+            continue
+        if (fn, keys) in ORACLE_DECOMPOSITION_EXEMPT:
+            used_exempt.add((fn, keys))
+            continue
+        for qname in fn2q.get(fn, []):
+            sql = orc.get(qname)
+            if sql and not pat.search(sql):
+                missing.append(
+                    f"{fn} [{kind}] ({qname}): engine keys ({keys}) not "
+                    "found in any oracle ORDER BY — engine/oracle desync?"
+                )
+    assert not missing, "\n".join(missing)
+    stale = sorted(set(ORACLE_DECOMPOSITION_EXEMPT) - used_exempt)
+    assert not stale, f"stale decomposition exemptions: {stale}"
