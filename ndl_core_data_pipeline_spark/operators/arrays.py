@@ -42,15 +42,22 @@ def ordered_distinct_members(spark, sf_dir):
     firsts = ev.groupBy("user_id", "event_type").agg(
         F.min(F.struct("ts", "event_id")).alias("first_seen")
     )
+    # a user whose event types are ALL NULL must aggregate to NULL like
+    # SQL string_agg, not '' — array_join silently skips NULL elements,
+    # so the empty join masked the difference (r16 compound-max probe;
+    # the agg_ordered_string_concat class recurring at every
+    # array_join-over-collect site)
+    members = F.array_sort(
+        F.collect_list(F.struct("first_seen", "event_type"))
+    )
     return (
         firsts.groupBy("user_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("first_seen", "event_type"))),
-                    lambda x: x["event_type"],
+            F.when(
+                F.exists(members, lambda x: x["event_type"].isNotNull()),
+                F.array_join(
+                    F.transform(members, lambda x: x["event_type"]), ","
                 ),
-                ",",
             ).alias("types_in_order")
         )
     )
@@ -60,17 +67,19 @@ def concat_with_separator(spark, sf_dir):
     """X15: per-user conversation text — event types joined with ' \\p ' in
     (ts, event_id) order (ref separator parser.py:242-246)."""
     ev = load(spark, sf_dir, "events")
+    # NULL when every collected event_type is NULL (string_agg
+    # semantics; r16 compound-max probe — see ordered_distinct_members)
+    segs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
     return (
         ev.groupBy("user_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda x: x["event_type"],
+            F.when(
+                F.exists(segs, lambda x: x["event_type"].isNotNull()),
+                F.array_join(
+                    F.transform(segs, lambda x: x["event_type"]), " \\p "
                 ),
-                " \\p ",
             ).alias("conversation")
         )
     )

@@ -240,16 +240,18 @@ def sequence_pattern_match(spark, sf_dir):
     Non-overlapping occurrence count via length arithmetic — identical
     left-to-right replace semantics in both engines."""
     ev = load(spark, sf_dir, "events")
-    seq_col = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
-                )
-            ),
-            lambda s: s["c"],
-        ),
-        "",
+    # NULL seq (not '') when every initial is NULL: string_agg over an
+    # all-NULL group is NULL, and LENGTH(NULL) must propagate to
+    # n_events / n_strict_funnels on both engines (r16 compound-max
+    # probe — the array_join-over-collect '' -vs- NULL class)
+    chars = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+        )
+    )
+    seq_col = F.when(
+        F.exists(chars, lambda s: s["c"].isNotNull()),
+        F.array_join(F.transform(chars, lambda s: s["c"]), ""),
     )
     per_user = ev.groupBy("user_id").agg(seq_col.alias("seq"))
     n_hits = (

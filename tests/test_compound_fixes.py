@@ -181,6 +181,44 @@ def test_stratified_all_null_id_stratum_samples_zero(spark, tmp_path):
     assert got["xx"] == 0
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["array_concat_sep", "array_ordered_distinct", "events_pattern_match"],
+)
+def test_all_null_payload_group_aggregates_to_null(spark, tmp_path_factory, name):
+    """The compound-MAX probe's find (80% hot x 50% unicode x 30% NULL,
+    COMPOUNDMAX_r16.json): a user whose event_types are ALL NULL must
+    aggregate to a NULL string like SQL string_agg — array_join silently
+    skips NULL elements, so every array_join-over-collect site emitted
+    '' instead (the agg_ordered_string_concat class recurring). User 5
+    is the all-NULL-payload group; user 6 mixes a NULL with a real type
+    (must keep aggregating the real one); user 7 carries a real EMPTY
+    STRING type (must stay '', not be NULLed)."""
+    rows = [
+        (50, "2024-05-01T10:00:00", 5, None, 1.0, "{}"),
+        (51, "2024-05-01T10:01:00", 5, None, 2.0, "{}"),
+        (60, "2024-05-01T10:00:00", 6, None, 1.0, "{}"),
+        (61, "2024-05-01T10:01:00", 6, "view", 2.0, "{}"),
+        (70, "2024-05-01T10:00:00", 7, "", 1.0, "{}"),
+    ]
+    tmp = tmp_path_factory.mktemp(f"allnull_{name}")
+    d = _fixture_dir(tmp, "d", "events", _events_table(rows))
+    problems = run_compare(spark, name, QUERIES[name], ORACLES[name], d)
+    assert not problems, problems
+    col = {
+        "array_concat_sep": "conversation",
+        "array_ordered_distinct": "types_in_order",
+        "events_pattern_match": "seq",
+    }[name]
+    out = {r.user_id: r.asDict() for r in QUERIES[name](spark, d).collect()}
+    if name == "events_pattern_match":
+        assert out[5]["n_events"] is None
+    else:
+        assert out[5][col] is None
+        assert out[6][col] == "view"
+        assert out[7][col] == ""
+
+
 def test_bm25_excludes_null_doc_pseudo_doc(spark, tmp_path):
     # a NULL-id "document" stuffed with the query terms must not appear
     # in the top-k on either side (identity filter, r15 postings rule)
