@@ -81,8 +81,12 @@ def main() -> None:
             "made certified) and the NEW compound fixture (hot keys 50% "
             "x unicode 5% x nulls 30% on one copy — its first run found "
             "six interaction bugs the single-axis tiers had passed, all "
-            "fixed and pinned this round). All checkpoints "
-            "engine-tree-stamped on the frozen close tree."
+            "fixed and pinned this round; a compound-MAX probe at hot "
+            "80% x unicode 50% found three more of the "
+            "array_join-over-collect ''-vs-NULL class, also fixed and "
+            "pinned — COMPOUNDMAX_r16.json / ORDER_COMPOUND_r16.json). "
+            "All checkpoints engine-tree-stamped on the frozen close "
+            "tree."
         ),
         "tree": tree[:16],
         "results": {},
