@@ -67,6 +67,13 @@ SWEEP_FILES = {
     # (hotkey 50% -> unicode 5% -> nulls 30% on one copy)
     "null-heavy parity (30%)": ".scale/nullheavy_sweep.json",
     "compound hot+unicode+null parity": ".scale/compound_sweep.json",
+    # arrival-order invariance ON the compound fixture (the plain order
+    # sweep's 2%-dirty base cannot form compound-scale tie groups — the
+    # r16 sessionize find was exactly this blind spot). Runner:
+    #   python scripts/order_sweep.py --base .scale/compound0.01 \
+    #     --shuffled .scale/compound_shuffled0.01 --seed 424242 \
+    #     --out .scale/order_compound_sweep.json
+    "order invariance (compound base)": ".scale/order_compound_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

@@ -46,6 +46,7 @@ CHECKS = {
     "stability": ".scale/oracle_stability.json",
     "null-heavy (30%)": ".scale/nullheavy_sweep.json",
     "compound hot+uni+null": ".scale/compound_sweep.json",
+    "order (compound base)": ".scale/order_compound_sweep.json",
 }
 
 
