@@ -68,7 +68,7 @@ def sql_finite(x: str) -> str:
 
 _CAST_OPEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 _DECIMAL_TYPE_RE = re.compile(
-    r"^\s*DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*$", re.IGNORECASE
+    r"^\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$", re.IGNORECASE
 )
 _NUM_LIT_RE = re.compile(r"^\s*-?\d+(\.\d+)?\s*$")
 
@@ -235,8 +235,9 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
         wrapped = False
         if as_pos >= 0:
             expr, typ = inner[:as_pos].strip(), inner[as_pos + 2 :].strip()
+            tm = _DECIMAL_TYPE_RE.match(typ)
             if (
-                _DECIMAL_TYPE_RE.match(typ)
+                tm
                 and not _NUM_LIT_RE.match(expr)
                 and not expr.upper().startswith("CASE WHEN ISFINITE(")
             ):
@@ -244,9 +245,38 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                 # terminated before the inlined tail, else the comment
                 # swallows `) THEN ...`
                 nl = "\n" if _has_comment(expr) else ""
+                # Round-16 extreme-value probe, two more divergences on
+                # FINITE doubles beyond the non-finite class:
+                # 1. magnitude: a double past the decimal's integer
+                #    capacity (1e19, 1e300) is NULL under Spark's
+                #    non-ANSI cast but a hard ConversionException in
+                #    DuckDB — abs(x) < 10^(p-s) mirrors Spark exactly
+                #    (at p >= 18 the boundary-magnitude ULP dwarfs the
+                #    rounding step, so no double rounds ACROSS it).
+                # 2. conversion identity: Spark converts double→decimal
+                #    through the SHORTEST DECIMAL REPR (BigDecimal
+                #    .valueOf ← Double.toString) while DuckDB expands
+                #    the exact binary value — 9.9e18 becomes
+                #    ...000000000 on Spark but ...998976 in DuckDB, so
+                #    every decimal sum over large-magnitude cells
+                #    drifted. A VARCHAR round-trip makes DuckDB parse
+                #    the same shortest repr (its double→VARCHAR is also
+                #    shortest-repr). One DuckDB parser wart remains:
+                #    VARCHAR→DECIMAL rounds by LEADING DIGIT ignoring
+                #    the exponent ('5e-8' → 0.000001 where Spark gives
+                #    0), so sub-half-ULP magnitudes are zeroed first
+                #    (5e-{s+1} = 0.5×10^-s, the exact HALF_UP
+                #    boundary both engines agree on).
+                # Identity on clean data: normal magnitudes round-trip
+                # through their own exact shortest repr.
+                p, s = int(tm.group(1)), int(tm.group(2))
+                e = f"{expr}{nl}"
                 out.append(
-                    f"CAST(CASE WHEN isfinite({expr}{nl}) "
-                    f"THEN {expr}{nl} END AS {typ})"
+                    f"CAST(CASE WHEN isfinite({e}) "
+                    f"AND abs({e}) < 1e{p - s} "
+                    f"THEN CAST(CASE WHEN abs({e}) < 5e-{s + 1} "
+                    f"THEN 0 ELSE {e} END AS VARCHAR) "
+                    f"END AS {typ})"
                 )
                 wrapped = True
         if not wrapped:

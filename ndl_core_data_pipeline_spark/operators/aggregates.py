@@ -437,8 +437,12 @@ def register_round6(reg):
         "CAST((bucket + 1) * 25.0 AS DOUBLE) AS hi, "
         "COUNT(*) AS n, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS bucket_value "
-        "FROM (SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) "
-        "AS bucket, value FROM events WHERE value IS NOT NULL "
+        # clamp BEFORE the INT cast: FLOOR(1e19/25) overflows INT32 and
+        # DuckDB's cast raises where Spark's long-typed floor clamps
+        # clean (r16 extreme-value probe); values are non-NULL here so
+        # LEAST/GREATEST's null-skipping is moot
+        "FROM (SELECT CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0.0), 19.0) "
+        "AS INT) AS bucket, value FROM events WHERE value IS NOT NULL "
         "AND isfinite(value)) GROUP BY bucket",
     )
     corr_num = (

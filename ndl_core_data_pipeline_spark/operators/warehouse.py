@@ -371,7 +371,14 @@ def _spread16_sql(x: str) -> str:
 # DuckDB raises; a z-order cell for NaN is meaningless either way. The
 # guard is shared SQL text, valid verbatim in both engines.
 _ZBUCKET = (
+    # magnitude bound (r16 extreme-value probe): a finite price past
+    # ~9e17 makes FLOOR(p*10) exceed BIGINT — Spark's non-ANSI cast
+    # saturates silently while DuckDB raises, so the shared expression
+    # bounds the CASE instead: corrupt extreme prices get a NULL bucket
+    # on BOTH engines (identity on clean data; the z_value sort keys
+    # stay total via the p_partkey/p_size tiebreaks)
     "CAST(FLOOR(CASE WHEN " + sql_finite("p_retailprice")
+    + " AND abs(p_retailprice) < 9e17"
     + " THEN p_retailprice END * 10) AS BIGINT) - 9000"
 )
 _ZVALUE = f"({_spread16_sql('p_size')} | ({_spread16_sql(_ZBUCKET)} << 1))"

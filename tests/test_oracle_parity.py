@@ -157,21 +157,31 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     the isfinite CASE (registry-time rewrite in contract.Registry.add):
     DuckDB raises on CAST(NaN AS DECIMAL) where Spark's non-ANSI cast
     yields NULL, so one NaN cell would error ~45 oracles instead of
-    mirroring the engine. Also pins the transform itself: idempotent,
-    literal-skipping, nested-cast-aware, whitespace-tolerant."""
+    mirroring the engine. Round 16 extends the emission (extreme-value
+    probe): a magnitude bound (finite 1e300 is NULL on Spark, a
+    ConversionException in DuckDB), a VARCHAR round-trip so DuckDB
+    parses Spark's shortest-repr conversion instead of the exact binary
+    expansion (9.9e18 summed as ...000000000 vs ...998976), and a
+    sub-half-ULP zero branch for DuckDB's leading-digit VARCHAR→DECIMAL
+    rounding wart ('5e-8' → 0.000001 where Spark gives 0). Also pins
+    the transform itself: idempotent, literal-skipping,
+    nested-cast-aware, whitespace-tolerant."""
     from ndl_core_data_pipeline_spark.operators._util import (
         guard_nonfinite_decimal_casts as g,
     )
 
     # unit pins
     assert g("SUM(CAST(v AS DECIMAL(25,6)))") == (
-        "SUM(CAST(CASE WHEN isfinite(v) THEN v END AS DECIMAL(25,6)))"
+        "SUM(CAST(CASE WHEN isfinite(v) AND abs(v) < 1e19 "
+        "THEN CAST(CASE WHEN abs(v) < 5e-7 THEN 0 ELSE v END AS VARCHAR) "
+        "END AS DECIMAL(25,6)))"
     )
     assert g("CAST(1.10 AS DECIMAL(3,2))") == "CAST(1.10 AS DECIMAL(3,2))"
     assert g("CAST(x AS BIGINT)") == "CAST(x AS BIGINT)"
     nested = "CAST(SUM(CAST(a AS DECIMAL(27,10)))\n  AS DOUBLE)"
     out = g(nested)
-    assert "CASE WHEN isfinite(a) THEN a END" in out and "AS DOUBLE" in out
+    assert "CASE WHEN isfinite(a) AND abs(a) < 1e17 " in out
+    assert "AS DOUBLE" in out
     assert g(out) == out  # idempotent
 
     # ADVICE r11: parens / AS / quotes INSIDE string literals are text, not
@@ -180,7 +190,10 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     got = g(probe)
     assert got == (
         "CAST(CASE WHEN isfinite(regexp_replace(x, '\\(', '')) "
-        "THEN regexp_replace(x, '\\(', '') END AS DECIMAL(25,6))"
+        "AND abs(regexp_replace(x, '\\(', '')) < 1e19 "
+        "THEN CAST(CASE WHEN abs(regexp_replace(x, '\\(', '')) < 5e-7 "
+        "THEN 0 ELSE regexp_replace(x, '\\(', '') END AS VARCHAR) "
+        "END AS DECIMAL(25,6))"
     )
     assert g(got) == got  # idempotent with the literal inside the CASE
     # ')' in a literal must not close the CAST early
@@ -200,7 +213,9 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     c1 = g("-- Spark's convention\nCAST(v AS DECIMAL(25,6))")
     assert c1 == (
         "-- Spark's convention\n"
-        "CAST(CASE WHEN isfinite(v) THEN v END AS DECIMAL(25,6))"
+        "CAST(CASE WHEN isfinite(v) AND abs(v) < 1e19 "
+        "THEN CAST(CASE WHEN abs(v) < 5e-7 THEN 0 ELSE v END AS VARCHAR) "
+        "END AS DECIMAL(25,6))"
     )
     # ...a cast spelled INSIDE a comment is text, not a site...
     c2 = "-- CAST(v AS DECIMAL(25,6))\nSELECT 1"
