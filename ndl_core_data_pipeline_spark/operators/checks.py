@@ -58,6 +58,41 @@ def vector_elements_valid(col: str):
     )
 
 
+def enforce_unique_key(df: DataFrame, *cols: str, sample: int = 5) -> DataFrame:
+    """The DECLARED id contract, as a loud gate (round-16 extreme-BIGINT
+    handoff): identity columns (documents.doc_id, events.event_id,
+    embeddings.vec_id, the TPC-H keys) must be unique — or at minimum
+    carry consistent payloads. Same-id-DIFFERENT-payload rows have no
+    defined per-id merge order in ANY engine (which copy wins a
+    first/collect/group is plan-dependent), so every per-id operator's
+    output on such input is undefined; the contract is validate-and-
+    reject at ingest, exactly like vector_elements_valid for corrupt
+    embeddings — not silent per-operator merge heuristics.
+
+    Scale shape: ONE keyed count over the id columns (map-side partial
+    agg), collecting at most `sample` offending keys for the message.
+    Returns `df` unchanged when the contract holds; raises ValueError
+    naming the duplicated keys when it doesn't."""
+    dupes = (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    offenders = dupes.orderBy(F.desc("n_copies"), *cols).take(sample)
+    if offenders:
+        shown = ", ".join(
+            "(" + ", ".join(f"{c}={r[c]!r}" for c in cols) + f") ×{r['n_copies']}"
+            for r in offenders
+        )
+        raise ValueError(
+            f"id contract violated: key ({', '.join(cols)}) is not unique — "
+            f"e.g. {shown}. Per-id operators (simhash, winnowing, PMI, tree "
+            "depth, block rewrite, …) have undefined merge semantics on "
+            "same-id-different-payload rows; deduplicate or re-key at ingest."
+        )
+    return df
+
+
 def _table_report(df: DataFrame, rules) -> DataFrame:
     """All single-table rules in ONE aggregation pass. The one-row
     aggregate explodes into per-rule rows in the SAME plan — a

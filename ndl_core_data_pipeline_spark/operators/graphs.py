@@ -141,19 +141,26 @@ def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hierarchies given as EXPLICIT parent tables use
     tree_depth_over_edges, which keeps the O(log depth) doubling shape.
     The oracle is DuckDB's WITH RECURSIVE over the same parent function."""
-    # a NULL key has no position in the heap hierarchy: drop (the
-    # map-only form would emit per-row NULL depths while the oracle's
-    # GROUP BY node merges every NULL node into one row)
+    # the heap DOMAIN is k >= 0: a NULL key has no position, and neither
+    # does a negative one (two's-complement bin() would hand negatives a
+    # garbage depth of 63 while the oracle's cur > 0 recursion guard
+    # hands them 0 — extreme-BIGINT axis find). Both sides drop them.
     part = (
         load(spark, sf_dir, "part")
         .select("p_partkey")
-        .filter(F.col("p_partkey").isNotNull())
+        .filter(F.col("p_partkey") >= 0)
     )
     node = F.col("p_partkey").cast("bigint")
+    # k = 2^63-1 is IN domain but its heap index i = k+1 wraps to -2^63,
+    # whose 64-bit pattern equals unsigned 2^63: bin() length still
+    # yields the exact depth 63, and shiftrightUNSIGNED (not the
+    # arithmetic shift, which smears the sign bit) yields the exact
+    # top-two-bits ancestor. For every other in-domain k the two shifts
+    # are identical (i >= 1 has a clear sign bit).
     depth = (F.length(F.bin(node + 1)) - 1).cast("bigint")
     top = F.when(depth == 0, F.lit(0).cast("bigint")).otherwise(
         F.expr(
-            "CAST(shiftright(CAST(p_partkey AS BIGINT) + 1, "
+            "CAST(shiftrightunsigned(CAST(p_partkey AS BIGINT) + 1, "
             "CAST(length(bin(CAST(p_partkey AS BIGINT) + 1)) AS INT) - 2) - 1 "
             "AS BIGINT)"
         )
@@ -168,7 +175,7 @@ def graph_tree_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREE_SQL = """
 WITH RECURSIVE walk AS (
   SELECT p_partkey AS node, p_partkey AS cur, 0 AS steps FROM part
-  WHERE p_partkey IS NOT NULL
+  WHERE p_partkey >= 0
   UNION ALL
   SELECT node, (cur - 1) // 2, steps + 1 FROM walk WHERE cur > 0
 )

@@ -330,10 +330,14 @@ def salted_skew_join(spark, sf_dir):
     )
     # coalesce the salt: a NULL event_id would make the composite
     # (user_id, salt) key NULL and silently drop the row from a join the
-    # plain (oracle) form keeps — salting must never change membership
+    # plain (oracle) form keeps — salting must never change membership.
+    # pmod, not %: Java's % keeps the dividend's sign, so a NEGATIVE
+    # event_id (hash-derived ids are signed) salts to a value outside
+    # the exploded 0..N_SALTS-1 domain and the row silently vanishes
+    # (extreme-BIGINT axis find: 6 rows dropped at 0.5% planting).
     big = ev.filter(F.col("event_type") == "purchase").withColumn(
         "salt",
-        F.coalesce((F.col("event_id") % N_SALTS).cast("int"), F.lit(0)),
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int"), F.lit(0)),
     )
     return (
         big.join(exploded, ["user_id", "salt"])

@@ -96,10 +96,15 @@ def pii_density(spark, sf_dir):
 
 
 def _sql_with_pii() -> str:
+    # ((x % 100) + 100) % 100 mirrors the engine's pmod: DuckDB's % keeps
+    # the dividend's sign, so a NEGATIVE doc_id (extreme-BIGINT axis)
+    # would compose '07123 456 7-3' — a different synthetic INPUT than
+    # the engine's, not a masking divergence. Identity for doc_id >= 0.
     return (
         "SELECT doc_id, lang, "
         "substring(text, 1, 80) || ' Contact: user' || CAST(doc_id AS VARCHAR) "
-        "|| '@example.co.uk or 07123 456 7' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+        "|| '@example.co.uk or 07123 456 7' "
+        "|| lpad(CAST(((doc_id % 100) + 100) % 100 AS VARCHAR), 2, '0') "
         "|| ' today.' AS pii_text FROM documents"
     )
 

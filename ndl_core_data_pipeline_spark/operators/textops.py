@@ -771,11 +771,16 @@ SELECT event_id, {sql_str_to_bigint("_k")} AS k_value FROM j""",
     reg.add(
         "func_numeric_clean",
         numeric_clean,
+        # TRY_CAST, not CAST: a NEGATIVE planted p_partkey (extreme-BIGINT
+        # tier) composes a dirty string with an embedded '-' that survives
+        # the token strip ('42-4611686018427387904.75') — Spark's non-ANSI
+        # cast NULLs it, DuckDB CAST raises. TRY_CAST ≡ CAST wherever the
+        # parse succeeds, so this is identity on every parseable value.
         r"""SELECT p_partkey,
  '£' || CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) || '.75' AS dirty_money,
- CAST(regexp_replace('£' || CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) || '.75', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_money,
+ TRY_CAST(regexp_replace('£' || CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) || '.75', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_money,
  CAST(p_size AS VARCHAR) || '.25 %' AS dirty_pct,
- CAST(regexp_replace(CAST(p_size AS VARCHAR) || '.25 %', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_pct
+ TRY_CAST(regexp_replace(CAST(p_size AS VARCHAR) || '.25 %', '[£$€,%\s]', '', 'g') AS DOUBLE) AS clean_pct
 FROM part""",
     )
 
@@ -1037,7 +1042,10 @@ FROM words GROUP BY term HAVING COUNT(*) <= {POSTINGS_MAX_DF}""",
         "translate(p_name, 'aeiou', '') AS consonants, "
         "CAST(levenshtein(p_name, translate(p_name, 'aeiou', '')) AS BIGINT) "
         "AS vowel_distance, "
-        "repeat('*', p_size) AS size_bar "
+        # clamped count, mirroring the engine: see string_function_family
+        "CASE WHEN p_size IS NULL THEN NULL ELSE repeat('*', "
+        f"CAST(LEAST(GREATEST(CAST(p_size AS BIGINT), 0), {SIZE_BAR_MAX}) AS INT)) "
+        "END AS size_bar "
         "FROM part",
     )
     reg.add(
@@ -1291,20 +1299,39 @@ def url_normalize(spark, sf_dir):
     )
 
 
+# upper clamp for the data-driven repeat count in string_function_family
+# (clean p_size tops out at 50; anything past this is an allocation bomb)
+SIZE_BAR_MAX = 1000
+
+
 def string_function_family(spark, sf_dir):
     """X-family completion: initcap / lpad / translate / levenshtein /
     repeat / overlay — the remaining scalar string surface, all
     JVM-codegen map-side. Levenshtein runs against the vowel-stripped
-    form so the distance column is non-trivial."""
+    form so the distance column is non-trivial.
+
+    The repeat count is CLAMPED to [0, SIZE_BAR_MAX]: a data-driven
+    repeat is an allocation bomb at any scale (an extreme-BIGINT p_size
+    asks for a 2^62-char cell; even a plain INT_MAX one is a 2 GiB
+    string per row), and Spark's implicit bigint→int cast on the count
+    silently WRAPS (2^62 → 0 stars), which is a wrong answer, not just a
+    slow one. Clamp + explicit NULL propagation keeps the op total and
+    identical on both engines; identity on clean data (p_size ≤ 50)."""
     p = load(spark, sf_dir, "part")
     stripped = F.translate(F.col("p_name"), "aeiou", "")
+    size = F.col("p_size").cast("bigint")
+    # greatest/least both skip NULLs in Spark AND DuckDB (NULL → 0 stars),
+    # so NULL must be propagated explicitly to keep size_bar NULL-in-NULL-out
+    bar_len = F.when(
+        size.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.least(F.greatest(size, F.lit(0)), F.lit(SIZE_BAR_MAX)).cast("int"))
     return p.select(
         "p_partkey",
         F.initcap("p_name").alias("title_name"),
         F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
         stripped.alias("consonants"),
         F.levenshtein(F.col("p_name"), stripped).cast("bigint").alias("vowel_distance"),
-        F.repeat(F.lit("*"), F.col("p_size")).alias("size_bar"),
+        F.repeat(F.lit("*"), bar_len).alias("size_bar"),
     )
 
 

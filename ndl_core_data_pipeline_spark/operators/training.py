@@ -877,13 +877,27 @@ def corpus_pipeline_summary(spark, sf_dir):
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # totals sum through decimal(38,0), then narrow with try_cast:
+    # Spark's long SUM wraps silently on overflow (Java +) — with a
+    # corrupt extreme n_chars the wrapped total is a plausible-looking
+    # WRONG number. decimal(38,0) cannot overflow on any feasible row
+    # count, and try_cast yields NULL when the total is out of bigint
+    # range (defined, detectable) — mirrored by TRY_CAST in the oracle.
+    # try_cast, not cast: under this engine's non-ANSI sessions a plain
+    # decimal→bigint cast WRAPS (Decimal.toLong), and under ANSI it
+    # throws; try_cast is NULL-on-overflow in both modes. Exact and
+    # identical on every in-range total (extreme-BIGINT axis find).
     return (
         kept.select(split.alias("split"), "n_chars", "n_words")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum("n_words").alias("total_words"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)"))
+            .try_cast("bigint")
+            .alias("total_chars"),
+            F.sum(F.col("n_words").cast("decimal(38,0)"))
+            .try_cast("bigint")
+            .alias("total_words"),
         )
     )
 
@@ -908,7 +922,7 @@ SELECT CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
             WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(n_words) AS BIGINT) AS total_words
+       TRY_CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       TRY_CAST(SUM(n_words) AS BIGINT) AS total_words
 FROM kept GROUP BY 1""",
     )

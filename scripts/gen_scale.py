@@ -608,6 +608,123 @@ def inject_hotkey(base: str, out: str, seed: int = 1503, frac: float = 0.5) -> N
         )
 
 
+# Extreme integer magnitudes, per physical width. int64 columns get the
+# 2^62-class (float64-unrepresentable 2^53+1 included); int64 MIN itself
+# is deliberately absent — negating it overflows in BOTH engines and the
+# axis under test is magnitude handling, not negation UB. int32 columns
+# get the analogous in-width extremes (the round-16 ad-hoc probe
+# promoted them to int64, which conflated the axis with a schema drift).
+INT64_EXTREMES = (2**62, -(2**62), 2**63 - 1, -(2**63 - 1), 2**53 + 1)
+INT32_EXTREMES = (2**31 - 1, -(2**31 - 1), 2**30, -(2**30), 2**24 + 1)
+
+# Primary-key / identity columns (the declared data contract: ids are
+# unique, or at least carry consistent payloads — see checks.py
+# enforce_unique_key). Planting COLLIDING extremes here creates
+# same-id-different-payload rows whose per-id merge order is undefined
+# in any engine; the round-16 ad-hoc probe did exactly that and its 8
+# "divergences" were contract violations, not bugs. These columns get
+# UNIQUE extreme-neighborhood values instead (magnitude preserved,
+# uniqueness preserved). l_orderkey and l_linenumber are the composite
+# lineitem key: unique planting in each component also keeps baskets
+# from collapsing (a single planted hot basket would send frequent_pairs
+# quadratic, which is the hot-key sweep's job, not this one's).
+BIGINT_PK_COLS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _extreme_unique(i: int, extremes: tuple) -> int:
+    """The i-th unique value in the extreme neighborhoods: cycle the five
+    magnitude classes, drifting each toward its open side so no two hits
+    collide and no drift overflows the width. The 2^53+1 class drifts by
+    2 so every emitted value stays odd (float64-unrepresentable)."""
+    cls = i % len(extremes)
+    step = i // len(extremes) + 1
+    base = extremes[cls]
+    if cls == 4:  # 2^53+1 analog: stay odd, drift upward
+        return base + 2 * step
+    if base > 0:  # maxes: drift down, away from overflow
+        return base - step
+    return base + step  # mins: drift up toward zero
+
+
+def inject_bigint_extremes(
+    base: str, out: str, seed: int = 6263, frac: float = 0.005
+) -> None:
+    """Copy every driver table from `base` with ~frac of every integer
+    column replaced by extreme magnitudes (round-16 post-close probe,
+    rebuilt as a committed generator): ±2^62 / ±(2^63−1) / 2^53+1 into
+    int64 columns, the in-width analogs into int32 columns. Identity
+    columns (BIGINT_PK_COLS) receive UNIQUE extreme-neighborhood values —
+    the id contract holds, so surviving divergences are real magnitude
+    bugs (cast/overflow/float-precision), not undefined same-id merges.
+    Free columns (FKs, measures, group keys) get raw colliding extremes:
+    duplicate FK values are in-domain data. Deterministic; schema
+    preserved exactly (no int32→int64 promotion)."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    planted: dict[str, int] = {}
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+        pk_cols = set(BIGINT_PK_COLS.get(t, ()))
+        for field in tbl.schema:
+            if not (
+                pa.types.is_int32(field.type) or pa.types.is_int64(field.type)
+            ) or n == 0:
+                continue
+            extremes = (
+                INT64_EXTREMES if pa.types.is_int64(field.type) else INT32_EXTREMES
+            )
+            k = max(1, int(n * frac))
+            hits = np.sort(rng.choice(n, size=k, replace=False))
+            # to_pylist, not to_numpy: a NULL-bearing base (compound
+            # stacking) would otherwise round-trip through float NaN
+            vals = tbl.column(field.name).combine_chunks().to_pylist()
+            if field.name in pk_cols:
+                for j, i in enumerate(hits):
+                    vals[i] = _extreme_unique(j, extremes)
+            else:
+                picks = rng.integers(0, len(extremes), size=k)
+                for i, c in zip(hits, picks):
+                    vals[i] = extremes[c]
+            new = pa.array(vals, type=field.type)
+            idx = tbl.column_names.index(field.name)
+            tbl = tbl.set_column(idx, tbl.schema.field(idx), new)
+            planted[f"{t}.{field.name}"] = int(k)
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+        print(f"wrote {t}: {n} rows")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "mode": "bigint-extreme-v2",
+                "base": base,
+                "seed": seed,
+                "frac": frac,
+                "int64_extremes": [str(v) for v in INT64_EXTREMES],
+                "int32_extremes": [str(v) for v in INT32_EXTREMES],
+                "pk_unique": {t: list(c) for t, c in BIGINT_PK_COLS.items()},
+                "planted": planted,
+            },
+            f,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="row multiplier vs sf0.1")

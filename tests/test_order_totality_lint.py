@@ -70,6 +70,9 @@ _POSITIONAL_CONSUMERS = {"limit", "head", "take", "first", "offset"}
 ALLOWLIST: dict[tuple[str, str, str, str], str] = {
     ("operators/aggregates.py", "trend_weekly_growth", "window", "week"):
         "unique: week is the grouping key of the immediately prior agg",
+    ("operators/checks.py", "enforce_unique_key", "limit", "n_copies,*cols"):
+        "full-row: the frame is groupBy(*cols).count, so (n_copies,*cols) "
+        "covers every output column; ties are fully duplicate rows",
     ("operators/bpe.py", "bpe_first_merge_pairs", "window", "*order"):
         "unique: (count,left,right) — (left,right) is the pair-table "
         "grouping key; ranks a 10-row post-limit frame",
