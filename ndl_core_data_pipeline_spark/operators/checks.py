@@ -150,6 +150,15 @@ def constraint_report(spark, sf_dir):
     report = report.unionAll(
         _table_report(emb, [vector_elements_valid("embedding")])
     )
+    # the declared id contract (see enforce_unique_key): per-id operators
+    # over documents/events are undefined on duplicate ids, so the audit
+    # that every ingest should run before them is part of the suite
+    docs = load(spark, sf_dir, "documents")
+    report = report.unionAll(
+        _table_report(docs, [not_null("doc_id"), unique("doc_id")])
+    )
+    ev = load(spark, sf_dir, "events")
+    report = report.unionAll(_table_report(ev, [unique("event_id")]))
     return report
 
 
@@ -188,5 +197,14 @@ def register(reg):
         "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) > 0 THEN 1 END), "
         "COUNT(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding, "
         "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) > 0 THEN 1 END) = 0 "
-        "FROM embeddings",
+        "FROM embeddings "
+        "UNION ALL SELECT 'not_null(doc_id)', "
+        "COUNT(CASE WHEN doc_id IS NULL THEN 1 END), "
+        "COUNT(CASE WHEN doc_id IS NULL THEN 1 END) = 0 FROM documents "
+        "UNION ALL SELECT 'unique(doc_id)', "
+        "COUNT(doc_id) - COUNT(DISTINCT doc_id), "
+        "COUNT(doc_id) - COUNT(DISTINCT doc_id) = 0 FROM documents "
+        "UNION ALL SELECT 'unique(event_id)', "
+        "COUNT(event_id) - COUNT(DISTINCT event_id), "
+        "COUNT(event_id) - COUNT(DISTINCT event_id) = 0 FROM events",
     )

@@ -45,7 +45,11 @@ def sliding_window(spark, sf_dir):
 def session_window_per_user(spark, sf_dir):
     """Session window with 30-minute gap per user (the streaming-native form
     of W4 sessionization; ref analog: hansard conversation grouping,
-    parser.py:203-252). Spark merges events whose gap < 30 min."""
+    parser.py:203-252). Spark merges events whose gap is <= 30 min — the
+    session range [start, start+gap] is END-INCLUSIVE under merging: an
+    event landing exactly at the previous end joins the session, one
+    microsecond past it starts a new one (probed; the extreme-timestamp
+    axis caught the oracle's strict < on an exact-gap pair)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -79,9 +83,14 @@ def register(reg):
         "events_sliding_window",
         sliding_window,
         # each event belongs to the 1h windows starting at trunc30(ts) and
-        # trunc30(ts) - 30min (epoch-aligned, same as Spark's window())
+        # trunc30(ts) - 30min (epoch-aligned, same as Spark's window()).
+        # FLOOR-mod, not bare %: Spark's window() floor-aligns for every
+        # instant, while DuckDB's sign-preserving % truncates a PRE-EPOCH
+        # epoch_us toward zero — one slide too late (extreme-timestamp
+        # axis find on year-1 plants; identity for ts >= epoch).
         "WITH assigned AS ("
-        "  SELECT make_timestamp((epoch_us(ts) - epoch_us(ts) % 1800000000) - s.shift) AS window_start, value"
+        "  SELECT make_timestamp((epoch_us(ts) "
+        "- ((epoch_us(ts) % 1800000000) + 1800000000) % 1800000000) - s.shift) AS window_start, value"
         "  FROM events, (SELECT UNNEST([0, 1800000000]) AS shift) s"
         "  WHERE ts IS NOT NULL"
         ") SELECT window_start, COUNT(*) AS n_events, "
@@ -91,11 +100,13 @@ def register(reg):
     reg.add(
         "events_session_window",
         session_window_per_user,
-        # gaps-and-islands: new session when gap >= 30 min (Spark merges
-        # strictly-smaller gaps)
+        # gaps-and-islands: new session when gap > 30 min — <=, not <,
+        # mirrors Spark's end-INCLUSIVE session merge (an exact-timeout
+        # gap merges; extreme-timestamp axis find, latent on any
+        # second-granular log with exact 30-min spacings)
         "WITH flagged AS ("
         "  SELECT user_id, ts,"
-        "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w < 1800000000 THEN 0 ELSE 1 END AS is_start"
+        "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000 THEN 0 ELSE 1 END AS is_start"
         "  FROM events WHERE ts IS NOT NULL"
         "  WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
         "), numbered AS ("

@@ -53,6 +53,8 @@ _HASH_INPUTS = (
     "scripts/skew_sweep.py",
     "scripts/nonfinite_sweep.py",
     "scripts/nullheavy_sweep.py",
+    "scripts/bigint_sweep.py",
+    "scripts/timestamp_sweep.py",
     "scripts/compound_sweep.py",
 )
 

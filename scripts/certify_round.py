@@ -74,6 +74,15 @@ SWEEP_FILES = {
     #     --shuffled .scale/compound_shuffled0.01 --seed 424242 \
     #     --out .scale/order_compound_sweep.json
     "order invariance (compound base)": ".scale/order_compound_sweep.json",
+    # round 16 (post-close continuation): the extreme-BIGINT probe made
+    # a certified gate — in-width integer extremes with the id contract
+    # held (gen_scale.inject_bigint_extremes). Runner:
+    #   python scripts/bigint_sweep.py
+    "extreme-BIGINT parity": ".scale/bigint_sweep.json",
+    # round 16 (post-close continuation): extreme temporal magnitudes —
+    # year 1 / year 9999 / Gregorian-gap / pre-epoch microseconds.
+    # Runner: python scripts/timestamp_sweep.py
+    "extreme-timestamp parity": ".scale/timestamp_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

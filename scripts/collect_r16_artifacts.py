@@ -47,6 +47,8 @@ CHECKS = {
     "null-heavy (30%)": ".scale/nullheavy_sweep.json",
     "compound hot+uni+null": ".scale/compound_sweep.json",
     "order (compound base)": ".scale/order_compound_sweep.json",
+    "extreme-BIGINT": ".scale/bigint_sweep.json",
+    "extreme-timestamp": ".scale/timestamp_sweep.json",
 }
 
 

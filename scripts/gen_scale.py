@@ -725,6 +725,86 @@ def inject_bigint_extremes(
         )
 
 
+# Extreme temporal magnitudes (the timestamp sibling of the BIGINT and
+# finite-double extreme axes). The failure field: year-1/year-9999
+# rendering and strftime, date arithmetic past the DateType edge,
+# negative-epoch microsecond floor division (-1 us is the classic
+# rounds-toward-zero vs floors divider), the int32-epoch rollover, and
+# the 1582 Gregorian-gap dates (proleptic-Gregorian engines agree the
+# date exists; hybrid-calendar code paths would not). Values are planted
+# unit-aware: a nanosecond-precision column physically cannot hold year
+# 9999 (int64 ns spans 1677-09-21..2262-04-11), so ns columns get the
+# in-range analog set — mirroring the int32/int64 width split.
+TS_EXTREMES_US = (
+    "0001-01-01T00:00:00",
+    "0001-01-02T03:04:05.678901",
+    "1582-10-10T12:00:00",
+    "1969-12-31T23:59:59.999999",
+    "1970-01-01T00:00:00",
+    "2038-01-19T03:14:08.127001",
+    "9999-12-31T23:59:59.999999",
+)
+TS_EXTREMES_NS = (
+    "1677-09-21T00:12:44",
+    "1969-12-31T23:59:59.999999",
+    "1970-01-01T00:00:00",
+    "2038-01-19T03:14:08.127001",
+    "2262-04-11T23:47:16",
+)
+
+
+def inject_timestamp_extremes(
+    base: str, out: str, seed: int = 9461, frac: float = 0.005
+) -> None:
+    """Copy every driver table from `base` with ~frac of every timestamp
+    column replaced by extreme in-range instants (TS_EXTREMES_US, or the
+    ns-safe analog for nanosecond columns). Timestamps are measures and
+    sort keys, never ids, so raw duplicate planting is in-domain; the
+    window/LIMIT totality contract already tiebreaks past tied
+    timestamps. Deterministic; schema preserved."""
+    import datetime
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    planted: dict[str, int] = {}
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+        for field in tbl.schema:
+            if not pa.types.is_timestamp(field.type) or n == 0:
+                continue
+            pool = TS_EXTREMES_NS if field.type.unit == "ns" else TS_EXTREMES_US
+            vals = tbl.column(field.name).combine_chunks().to_pylist()
+            k = max(1, int(n * frac))
+            hits = np.sort(rng.choice(n, size=k, replace=False))
+            picks = rng.integers(0, len(pool), size=k)
+            for i, c in zip(hits, picks):
+                vals[i] = datetime.datetime.fromisoformat(pool[c])
+            new = pa.array(vals, type=field.type)
+            idx = tbl.column_names.index(field.name)
+            tbl = tbl.set_column(idx, tbl.schema.field(idx), new)
+            planted[f"{t}.{field.name}"] = int(k)
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+        print(f"wrote {t}: {n} rows")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "mode": "timestamp-extreme",
+                "base": base,
+                "seed": seed,
+                "frac": frac,
+                "extremes_us": list(TS_EXTREMES_US),
+                "extremes_ns": list(TS_EXTREMES_NS),
+                "planted": planted,
+            },
+            f,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="row multiplier vs sf0.1")

@@ -8,6 +8,7 @@ queries are engineered so even floats match exactly; any diff > 1e-9 fails).
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
@@ -16,6 +17,54 @@ import pandas as pd
 from ndl_core_data_pipeline_spark.io import TABLES
 
 FLOAT_TOL = 1e-9
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _arrow_to_pandas(tbl) -> pd.DataFrame:
+    """Materialize an Arrow table WITHOUT the pandas nanosecond funnel:
+    timestamps keep their native unit (datetime64[us] spans years
+    ±290k — year 1, year 9999, and the sub-year-1 instants a week/
+    window-start computation on a year-1 timestamp legitimately
+    produces, all of which OutOfBounds-crash or ValueError the default
+    ns/py-datetime conversions), and dates become datetime64[ms] for
+    the same reason (a year-0 DATE cannot exist as datetime.date).
+    Extreme-timestamp axis: 16 of the 22 first-run failures were THIS
+    comparator's materialization, not engine divergence."""
+    return tbl.to_pandas(
+        coerce_temporal_nanoseconds=False,
+        date_as_object=False,
+        timestamp_as_object=False,
+    )
+
+
+def _py_temporal_to_micros(v):
+    """Exact epoch-microsecond int for python date/datetime/Timestamp
+    values (integer timedelta arithmetic — float total_seconds() loses
+    microseconds past 2^53/1e6 ≈ year 2255)."""
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        td = v.replace(tzinfo=None) - _EPOCH
+    elif isinstance(v, datetime.date):
+        td = datetime.datetime(v.year, v.month, v.day) - _EPOCH
+    else:
+        return v
+    return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+
+def _temporal_series_to_micros(s: pd.Series) -> pd.Series:
+    """Canonical temporal representation: nullable Int64 epoch
+    microseconds. Unit- and bounds-free, so a DATE on one side equals
+    the midnight TIMESTAMP on the other (as the previous datetime64
+    coercion already guaranteed) for ANY year, and the sort key is a
+    plain integer."""
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_localize(None)  # wall time, as before
+    s = s.astype("datetime64[us]")
+    mask = s.isna()
+    ints = pd.Series(s.to_numpy().view("int64"), index=s.index, dtype="int64")
+    return ints.astype("Int64").mask(mask)
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -72,16 +121,26 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
+            df[c] = _temporal_series_to_micros(s)
         elif s.dtype == object:
-            # Decimal → float, lists/arrays → tuples for sortability
+            # Decimal → float, lists/arrays → tuples for sortability,
+            # date/datetime objects (a materializer fallback path) →
+            # the same canonical epoch-micros ints as datetime64 columns
             df[c] = s.map(
                 lambda v: float(v)
                 if type(v).__name__ == "Decimal"
                 else (
                     tuple(v.tolist())
                     if type(v).__name__ == "ndarray"
-                    else (tuple(v) if isinstance(v, (list, tuple)) else v)
+                    else (
+                        tuple(v)
+                        if isinstance(v, (list, tuple))
+                        else (
+                            _py_temporal_to_micros(v)
+                            if isinstance(v, datetime.date)
+                            else v
+                        )
+                    )
                 )
             )
         elif pd.api.types.is_integer_dtype(s):
@@ -143,12 +202,18 @@ def compare(spark_df, oracle_df) -> list[str]:
 
 
 def run_compare(spark, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
-    sdf = fn(spark, sf_dir).toPandas()
+    out = fn(spark, sf_dir)
+    # Arrow-first materialization (see _arrow_to_pandas); toPandas only
+    # for plans Arrow can't carry (e.g. a VARIANT output column)
+    try:
+        sdf = _arrow_to_pandas(out.toArrow())
+    except Exception:
+        sdf = out.toPandas()
     if sql is None:
         return [] if len(sdf) >= 0 else ["spark query failed"]
     con = duckdb_conn(sf_dir)
     try:
-        odf = con.execute(sql).df()
+        odf = _arrow_to_pandas(con.execute(sql).arrow())
     finally:
         con.close()
     return compare(sdf, odf)
