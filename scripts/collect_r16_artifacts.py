@@ -78,18 +78,17 @@ def main() -> None:
     summary = {
         "round": ROUND,
         "note": (
-            "Full re-execution of every standing sweep on the round-16 "
-            "tree: the thirteen r15 checkpoints plus the promoted "
-            "null-heavy gate (30% NULL density, the r15 escalation probe "
-            "made certified) and the NEW compound fixture (hot keys 50% "
-            "x unicode 5% x nulls 30% on one copy — its first run found "
-            "six interaction bugs the single-axis tiers had passed, all "
-            "fixed and pinned this round; a compound-MAX probe at hot "
-            "80% x unicode 50% found three more of the "
-            "array_join-over-collect ''-vs-NULL class, also fixed and "
-            "pinned — COMPOUNDMAX_r16.json / ORDER_COMPOUND_r16.json). "
-            "All checkpoints engine-tree-stamped on the frozen close "
-            "tree."
+            "Round-16 CONTINUATION close (driver restarted the round "
+            "with fresh turns after the first close): full re-execution "
+            "of every standing sweep on the continuation tree — the "
+            "sixteen first-close checkpoints PLUS the two axes this "
+            "session built and promoted: extreme-BIGINT (the r17 "
+            "handoff resolved in-round — id contract declared + six "
+            "magnitude fixes, BIGINT2_r16.json) and extreme-timestamp "
+            "(comparator ns-funnel hardening + the pre-epoch "
+            "floor-alignment and end-inclusive session-gap oracle "
+            "fixes, TSX_r16.json). All checkpoints engine-tree-stamped "
+            "on the frozen continuation tree; stability at 30 reps."
         ),
         "tree": tree[:16],
         "results": {},
