@@ -190,9 +190,14 @@ def content_type_extension(spark, sf_dir):
     first-tier exists driver-side in guess_extension(); the distributed
     form uses the literal map only so the oracle can reproduce it."""
     docs = load(spark, sf_dir, "documents")
+    # pmod, not %: a NEGATIVE doc_id keeps Java's dividend sign, making
+    # the 1-based index 0 (element_at RAISES) or negative (silently
+    # counts from the END — and DuckDB's list[-k] happens to agree, so
+    # the 0.5% extreme-BIGINT tier passed by coincidence; the 5%
+    # escalation probe hit the index-0 crash)
     mime = F.element_at(
         F.array(*[F.lit(m) for m in QUERY_MIMES]),
-        (F.col("doc_id") % len(QUERY_MIMES) + 1).cast("int"),
+        (F.pmod(F.col("doc_id"), F.lit(len(QUERY_MIMES))) + 1).cast("int"),
     )
     m = F.create_map(*[F.lit(x) for kv in MIME_EXT.items() for x in kv])
     tm = F.create_map(*[F.lit(x) for kv in TEXT_SUBTYPE_EXT.items() for x in kv])
@@ -267,6 +272,6 @@ SELECT doc_id, mime,
          CASE regexp_extract(mime, '\\+([A-Za-z0-9]+)$', 1) {suffix_cases} ELSE '.bin' END
        ELSE '.bin' END AS extension
 FROM (
-  SELECT doc_id, ([{mime_list}])[CAST(doc_id % {len(QUERY_MIMES)} AS INT) + 1] AS mime
+  SELECT doc_id, ([{mime_list}])[CAST(((doc_id % {len(QUERY_MIMES)}) + {len(QUERY_MIMES)}) % {len(QUERY_MIMES)} AS INT) + 1] AS mime
   FROM documents) t""",
     )

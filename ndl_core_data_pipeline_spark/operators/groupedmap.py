@@ -19,27 +19,31 @@ from ..io import load
 
 
 def zscore_per_group(spark, sf_dir):
-    """Per-source z-score of document length via applyInPandas. The SQL
-    oracle is the window form — the grouped-map result must match the
-    declarative computation exactly (ddof=0 population std, 0 when the
-    group is constant)."""
+    """Per-source z-score of document length via the grouped-map surface.
+    The SQL oracle is the window form — the grouped-map result must match
+    the declarative computation exactly (ddof=0 population std, 0 when
+    the group is constant).
+
+    applyInARROW, not applyInPandas: the passthrough columns (doc_id,
+    n_chars) are int64-with-NULLs, which the pandas funnel converts to
+    float64 — a 2^63−1 cell rounds UP to 2^63 on INPUT (silent precision
+    loss) and then overflows int64 on OUTPUT (Arrow unsafe-conversion
+    crash; compound-extreme probe find). Arrow tables carry nullable
+    int64 natively, so passthrough columns round-trip bit-exact; only
+    the z-score math itself drops to float64 via pandas, identical to
+    the previous in-UDF arithmetic."""
+    import pyarrow as pa
+
     docs = load(spark, sf_dir, "documents")
 
-    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["n_chars"].astype("float64")
+    def normalize(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("n_chars").to_pandas().astype("float64")
         std = float(x.std(ddof=0))
         mean = float(x.mean())
         z = (x - mean) / std if std > 0 else x * 0.0
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "n_chars": pdf["n_chars"],
-                "zscore": z.round(6),
-            }
-        )
+        return tbl.append_column("zscore", pa.array(z.round(6), pa.float64()))
 
-    return docs.select("doc_id", "source", "n_chars").groupBy("source").applyInPandas(
+    return docs.select("doc_id", "source", "n_chars").groupBy("source").applyInArrow(
         normalize, "doc_id BIGINT, source STRING, n_chars BIGINT, zscore DOUBLE"
     )
 

@@ -197,6 +197,56 @@ def test_corpus_summary_overflowed_total_is_null(spark, tmp_path):
             assert r["total_chars"] == 2**63 - 9
 
 
+def test_content_type_index_pmod_on_negative_ids(spark, tmp_path):
+    """The synthetic mime index must pmod: a negative-odd doc_id made
+    the 1-based element_at index 0 (engine CRASH) or negative (both
+    engines silently counted from the END — agreeing by coincidence).
+    Caught by the 5% escalation probe; the 0.5% tier only planted
+    even-magnitude negatives, which 12 divides cleanly."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array(
+                [-(2**63 - 1), -(2**62) - 3, -1, 0, 5, 2**62], pa.int64()
+            ),
+            "text": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        }
+    )
+    d = _fixture_dir(tmp_path, "mime", "documents", docs)
+    name = "files_content_type_extension"
+    assert run_compare(spark, name, QUERIES[name], ORACLES[name], d) == []
+    mimes = {r["doc_id"]: r["mime"] for r in QUERIES[name](spark, d).collect()}
+    # pmod(-1, 12) = 11 → 12th mime; never index 0, never from-the-end
+    assert mimes[-1] == "font/ttf"
+
+
+def test_groupedmap_zscore_exact_int64_passthrough(spark, tmp_path):
+    """applyInArrow keeps int64-with-NULL passthrough columns bit-exact:
+    the pandas funnel turned 2^63−1 into float64 2^63 on input (silent
+    corruption) and crashed converting it back to int64 on output
+    (compound-extreme probe find). NULL and extreme in the SAME group is
+    the triggering interaction."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s", "s", "s", "t"], pa.string()),
+            "n_chars": pa.array([2**63 - 1, None, 10, 7], pa.int64()),
+        }
+    )
+    d = _fixture_dir(tmp_path, "zsc", "documents", docs)
+    name = "groupedmap_zscore"
+    assert run_compare(spark, name, QUERIES[name], ORACLES[name], d) == []
+    out = {r["doc_id"]: (r["n_chars"], r["zscore"])
+           for r in QUERIES[name](spark, d).collect()}
+    assert out[1][0] == 2**63 - 1  # bit-exact passthrough, not 2^63 float
+    assert out[2][0] is None and out[2][1] is None  # NULL stays NULL
+    assert out[4] == (7, 0.0)  # constant group → 0
+
+
 def test_enforce_unique_key_contract():
     """The declared id contract: unique ids pass through, colliding ids
     with divergent payloads raise loudly, naming the offending key."""
