@@ -55,6 +55,7 @@ _HASH_INPUTS = (
     "scripts/nullheavy_sweep.py",
     "scripts/bigint_sweep.py",
     "scripts/timestamp_sweep.py",
+    "scripts/duprow_sweep.py",
     "scripts/compound_sweep.py",
 )
 

@@ -83,6 +83,11 @@ SWEEP_FILES = {
     # year 1 / year 9999 / Gregorian-gap / pre-epoch microseconds.
     # Runner: python scripts/timestamp_sweep.py
     "extreme-timestamp parity": ".scale/timestamp_sweep.json",
+    # round 16 (post-close continuation): 30% duplicate-content rows
+    # under fresh ids (the retry/re-crawl shape; the id contract makes
+    # byte-exact id collisions out of domain — see inject_duprows).
+    # Runner: python scripts/duprow_sweep.py
+    "duplicate-row parity": ".scale/duprow_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

@@ -49,6 +49,7 @@ CHECKS = {
     "order (compound base)": ".scale/order_compound_sweep.json",
     "extreme-BIGINT": ".scale/bigint_sweep.json",
     "extreme-timestamp": ".scale/timestamp_sweep.json",
+    "duplicate-row": ".scale/duprow_sweep.json",
 }
 
 

@@ -805,6 +805,80 @@ def inject_timestamp_extremes(
         )
 
 
+# the single id column re-keyed on appended duplicate rows. lineitem is
+# the identityless fact table (the driver's own data repeats
+# (l_orderkey, l_linenumber) pairs), so its re-key just keeps appended
+# rows out of existing baskets — each copied line becomes a singleton
+# basket under a fresh l_orderkey.
+DUPROW_REKEY = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def inject_duprows(base: str, out: str, seed: int = 3141, frac: float = 0.3) -> None:
+    """Copy every driver table from `base` with ~frac·n duplicate rows
+    appended — IDENTICAL payloads under FRESH ids (max_id+1+i in the
+    table's id column, DUPROW_REKEY). This is the retry/re-crawl shape
+    a real ingest produces: same content, new identity. It exercises
+    the totality exemption (payload-identical sort ties at every
+    window/LIMIT site), count-sensitive semantics under content
+    multiplicity (df caps, basket counts, PMI doubling), trained
+    operators on a duplicated-vector corpus, and the dedup families on
+    input that actually contains duplicates.
+
+    The first form of this probe appended byte-exact rows INCLUDING the
+    id — and 11 queries diverged, every one tracing to the planted
+    id-collision: per-id operators (postings df, tree depth, PMI,
+    winnowing, contamination) and trained vector models have NO defined
+    multiplicity semantics in either engine, which is exactly what the
+    declared id contract (checks.enforce_unique_key: ids must be
+    unique) exists to exclude — ingest must dedup/validate first, and
+    the exact-dedup family IS the shipped tool for that. Re-keying
+    turns the axis into the defined-question form. Deterministic;
+    schema preserved."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    planted: dict[str, int] = {}
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+        k = max(1, int(n * frac)) if n else 0
+        if k:
+            picks = rng.integers(0, n, size=k)  # with replacement
+            extra = tbl.take(pa.array(picks))
+            key = DUPROW_REKEY[t]
+            idx = tbl.column_names.index(key)
+            old = tbl.column(key).combine_chunks().to_pylist()
+            base_id = max((v for v in old if v is not None), default=0) + 1
+            fresh = pa.array(
+                [base_id + i for i in range(k)], tbl.schema.field(idx).type
+            )
+            extra = extra.set_column(idx, tbl.schema.field(idx), fresh)
+            tbl = pa.concat_tables([tbl, extra])
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+        planted[t] = int(k)
+        print(f"wrote {t}: {n} + {k} re-keyed duplicate rows")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {"mode": "duprows-rekeyed", "base": base, "seed": seed, "frac": frac,
+             "rekey": DUPROW_REKEY, "appended": planted},
+            f,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="row multiplier vs sf0.1")
