@@ -12,11 +12,26 @@ import datetime
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from ndl_core_data_pipeline_spark.io import TABLES
 
 FLOAT_TOL = 1e-9
+# Magnitude-aware relative band (round-17, verdict item 1): the absolute
+# 1e-9 tolerance is UNSATISFIABLE by any correct engine pair once values
+# pass ~1e15 — float64 carries 15.95 significant digits, so 1 ULP at 1e19
+# is ≈ 2048 and two decimal-exact engines that agree to the last
+# representable bit still differ by thousands in absolute terms. The
+# recorded residual bands (PARITY_SF1_r16.json: relative 1.2–1.6e-16;
+# EXTREME_r16.json: 24 queries, all ≤ a few ULP at 1e18–1e19) motivate a
+# 2-ULP relative acceptance. ULP(m) relative to m ranges over
+# (2^-53, 2^-52] across a binade, so "2 ULP anywhere" is exactly
+# 2·2^-52 ≈ 4.441e-16 — agreement to the last 1–2 bits and nothing
+# looser. The branch applies ONLY when both values are finite (inf vs
+# finite would otherwise pass `inf <= inf`); equal infinities are already
+# accepted by the IEEE-equality test above it.
+REL_TOL = 2 * 2.0**-52  # = 4.440892098500626e-16
 
 _EPOCH = datetime.datetime(1970, 1, 1)
 
@@ -175,7 +190,16 @@ def compare(spark_df, oracle_df) -> list[str]:
             # compares exactly via its string column.
             same = sv == ov
             diff = (sv - ov).abs()
-            bad = ~both_nan & ~same & ~(diff <= FLOAT_TOL)
+            # Relative branch, finite-only (see REL_TOL): at large
+            # magnitudes the absolute tolerance is below 1 ULP and a
+            # bit-identical-to-rounding pair must still be accepted.
+            finite = np.isfinite(sv.to_numpy(dtype="float64", na_value=np.nan)) & np.isfinite(
+                ov.to_numpy(dtype="float64", na_value=np.nan)
+            )
+            rel_ok = pd.Series(finite, index=sv.index) & (
+                diff <= REL_TOL * pd.concat([sv.abs(), ov.abs()], axis=1).max(axis=1)
+            )
+            bad = ~both_nan & ~same & ~(diff <= FLOAT_TOL) & ~rel_ok
             if bad.any():
                 i = bad.idxmax()
                 problems.append(
@@ -201,13 +225,97 @@ def compare(spark_df, oracle_df) -> list[str]:
     )
 
 
+def checksum_compare(
+    spark, name: str, fn, sql: str, sf_dir: str, key: list[str] | None = None
+) -> list[str]:
+    """Aggregate-checksum comparison for results too large to collect
+    (round-17 verdict item 2; prototype was join_theta_range's keyed
+    projection at sf1, whose O(n²) multiset crashed collectToPython).
+
+    Neither result is ever driver-materialized:
+      oracle side  — DuckDB streams the query into a parquet file
+                     (COPY ... TO, bounded memory, no pandas);
+      engine side  — stays a DataFrame.
+    Spark then reads the oracle parquet back (lossless for every type:
+    doubles bit-exact, decimals exact, timestamps micros) and computes
+    the SAME Spark-side digest on both frames — per-key row count plus
+    two independent order-insensitive hash sums (xxhash64 and murmur3,
+    each summed as decimal(38,0)). Computing both digests with one
+    engine sidesteps cross-dialect rendering entirely: Spark renders
+    1e19 as '1.0E19' and the subnormal 5e-324 as '4.9E-324' where DuckDB
+    says '1e+19' / '5e-324', so no canonical-string hash can be portable
+    — bits through parquet are.
+
+    The digest frames are tiny (1 row global, |keys| rows keyed) and go
+    through the ordinary compare(). `key` columns give per-key
+    diagnostics and bound digest cardinality to the key domain; omit for
+    a single global row. Multiset-complete: equal per-key counts + equal
+    hash sums (two independent functions) ⇒ equal multisets up to
+    astronomically unlikely simultaneous collisions in both.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = fn(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix=f"oracle_ck_{name}_")
+    opath = f"{tmp}/oracle.parquet"
+    try:
+        con = duckdb_conn(sf_dir)
+        try:
+            con.execute(f"COPY ({sql}) TO '{opath}' (FORMAT PARQUET)")
+        finally:
+            con.close()
+        odf = spark.read.parquet(opath)
+        if set(odf.columns) != set(out.columns):
+            return [
+                f"column mismatch: spark={sorted(out.columns)} "
+                f"oracle={sorted(odf.columns)}"
+            ]
+        # Align oracle physical types to the engine schema (DuckDB may
+        # write int32 where Spark has bigint, or TIMESTAMP_NTZ where the
+        # engine column is TIMESTAMP) — the hash is type-sensitive.
+        engine_types = {f.name: f.dataType for f in out.schema.fields}
+        odf = odf.select(
+            *[F.col(c).cast(engine_types[c]) for c in sorted(out.columns)]
+        )
+        out = out.select(*[F.col(c) for c in sorted(out.columns)])
+
+        def digest(df):
+            cols = [F.col(c) for c in sorted(df.columns)]
+            h64 = F.xxhash64(*cols).cast("decimal(38,0)")
+            h32 = F.hash(*cols).cast("decimal(38,0)")
+            gb = df.groupBy(*[F.col(k) for k in key]) if key else df.groupBy()
+            return gb.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(h64).alias("xx_sum"),
+                F.sum(h32).alias("mm_sum"),
+            )
+
+        s = _arrow_to_pandas(digest(out).toArrow())
+        o = _arrow_to_pandas(digest(odf).toArrow())
+        return compare(s, o)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_compare(spark, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
     out = fn(spark, sf_dir)
     # Arrow-first materialization (see _arrow_to_pandas); toPandas only
-    # for plans Arrow can't carry (e.g. a VARIANT output column)
+    # for plans Arrow can't carry (e.g. a VARIANT output column). The
+    # fallback is LOSSY for int64-with-NULL columns (they degrade to
+    # float64, where 2^63-1 == 2^63 under the float compare — the exact
+    # corruption class the Arrow path exists to prevent), so taking it
+    # must be loud (ADVICE r16): name the query and the Arrow error.
     try:
         sdf = _arrow_to_pandas(out.toArrow())
-    except Exception:
+    except Exception as e:
+        print(
+            f"WARNING [{name}]: toArrow() failed ({type(e).__name__}: "
+            f"{str(e)[:200]}); falling back to lossy toPandas() — "
+            "int64-with-NULL columns degrade to float64 in this path"
+        )
         sdf = out.toPandas()
     if sql is None:
         return [] if len(sdf) >= 0 else ["spark query failed"]
