@@ -58,26 +58,51 @@ def vector_elements_valid(col: str):
     )
 
 
-def enforce_unique_key(df: DataFrame, *cols: str, sample: int = 5) -> DataFrame:
+def enforce_unique_key(
+    df: DataFrame, *cols: str, sample: int = 5, mode: str = "raise"
+):
     """The DECLARED id contract, as a loud gate (round-16 extreme-BIGINT
     handoff): identity columns (documents.doc_id, events.event_id,
-    embeddings.vec_id, the TPC-H keys) must be unique — or at minimum
-    carry consistent payloads. Same-id-DIFFERENT-payload rows have no
-    defined per-id merge order in ANY engine (which copy wins a
-    first/collect/group is plan-dependent), so every per-id operator's
-    output on such input is undefined; the contract is validate-and-
-    reject at ingest, exactly like vector_elements_valid for corrupt
-    embeddings — not silent per-operator merge heuristics.
+    embeddings.vec_id, the TPC-H keys) must be unique — ANY duplicated
+    key is rejected, byte-identical payloads included. The r16
+    duplicate-row axis proved this empirically: planting byte-exact
+    copies (same id, same payload) diverged 11 registry queries, because
+    per-id operators (simhash, winnowing, PMI, tree depth, block
+    rewrite, postings df, trained vector models) have no defined
+    MULTIPLICITY semantics in any engine — which copy wins a
+    first/collect/group, and whether a count sees 1 or 2, is
+    plan-dependent. The contract is validate-and-reject at ingest,
+    exactly like vector_elements_valid for corrupt embeddings — not
+    silent per-operator merge heuristics.
 
     Scale shape: ONE keyed count over the id columns (map-side partial
-    agg), collecting at most `sample` offending keys for the message.
-    Returns `df` unchanged when the contract holds; raises ValueError
-    naming the duplicated keys when it doesn't."""
+    agg). Two modes:
+      mode="raise" (default, the gate): returns `df` unchanged when the
+        contract holds; raises ValueError naming at most `sample`
+        offending keys when it doesn't.
+      mode="quarantine" (the 100 TB ingest path, round-17 — the same
+        pattern as scan_workbooks_quarantined for corrupt workbooks):
+        returns (clean_df, quarantined_df) — every row whose key is
+        duplicated goes to the quarantine side-output, rows with unique
+        keys proceed. Null-safe on the key columns (two NULL-keyed rows
+        ARE a collision), no collect anywhere.
+    """
     dupes = (
         df.groupBy(*[F.col(c) for c in cols])
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+    if mode == "quarantine":
+        dup_keys = dupes.select(*[F.col(c).alias(f"__dup_{c}") for c in cols])
+        cond = None
+        for c in cols:
+            e = df[c].eqNullSafe(F.col(f"__dup_{c}"))
+            cond = e if cond is None else (cond & e)
+        clean = df.join(dup_keys, cond, "left_anti")
+        quarantined = df.join(dup_keys, cond, "left_semi")
+        return clean, quarantined
+    if mode != "raise":
+        raise ValueError(f"unknown mode {mode!r}: expected 'raise' or 'quarantine'")
     offenders = dupes.orderBy(F.desc("n_copies"), *cols).take(sample)
     if offenders:
         shown = ", ".join(
@@ -86,9 +111,10 @@ def enforce_unique_key(df: DataFrame, *cols: str, sample: int = 5) -> DataFrame:
         )
         raise ValueError(
             f"id contract violated: key ({', '.join(cols)}) is not unique — "
-            f"e.g. {shown}. Per-id operators (simhash, winnowing, PMI, tree "
-            "depth, block rewrite, …) have undefined merge semantics on "
-            "same-id-different-payload rows; deduplicate or re-key at ingest."
+            f"e.g. {shown}. Duplicated ids (byte-identical payloads included: "
+            "the r16 duprow axis diverged 11 ways on exactly those) have "
+            "undefined multiplicity semantics in per-id operators; "
+            "deduplicate or re-key at ingest, or use mode='quarantine'."
         )
     return df
 

@@ -57,6 +57,7 @@ _HASH_INPUTS = (
     "scripts/timestamp_sweep.py",
     "scripts/duprow_sweep.py",
     "scripts/compound_sweep.py",
+    "scripts/sf_parity_sweep.py",
 )
 
 
@@ -140,12 +141,25 @@ def _drop_non_ascii_rows(df):
     return df[~mask], int(mask.sum())
 
 
+# Queries whose result multiset is too large to driver-collect at
+# volumetric scales (sf1+): routed through tests.oracle.checksum_compare
+# (per-key count + dual order-insensitive hash sums, oracle side streamed
+# to parquet — nothing collected but the digest frames) instead of
+# run_compare. Value = the digest key columns. join_theta_range's band
+# predicate emits O(n²) rows (~99.5× output per 10× rows, SCALE_r10);
+# collecting it at sf1 crashed collectToPython in r16.
+CHECKSUM_QUERIES = {
+    "join_theta_range": ["p_partkey"],
+}
+
+
 def parity_sweep(
     data_dir: str,
     out: str,
     only=frozenset(),
     redo: bool = False,
     ascii_subset: dict | None = None,
+    checksum: dict | None = None,
 ) -> int:
     """Full-registry Spark-vs-DuckDB parity run against `data_dir`,
     checkpointed per query into `out` (tree-stamped, resumable). Shared
@@ -166,15 +180,23 @@ def parity_sweep(
     fuzzy join emits a pair whose code-point distance meets the
     threshold while its byte distance does not, so the engine drops
     more multibyte rows than the oracle ever had). Returns the number
-    of failing queries."""
+    of failing queries.
+
+    ``checksum`` maps query names to digest-key column lists: those
+    queries compare via tests.oracle.checksum_compare (aggregate digest,
+    nothing driver-collected) instead of run_compare — pass
+    CHECKSUM_QUERIES for volumetric (sf1+) runs where O(n²) outputs
+    cannot be materialized. The entry records ``checksum_digest`` so
+    certification shows which comparison tier ran."""
     import traceback
 
     import __spark_entry__ as contract
     from pyspark.sql import SparkSession
 
-    from tests.oracle import compare, duckdb_conn, run_compare
+    from tests.oracle import checksum_compare, compare, duckdb_conn, run_compare
 
     ascii_subset = ascii_subset or {}
+    checksum = checksum or {}
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -224,6 +246,16 @@ def parity_sweep(
                     "ascii_subset_only": exemption,
                     "count_mismatch_declared": allow_mismatch,
                     "dropped_rows": {"spark": na, "oracle": nb},
+                }
+            elif name in checksum and oracles.get(name) is not None:
+                problems = checksum_compare(
+                    spark, name, queries[name], oracles[name], data_dir,
+                    key=checksum[name],
+                )
+                results[name] = {
+                    "ok": not problems,
+                    "problems": problems,
+                    "checksum_digest": checksum[name],
                 }
             else:
                 problems = run_compare(

@@ -88,6 +88,13 @@ SWEEP_FILES = {
     # byte-exact id collisions out of domain — see inject_duprows).
     # Runner: python scripts/duprow_sweep.py
     "duplicate-row parity": ".scale/duprow_sweep.json",
+    # round 17: whole-registry volumetric parity at sf1 (100x the
+    # driver's correctness gate) — promoted from the r16 one-off
+    # attestation (PARITY_SF1_r16.json, 218/221 with declared residuals)
+    # to a standing gate once the comparator gained the 2-ULP relative
+    # float band and the aggregate-checksum tier for O(n²) results.
+    # Runner: python scripts/sf_parity_sweep.py  (~35 min)
+    "volumetric parity (sf1)": ".scale/sf1_parity.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes
@@ -314,12 +321,95 @@ STEPS = {
 }
 
 
+def verify_stamp(round_no: int, out_path: str) -> None:
+    """Round-close self-consistency check (round-17 verdict item 3): the
+    'frozen tree' a certification report stamps must be LITERALLY the
+    tree at round close. Two consecutive rounds drifted (r15: a late pin
+    test; r16: late axis tooling — both post-certify commits to hashed
+    inputs), each benign only after manual git-diff adjudication. This
+    mode makes the check mechanical: load the certify report, recompute
+    both stamps at the current tree, and fail listing exactly which
+    standing checkpoints went stale (their own tree stamps identify
+    them), so the closer re-runs only those and re-certifies.
+
+    Run as the FINAL action of a round, after the last commit:
+      python scripts/certify_round.py --round N --verify-stamp
+    """
+    from _sweeplib import META_KEY, engine_tree_hash
+
+    if not os.path.exists(out_path):
+        raise SystemExit(f"no certify report at {out_path} — run certification first")
+    with open(out_path) as fh:
+        report = json.load(fh)
+    current = engine_tree_hash()
+    tests_now = _tests_tree_hash()
+    problems = []
+    if report.get("engine_tree") != current:
+        problems.append(
+            f"engine tree drifted since certification: report stamps "
+            f"{str(report.get('engine_tree'))[:12]}, HEAD is {current[:12]}"
+        )
+        stale = []
+        for label, path in SWEEP_FILES.items():
+            full = os.path.join(REPO, path)
+            if not os.path.exists(full):
+                stale.append(f"{label} (ABSENT)")
+                continue
+            with open(full) as fh:
+                meta = json.load(fh).get(META_KEY) or {}
+            if meta.get("tree") != current:
+                stale.append(label)
+        problems.append(
+            "stale-stamped checkpoints to re-run: " + (", ".join(stale) or "none")
+        )
+    if report.get("tests_tree") != tests_now:
+        problems.append(
+            f"tests tree drifted since certification: report stamps "
+            f"{str(report.get('tests_tree'))[:12]}, HEAD is {tests_now[:12]}"
+        )
+    if problems:
+        for p in problems:
+            print(f"STAMP DRIFT: {p}")
+        sys.exit(1)
+    print(
+        f"stamps verified: certify_r{round_no} engine_tree {current[:12]} and "
+        f"tests_tree {tests_now[:12]} both match the current tree"
+    )
+    sys.exit(0)
+
+
+def _tests_tree_hash() -> str:
+    import glob as _glob
+    import hashlib as _hashlib
+
+    th = _hashlib.sha256()
+    for p in sorted(_glob.glob(os.path.join(REPO, "tests", "**", "*.py"),
+                               recursive=True)):
+        with open(p, "rb") as fh:
+            th.update(os.path.relpath(p, REPO).encode())
+            th.update(b"\0")
+            th.update(_hashlib.sha256(fh.read()).digest())
+    return th.hexdigest()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--skip", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--verify-stamp", action="store_true",
+        help="do not run steps; check the existing certify report's tree "
+        "stamps against the CURRENT tree and fail on drift (round close)",
+    )
     args = ap.parse_args()
+    if args.verify_stamp:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        verify_stamp(
+            args.round,
+            args.out or os.path.join(REPO, ".scale", f"certify_r{args.round}.json"),
+        )
+        return
     skip = {s for s in args.skip.split(",") if s}
     unknown = skip - set(STEPS)
     if unknown:
@@ -335,18 +425,8 @@ def main() -> None:
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from _sweeplib import engine_tree_hash
 
-    import glob as _glob
-    import hashlib as _hashlib
-
-    th = _hashlib.sha256()
-    for p in sorted(_glob.glob(os.path.join(REPO, "tests", "**", "*.py"),
-                               recursive=True)):
-        with open(p, "rb") as fh:
-            th.update(os.path.relpath(p, REPO).encode())
-            th.update(b"\0")
-            th.update(_hashlib.sha256(fh.read()).digest())
     report["engine_tree"] = engine_tree_hash()
-    report["tests_tree"] = th.hexdigest()
+    report["tests_tree"] = _tests_tree_hash()
     failures: list[str] = []
     for name, fn in STEPS.items():
         if name in skip:
@@ -364,6 +444,18 @@ def main() -> None:
         if not passed:
             failures.append(name)
         print(json.dumps({name: report[name]}, indent=1), flush=True)
+
+    # intra-run drift guard: an engine/tests edit landing WHILE steps ran
+    # (a sweep finishing in a parallel shell, a stray editor save) makes
+    # the start-of-run stamps a lie — recompute both at the end and fail
+    # on mismatch (the --verify-stamp mode covers post-certify commits)
+    if report["engine_tree"] != engine_tree_hash() or report[
+        "tests_tree"
+    ] != _tests_tree_hash():
+        report["tree_drift_during_certification"] = True
+        failures.append("tree-drift")
+        print("FAIL: engine/tests tree changed during certification — "
+              "stamps at start no longer describe the tree; re-run")
 
     print("\n==== COVERAGE-ready summary ====")
     s = report.get("suite")

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Duplicate-ROW parity sweep (round 16 continuation): the full registry
-runs against an sf0.01 copy where ~30% of every table's rows are EXACT
-full-row duplicates (sampled with replacement — some rows appear 3+
-times), and every query must still match its DuckDB oracle
-value-for-value.
+runs against an sf0.01 copy where ~30% of every table's rows are
+PAYLOAD-IDENTICAL rows under FRESH ids (sampled with replacement — some
+payloads appear 3+ times; every appended row gets a new id, MANIFEST
+mode 'duprows-rekeyed'), and every query must still match its DuckDB
+oracle value-for-value. This is the retry/re-crawl shape a real ingest
+produces: same content, new identity.
 
 This is the empirical registry-wide test of the totality contract's
 exemption clause: every reviewed window/LIMIT sort key claims ties
@@ -12,10 +14,11 @@ output-invariant" — here 30% of ALL rows form such ties at every site
 simultaneously. It also exercises count-sensitive semantics under
 multiplicity: DISTINCT-vs-COUNT splits, basket pair counts, df caps,
 sketch and sampling ties, dedup families whose INPUT is now itself
-duplicated. Duplicate ids with CONSISTENT payloads are inside the
-declared id contract (checks.enforce_unique_key rejects divergent
-payloads, not consistent copies — per-id operators are well-defined
-here).
+duplicated. Duplicate IDS — even with byte-identical payloads — are
+OUTSIDE the declared id contract: the first form of this probe planted
+exactly those and 11 queries diverged (see inject_duprows' docstring),
+so checks.enforce_unique_key rejects every duplicated id and re-keying
+(or exact dedup) at ingest is the required remedy.
 
 Usage: python scripts/duprow_sweep.py [--out .scale/duprow_sweep.json]
          [--dir .scale/duprow0.01] [--base /root/testdata/sf0.01]

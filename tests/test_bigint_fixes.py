@@ -292,3 +292,67 @@ def test_extreme_unique_generator_properties():
         assert all(abs(v) >= floor for v in vals)  # stays extreme
         odd_class = [vals[i] for i in range(4, 5000, 5)]
         assert all(v % 2 == 1 for v in odd_class)
+
+
+def test_enforce_unique_key_quarantine_mode():
+    """mode='quarantine' (round-17): colliding keys route to the
+    side-output, unique-keyed rows proceed; null-safe on the key (two
+    NULL ids ARE a collision); partition = exact, no row lost."""
+    from pyspark.sql import SparkSession
+
+    from ndl_core_data_pipeline_spark.operators.checks import enforce_unique_key
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.createDataFrame(
+        [
+            (1, "unique one"),
+            (2, "collides"),
+            (2, "collides too"),
+            (3, "unique two"),
+            (None, "null id a"),
+            (None, "null id b"),
+            (4, "unique three"),
+        ],
+        "doc_id long, text string",
+    )
+    clean, bad = enforce_unique_key(df, "doc_id", mode="quarantine")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3, 4]
+    got_bad = sorted(
+        ((r["doc_id"], r["text"]) for r in bad.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    assert got_bad == [
+        (None, "null id a"), (None, "null id b"),
+        (2, "collides"), (2, "collides too"),
+    ]
+    assert clean.count() + bad.count() == df.count()
+    # the clean side satisfies the raise-mode gate
+    assert enforce_unique_key(clean, "doc_id") is clean
+
+
+def test_enforce_unique_key_quarantine_all_unique_is_noop_split():
+    from pyspark.sql import SparkSession
+
+    from ndl_core_data_pipeline_spark.operators.checks import enforce_unique_key
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    clean, bad = enforce_unique_key(df, "doc_id", mode="quarantine")
+    assert bad.count() == 0 and clean.count() == 2
+
+
+def test_enforce_unique_key_rejects_unknown_mode():
+    from pyspark.sql import SparkSession
+
+    from ndl_core_data_pipeline_spark.operators.checks import enforce_unique_key
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown mode"):
+        enforce_unique_key(df, "doc_id", mode="merge")
