@@ -508,14 +508,24 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
     bigints survive state serialization everywhere). Out-of-order
     arrivals older than a recorded step are ignored, matching
     first-occurrence semantics; production hardening would add an
-    event-time timeout to expire idle users."""
+    event-time timeout to expire idle users.
+
+    NULL-ts views (round-17 hostile-twin find, nullheavy/compound
+    fixtures): the batch operator's `views` aggregation emits a group
+    row for a user whose ONLY views carry NULL ts (min() over all-NULL
+    is NULL but the row exists) — funnel_stage 1, with clicks forever
+    blocked by the ts > NULL comparison. The stream used to skip
+    NULL-ts rows entirely and emit NOTHING for such users; it now
+    records a null_view flag in state so "viewed, time unknown" is
+    stage 1 here too, while NULL-ts clicks/purchases stay ignored on
+    both sides (they can never satisfy the strictly-after rule)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        view_us, click_us, purchase_us = (
-            state.get if state.exists else (None, None, None)
+        view_us, click_us, purchase_us, null_view = (
+            state.get if state.exists else (None, None, None, 0)
         )
         # a group's rows arrive as MULTIPLE Arrow chunks in arbitrary
         # order (split at arrow.maxRecordsPerBatch) — sorting each chunk
@@ -531,6 +541,8 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
                 # pd.Timestamp(NaT).value is int64-min, which would
                 # otherwise become a bogus "earliest" step time
                 if pd.isna(ts):
+                    if etype == "view":
+                        null_view = 1  # viewed, time unknown → stage ≥ 1
                     continue
                 us = int(pd.Timestamp(ts).value // 1000)
                 if etype == "view" and view_us is None:
@@ -549,19 +561,33 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
                     and us > click_us
                 ):
                     purchase_us = us
-        state.update((view_us, click_us, purchase_us))
+        state.update((view_us, click_us, purchase_us, null_view))
         stage = (
             1 if view_us is not None else 0
         ) + (1 if click_us is not None else 0) + (1 if purchase_us is not None else 0)
+        # NB: a NULL bigint grouping key reaches the pandas state
+        # machine as NaN, not Python None — test with pd.isna
+        if pd.isna(key[0]) and stage > 1:
+            # the batch twin chains its stages with user_id EQUALITY
+            # joins, and NULL never equality-joins: a click cannot be
+            # attributed to an unidentified user's view, so the NULL-key
+            # group's funnel caps at the view row — stage 1 (round-17
+            # hostile-twin find #2, nullheavy/compound fixtures)
+            stage = 1
         if view_us is not None:
             yield pd.DataFrame(
                 {"user_id": [key[0]], "funnel_stage": [stage]}
             )
+        elif null_view:
+            # only NULL-ts views so far: the batch twin's group row
+            # exists with view_ts NULL → stage 1, never progresses
+            yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [1]})
 
     return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, funnel_stage BIGINT",
-        stateStructType="view_us BIGINT, click_us BIGINT, purchase_us BIGINT",
+        stateStructType="view_us BIGINT, click_us BIGINT, purchase_us BIGINT, "
+        "null_view BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

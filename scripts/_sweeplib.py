@@ -58,6 +58,7 @@ _HASH_INPUTS = (
     "scripts/duprow_sweep.py",
     "scripts/compound_sweep.py",
     "scripts/sf_parity_sweep.py",
+    "scripts/duprow_compound_sweep.py",
 )
 
 

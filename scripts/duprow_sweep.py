@@ -37,18 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PARAMS = {"seed": 3141, "frac": 0.3}
 
 
-def ensure_duprow_dataset(base: str, out: str) -> None:
+def ensure_duprow_dataset(base: str, out: str, params: dict | None = None) -> None:
     from gen_scale import inject_duprows
 
+    params = params or PARAMS
     manifest = os.path.join(out, "MANIFEST.json")
-    want = {"mode": "duprows-rekeyed", "base": base, **PARAMS}
+    want = {"mode": "duprows-rekeyed", "base": base, **params}
     if os.path.exists(manifest):
         with open(manifest) as fh:
             got = json.load(fh)
         if {k: got.get(k) for k in want} == want:
             return
         print(f"rebuilding {out}: manifest is stale", flush=True)
-    inject_duprows(base, out, **PARAMS)
+    inject_duprows(base, out, **params)
 
 
 def main() -> None:
@@ -58,9 +59,16 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
     ap.add_argument("--redo", action="store_true")
+    # density-escalation rung (round-17 verdict item 6): e.g.
+    #   python scripts/duprow_sweep.py --frac 0.6 --seed 3151 \
+    #     --dir .scale/duprow60_0.01 --out .scale/duprow60_sweep.json
+    ap.add_argument("--frac", type=float, default=PARAMS["frac"])
+    ap.add_argument("--seed", type=int, default=PARAMS["seed"])
     args = ap.parse_args()
 
-    ensure_duprow_dataset(args.base, args.dir)
+    ensure_duprow_dataset(
+        args.base, args.dir, params={"seed": args.seed, "frac": args.frac}
+    )
 
     from _sweeplib import parity_sweep
 

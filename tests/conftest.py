@@ -54,3 +54,35 @@ def ensure_dirty_dataset() -> str:
         base = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.01")
         inject_nulls(base, NULLS_DIR)
     return NULLS_DIR
+
+
+# Round-17 (verdict item 5): the batch≡stream twin-equality pins run on
+# the three hostile fixtures that found the last 30 batch bugs —
+# null-heavy (30% NULL, seed 7121), compound (hotkey 50% → unicode 5% →
+# nulls 30%), and duplicate-row (30% payload-identical rows, fresh ids).
+# Each builds once via its sweep's own ensure function (same recipe +
+# manifest staleness rules as the registry sweeps) so twins and batch
+# sweeps read the SAME bytes.
+def ensure_hostile_dataset(kind: str) -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    base = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.01")
+    root = os.path.join(repo, ".scale")
+    if kind == "nullheavy":
+        from nullheavy_sweep import ensure_nullheavy_dataset
+
+        d = os.path.join(root, "nullheavy0.01")
+        ensure_nullheavy_dataset(base, d)
+    elif kind == "compound":
+        from compound_sweep import ensure_compound_dataset
+
+        d = os.path.join(root, "compound0.01")
+        ensure_compound_dataset(base, d)
+    elif kind == "duprow":
+        from duprow_sweep import ensure_duprow_dataset
+
+        d = os.path.join(root, "duprow0.01")
+        ensure_duprow_dataset(base, d)
+    else:
+        raise ValueError(f"unknown hostile fixture kind {kind!r}")
+    return d

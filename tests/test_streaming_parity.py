@@ -27,15 +27,33 @@ _STREAM_DDL = (
 )
 
 
-@pytest.fixture(scope="module")
-def events_landing(tmp_path_factory, sf_small):
-    # the file stream source requires a directory; stage the (small)
-    # events file into one
+@pytest.fixture(
+    scope="module",
+    params=["clean", "nullheavy", "compound", "duprow"],
+)
+def twin_dirs(request, tmp_path_factory, sf_small):
+    """(sf_dir, landing_dir) per tier. Clean = the real sf0.001 events
+    table, always. The three hostile tiers (round-17 verdict item 5 —
+    the fixtures that found the last 30 batch bugs, never before run
+    through the streaming twins) build via their sweeps' own ensure
+    functions and are gated behind SPARK_GRAFT_HOSTILE_TWINS=1."""
+    import os
     import shutil
 
-    d = tmp_path_factory.mktemp("events_landing")
-    shutil.copy(f"{sf_small}/events.parquet", d / "events.parquet")
-    return str(d)
+    if request.param == "clean":
+        sf_dir = sf_small
+    else:
+        if not os.environ.get("SPARK_GRAFT_HOSTILE_TWINS"):
+            pytest.skip(
+                "set SPARK_GRAFT_HOSTILE_TWINS=1 for hostile-fixture twin runs"
+            )
+        from .conftest import ensure_hostile_dataset
+
+        sf_dir = ensure_hostile_dataset(request.param)
+    # the file stream source requires a directory; stage the events file
+    d = tmp_path_factory.mktemp(f"events_landing_{request.param}")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return sf_dir, str(d)
 
 
 def _events_stream(spark, landing_dir):
@@ -55,10 +73,11 @@ def _run_complete(df, name):
     return q
 
 
-def test_tumbling_stream_matches_batch(spark, sf_small, events_landing):
+def test_tumbling_stream_matches_batch(spark, twin_dirs):
+    sf_dir, events_landing = twin_dirs
     batch = {
         (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
-        for r in tumbling_window(spark, sf_small).collect()
+        for r in tumbling_window(spark, sf_dir).collect()
     }
     q = _run_complete(
         watermarked_tumbling_agg(_events_stream(spark, events_landing)),
@@ -74,10 +93,11 @@ def test_tumbling_stream_matches_batch(spark, sf_small, events_landing):
     assert streamed == batch and len(batch) > 0
 
 
-def test_session_stream_matches_batch(spark, sf_small, events_landing):
+def test_session_stream_matches_batch(spark, twin_dirs):
+    sf_dir, events_landing = twin_dirs
     batch = {
         (r["user_id"], r["session_start"], r["n_events"])
-        for r in session_window_per_user(spark, sf_small).collect()
+        for r in session_window_per_user(spark, sf_dir).collect()
     }
     q = _run_complete(
         sessionized_stream(_events_stream(spark, events_landing)), "sess_parity"
@@ -92,16 +112,17 @@ def test_session_stream_matches_batch(spark, sf_small, events_landing):
     assert streamed == batch and len(batch) > 0
 
 
-def test_funnel_batch_stream_parity(spark, sf_small, events_landing):
+def test_funnel_batch_stream_parity(spark, twin_dirs):
     """The streaming stage machine over the real (in-order-per-batch)
     events table must reach exactly the batch operator's funnel_stage for
     every user that entered the funnel."""
     from ndl_core_data_pipeline_spark.operators.eventwindows import funnel_steps
     from ndl_core_data_pipeline_spark.streaming.jobs import stateful_funnel
 
+    sf_dir, events_landing = twin_dirs
     batch = {
         r["user_id"]: r["funnel_stage"]
-        for r in funnel_steps(spark, sf_small).collect()
+        for r in funnel_steps(spark, sf_dir).collect()
     }
     q = (
         stateful_funnel(_events_stream(spark, events_landing))
