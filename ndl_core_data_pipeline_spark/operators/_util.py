@@ -41,8 +41,19 @@ def round6_det(col: Column) -> Column:
     ends in ...5 flips the last digit between engines. The floor form
     runs the same three IEEE operations on the same double on both
     sides. Use for derived quotients/products; plain ROUND remains fine
-    for values with bounded true decimal scale (see DEC note above)."""
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    for values with bounded true decimal scale (see DEC note above).
+
+    Magnitude guard (round-17 extreme-double gate find — a REAL bug the
+    r16 absolute-tolerance noise mis-filed as comparator band): Spark's
+    floor(double) returns LONG and non-ANSI-CLAMPS at ±(2^63−1), so
+    every rounded value with |x·1e6| past long range came back as
+    ±9223372036854.775807 while DuckDB's double-typed FLOOR was fine
+    (5 queries: rolling stats, CUSUM drift, weekly trend, …). At
+    |y| ≥ 2^52 a double has no fractional part — IEEE floor(y) IS y —
+    so the long path applies only below that, where it's exact."""
+    y = col * F.lit(1000000.0) + F.lit(0.5)
+    fl = F.when(F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")).otherwise(y)
+    return fl / F.lit(1000000.0)
 
 
 def sql_r6(x: str) -> str:
@@ -278,6 +289,34 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                     f"THEN 0 ELSE {e} END AS VARCHAR) "
                     f"END AS {typ})"
                 )
+                wrapped = True
+            elif (
+                typ.upper() == "DOUBLE"
+                and "AS DECIMAL(" in expr.upper()
+                and not _NUM_LIT_RE.match(expr)
+                and not expr.upper().rstrip().endswith("AS VARCHAR)")
+            ):
+                # Round-17 extreme-double gate find (stats_linreg
+                # intercept, masked as "comparator band" in r16):
+                # DuckDB's DECIMAL→DOUBLE cast is NOT correctly rounded
+                # past ~19 significant digits — it mis-rounds by 1 ULP
+                # on 27% of random 16–30-digit decimals (measured;
+                # int128→double then scale-divide, two roundings) where
+                # Spark's BigDecimal.doubleValue is correctly rounded,
+                # and the ULP then amplifies through downstream double
+                # algebra (an intercept off by 1.6 at magnitude 6.7e4).
+                # A VARCHAR round-trip fixes it: DECIMAL→VARCHAR emits
+                # the exact digits and DuckDB's strtod is correctly
+                # rounded (0/3000 mismatches). Identity for every
+                # already-double expr (shortest-repr round-trip), exact
+                # INT/BIGINT, and NULL/NaN/Inf ('inf' parses back).
+                # Scope: exprs containing a decimal cast only — the
+                # drift class is decimal sums, and the trip DISTORTS
+                # FLOAT32 exprs (a float's shortest repr re-parses to a
+                # different double than exact widening: the first redo
+                # flipped 4 green vector oracles red before this scope).
+                nl = "\n" if _has_comment(expr) else ""
+                out.append(f"CAST(CAST({expr}{nl} AS VARCHAR) AS {typ})")
                 wrapped = True
         if not wrapped:
             # re-emit with any nested casts rewritten

@@ -467,11 +467,21 @@ def register_round6(reg):
         "SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx, "
         "SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy, "
         "SUM(CAST(l_discount AS DECIMAL(18,4))) AS sz, "
-        "SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS sxy, "
-        "SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_discount AS DECIMAL(25,4))) AS syz, "
-        "SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS sxx, "
-        "SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS syy, "
-        "SUM(CAST(l_discount AS DECIMAL(25,4)) * CAST(l_discount AS DECIMAL(25,4))) AS szz "
+        # factor semantics must MATCH the engine's decimal(18,4)
+        # (round-17 extreme-double gate find): the old DECIMAL(25,4)
+        # factors admitted values in [1e14, 1e21) that the engine's
+        # cast NULLs, and their product hit DuckDB's DECIMAL(38) cap
+        # which RAISES where the engine never formed the term. The
+        # inner (18,4) cast carries the engine's per-factor 1e14 NULL
+        # bound; the outer widen to (19,4) forces DuckDB's multiply
+        # into int128 (probed: (18,4)x(18,4) multiplies in int64 and
+        # overflows at unscaled 3.05e12 squared) giving the exact
+        # DECIMAL(38,8) product Spark's decimal(37,8) computes.
+        "SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS sxy, "
+        "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS syz, "
+        "SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS sxx, "
+        "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS syy, "
+        "SUM(CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS szz "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
         + corr_sql("x", "y")

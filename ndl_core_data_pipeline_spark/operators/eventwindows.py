@@ -110,7 +110,10 @@ def register(reg):
         "  FROM events WHERE ts IS NOT NULL"
         "  WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
         "), numbered AS ("
-        "  SELECT user_id, ts, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts "
+        # is_start DESC tiebreak: see window_sessionize (round-17
+        # duprow-interaction find) — pass 2 re-sorts ts-tied rows whose
+        # is_start payloads differ; flag-first reconstructs pass 1.
+        "  SELECT user_id, ts, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, is_start DESC "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged"
         ") SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events "
         "FROM numbered GROUP BY user_id, sid",
@@ -336,8 +339,12 @@ WITH b AS (
               THEN 1 ELSE 0 END AS brk
   FROM events
 ), s AS (
+  -- brk DESC tiebreak: see window_sessionize (round-17
+  -- duprow-interaction find) — the flag is positional from pass 1 and
+  -- a tie-group re-sort in this pass can move it mid-group, splitting
+  -- the group across sessions; flag-first reconstructs pass 1.
   SELECT user_id, c, ts, event_id,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id, brk DESC
                         ROWS UNBOUNDED PRECEDING) AS sess
   FROM b
 ), paths AS (
@@ -561,8 +568,15 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id, value)
 ),
 numbered AS (
+  -- is_start DESC tiebreak: round-17 duprow-interaction find (this
+  -- query was the finder). The interaction fixture nulls event_ids on
+  -- payload-identical copies, creating (ts, NULL, value) tie groups
+  -- whose pass-1 is_start payloads DIFFER (head 1, rest 0); this
+  -- pass's independent re-sort interleaved them differently and split
+  -- a 3-row burst as 2+1. Spark evaluates lag and the running sum in
+  -- one Window operator over one sort; flag-first reconstructs it.
   SELECT *, SUM(is_start) OVER (PARTITION BY user_id, event_type
-    ORDER BY ts, event_id, value
+    ORDER BY ts, event_id, value, is_start DESC
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
   FROM marked
 )

@@ -188,7 +188,16 @@ def register(reg):
         "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000 THEN 0 ELSE 1 END AS is_start"
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value)"
         "), numbered AS ("
-        "  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id, value "
+        # is_start DESC tiebreak (round-17 duprow-interaction find, the
+        # events_debounce class): is_start is a POSITIONAL payload from
+        # pass 1 — within a tie group of key-identical rows exactly the
+        # head can carry 1 — and pass 2's independent re-sort may
+        # interleave the tied rows differently, moving the 1 mid-group
+        # and splitting it across two sessions. Spark computes both
+        # windows in ONE operator over one sort, so the engine is
+        # consistent by construction; flag-first ordering reconstructs
+        # that arrangement exactly.
+        "  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id, value, is_start DESC "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged"
         ") SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
         "MIN(ts) AS session_start, MAX(ts) AS session_end, "

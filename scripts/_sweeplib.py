@@ -59,6 +59,8 @@ _HASH_INPUTS = (
     "scripts/compound_sweep.py",
     "scripts/sf_parity_sweep.py",
     "scripts/duprow_compound_sweep.py",
+    "scripts/double_extreme_sweep.py",
+    "scripts/ann_recall_floor.py",
 )
 
 

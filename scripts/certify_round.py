@@ -88,6 +88,11 @@ SWEEP_FILES = {
     # byte-exact id collisions out of domain — see inject_duprows).
     # Runner: python scripts/duprow_sweep.py
     "duplicate-row parity": ".scale/duprow_sweep.json",
+    # round 17: extreme finite double magnitudes, promoted from the r16
+    # ad-hoc probe (EXTREME_r16.json, 197/221 where all 24 residuals
+    # were the comparator's absolute-tolerance band) once the 2-ULP
+    # relative band landed. Runner: python scripts/double_extreme_sweep.py
+    "extreme-double parity": ".scale/double_extreme_sweep.json",
     # round 17: whole-registry volumetric parity at sf1 (100x the
     # driver's correctness gate) — promoted from the r16 one-off
     # attestation (PARITY_SF1_r16.json, 218/221 with declared residuals)
@@ -95,6 +100,11 @@ SWEEP_FILES = {
     # float band and the aggregate-checksum tier for O(n²) results.
     # Runner: python scripts/sf_parity_sweep.py  (~35 min)
     "volumetric parity (sf1)": ".scale/sf1_parity.json",
+    # round 17: ANN recall-quality floor at sf1 (the report was always
+    # oracle-exact; this gates the recall VALUES — mean >= 0.40,
+    # min >= 0.15, pinned from the deterministic measurement).
+    # Runner: python scripts/ann_recall_floor.py
+    "ANN recall floor (sf1)": ".scale/ann_recall_sf1.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

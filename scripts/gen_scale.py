@@ -805,6 +805,70 @@ def inject_timestamp_extremes(
         )
 
 
+# Extreme FINITE double magnitudes (round-16 post-close probe, rebuilt
+# round-17 as a committed generator — the r16 run was ad-hoc and only
+# its artifact survived, EXTREME_r16.json). The failure field: decimal
+# capacity (DuckDB CAST raises past DECIMAL(25,6) where Spark's
+# non-ANSI cast NULLs), shortest-repr double→decimal conversion drift,
+# INT32/INT64 casts of huge FLOOR results, and — once those are fixed —
+# the comparator's own tolerance semantics at magnitudes where 1 ULP
+# exceeds any absolute epsilon (the motivation for tests/oracle.py
+# REL_TOL). All values FINITE: NaN/±Inf are the nonfinite axis's job.
+DOUBLE_EXTREMES = (
+    1e300, -1e300, 1e19, -1e19, 9.9e18, 1e-300, 5e-324,
+    1.7976931348623157e308,  # DBL_MAX
+)
+
+
+def inject_double_extremes(
+    base: str, out: str, seed: int = 6161, frac: float = 0.005
+) -> None:
+    """Copy every driver table from `base` with ~frac of every plain
+    DOUBLE column replaced by extreme finite magnitudes
+    (DOUBLE_EXTREMES; same recipe/seed as the r16 ad-hoc probe so the
+    fixture reproduces EXTREME_r16.json's). Array<float> embedding
+    columns are left alone — vector_elements_valid owns corrupt-vector
+    policy and ANN math at 1e300 overflows by design. Deterministic;
+    schema preserved."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    planted: dict[str, int] = {}
+    for t in tables:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet")).combine_chunks()
+        n = tbl.num_rows
+        for field in tbl.schema:
+            if not pa.types.is_float64(field.type) or n == 0:
+                continue
+            vals = tbl.column(field.name).combine_chunks().to_pylist()
+            k = max(1, int(n * frac))
+            hits = np.sort(rng.choice(n, size=k, replace=False))
+            picks = rng.integers(0, len(DOUBLE_EXTREMES), size=k)
+            for i, c in zip(hits, picks):
+                vals[i] = DOUBLE_EXTREMES[c]
+            new = pa.array(vals, type=field.type)
+            idx = tbl.column_names.index(field.name)
+            tbl = tbl.set_column(idx, tbl.schema.field(idx), new)
+            planted[f"{t}.{field.name}"] = int(k)
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+        print(f"wrote {t}: {n} rows")
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "mode": "double-extreme",
+                "base": base,
+                "seed": seed,
+                "frac": frac,
+                "extremes": [repr(v) for v in DOUBLE_EXTREMES],
+                "planted": planted,
+            },
+            f,
+        )
+
+
 # the single id column re-keyed on appended duplicate rows. lineitem is
 # the identityless fact table (the driver's own data repeats
 # (l_orderkey, l_linenumber) pairs), so its re-key just keeps appended
