@@ -105,6 +105,13 @@ SWEEP_FILES = {
     # min >= 0.15, pinned from the deterministic measurement).
     # Runner: python scripts/ann_recall_floor.py
     "ANN recall floor (sf1)": ".scale/ann_recall_sf1.json",
+    # round 17: batch-equals-stream twin pins on the hostile fixtures
+    # (first run found two real stateful_funnel bugs). Runner:
+    #   SPARK_GRAFT_HOSTILE_TWINS=1 SPARK_GRAFT_NULLS_SWEEP=1 \
+    #     pytest tests/test_streaming_parity.py \
+    #       tests/test_streaming.py -k 'matches_batch' ; then record
+    #   via the save_results snippet in scripts/collect_r17_artifacts.py
+    "hostile streaming twins": ".scale/hostile_twins.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes
