@@ -348,10 +348,12 @@ def test_stateful_funnel_across_batches(spark, tmp_path):
     # user 2: click BEFORE any view is ignored; view then purchase WITHOUT a
     # click afterward → stage stays 1 (strict ordering semantics)
     assert got[2] == 1
-    # user 3: the only view has NULL ts — the batch funnel ignores such
-    # rows entirely (min() skips NULLs), so the user never enters the
-    # funnel and the later click can't attach to a bogus NaT view time
-    assert 3 not in got
+    # user 3: the only view has NULL ts — the batch funnel still emits
+    # the user at stage 1 (the groupBy group row EXISTS with view_ts
+    # NULL; r17 hostile-twin find #1 corrected this pin's earlier
+    # claim that min()-skipping meant no row), and the later click can
+    # never attach (ts > NULL filters it), so the stage stays 1
+    assert got[3] == 1
 
 
 def test_transform_with_state_profile_across_batches(spark, tmp_path):
