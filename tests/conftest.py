@@ -83,6 +83,11 @@ def ensure_hostile_dataset(kind: str) -> str:
 
         d = os.path.join(root, "duprow0.01")
         ensure_duprow_dataset(base, d)
+    elif kind == "duprow_compound":
+        from duprow_compound_sweep import ensure_duprow_compound_dataset
+
+        d = os.path.join(root, "duprow_compound0.01")
+        ensure_duprow_compound_dataset(base, d)
     else:
         raise ValueError(f"unknown hostile fixture kind {kind!r}")
     return d

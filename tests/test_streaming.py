@@ -409,7 +409,8 @@ def test_transform_with_state_profile_across_batches(spark, tmp_path):
 
 
 @pytest.fixture(
-    params=["clean", "dirty", "nullheavy", "compound", "duprow"]
+    params=["clean", "dirty", "nullheavy", "compound", "duprow",
+            "duprow_compound"]
 )
 def twin_sf_dir(request, sf_small):
     """The batch↔stream twins run on the REAL clean events table always,

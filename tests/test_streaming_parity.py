@@ -29,7 +29,7 @@ _STREAM_DDL = (
 
 @pytest.fixture(
     scope="module",
-    params=["clean", "nullheavy", "compound", "duprow"],
+    params=["clean", "nullheavy", "compound", "duprow", "duprow_compound"],
 )
 def twin_dirs(request, tmp_path_factory, sf_small):
     """(sf_dir, landing_dir) per tier. Clean = the real sf0.001 events
