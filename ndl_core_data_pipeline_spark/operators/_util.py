@@ -251,6 +251,7 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                 tm
                 and not _NUM_LIT_RE.match(expr)
                 and not expr.upper().startswith("CASE WHEN ISFINITE(")
+                and not expr.upper().startswith("PRINTF('%.16E'")
             ):
                 # an expr containing a -- comment needs its line
                 # terminated before the inlined tail, else the comment
@@ -265,29 +266,51 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                 #    (at p >= 18 the boundary-magnitude ULP dwarfs the
                 #    rounding step, so no double rounds ACROSS it).
                 # 2. conversion identity: Spark converts double→decimal
-                #    through the SHORTEST DECIMAL REPR (BigDecimal
-                #    .valueOf ← Double.toString) while DuckDB expands
-                #    the exact binary value — 9.9e18 becomes
-                #    ...000000000 on Spark but ...998976 in DuckDB, so
-                #    every decimal sum over large-magnitude cells
-                #    drifted. A VARCHAR round-trip makes DuckDB parse
-                #    the same shortest repr (its double→VARCHAR is also
-                #    shortest-repr). One DuckDB parser wart remains:
-                #    VARCHAR→DECIMAL rounds by LEADING DIGIT ignoring
-                #    the exponent ('5e-8' → 0.000001 where Spark gives
-                #    0), so sub-half-ULP magnitudes are zeroed first
+                #    by rounding the EXACT binary value to 17
+                #    SIGNIFICANT DIGITS, then HALF_UP at the target
+                #    scale (characterized empirically round-17:
+                #    9.09999999999999e18, exact ...989760, casts to
+                #    ...989800 — which is neither the shortest repr
+                #    ...990000 nor the exact value). Round 16 modeled
+                #    this as "shortest repr" via a VARCHAR round-trip —
+                #    right for values whose shortest and 17-digit
+                #    reprs coincide (9.9e18, every ≤15-digit money
+                #    value) but WRONG in the last unit for doubles
+                #    whose shortest repr has ≤16 digits (the r17 5%
+                #    escalation probe caught 27 such rows drifting q9's
+                #    sums). printf('%.16e', x) renders exactly the
+                #    17-significant-digit form, and the exponent string
+                #    also parses correctly where bare VARCHAR casts hit
+                #    DuckDB's leading-digit wart ('5e-8' → 0.000001);
+                #    sub-half-ULP magnitudes are still zeroed first
                 #    (5e-{s+1} = 0.5×10^-s, the exact HALF_UP
                 #    boundary both engines agree on).
-                # Identity on clean data: normal magnitudes round-trip
-                # through their own exact shortest repr.
+                # Identity on clean data: normal magnitudes carry ≤15
+                # significant digits, where the 17-digit rendering is
+                # exact.
+                # ≥2^53 branch (round-17, the q9 5%-probe class): a
+                # double there is an EXACT INTEGER, and Java 17's
+                # FloatingDecimal digits (what Spark's native cast
+                # renders) are reproducible in no other engine — so the
+                # portable contract is the exact binary value, which
+                # the engine computes via dcast's hi/lo decomposition
+                # and the oracle via printf('%.24e') (25 significant
+                # digits = exact for every integer below the 1e24
+                # ceiling). DuckDB's NATIVE cast must never stand in:
+                # probed, it scales by 10^s in DOUBLE first (2.5e17 →
+                # 249999999999999995.805696).
                 p, s = int(tm.group(1)), int(tm.group(2))
                 e = f"{expr}{nl}"
                 out.append(
                     f"CAST(CASE WHEN isfinite({e}) "
+                    f"AND abs({e}) >= 9007199254740992.0 "
                     f"AND abs({e}) < 1e{p - s} "
-                    f"THEN CAST(CASE WHEN abs({e}) < 5e-{s + 1} "
-                    f"THEN 0 ELSE {e} END AS VARCHAR) "
-                    f"END AS {typ})"
+                    f"THEN printf('%.24e', {e}) "
+                    f"ELSE printf('%.16e', CASE WHEN isfinite({e}) "
+                    f"AND abs({e}) < 1e{p - s} "
+                    f"THEN CASE WHEN abs({e}) < 5e-{s + 1} "
+                    f"THEN 0 ELSE {e} END "
+                    f"END) END AS {typ})"
                 )
                 wrapped = True
             elif (
@@ -458,14 +481,58 @@ def guard_unicode_lower(sql: str) -> str:
     return "".join(out)
 
 
+_TWO53 = 9007199254740992.0  # 2^53: above this a double is an exact integer
+_TWO30 = 1073741824.0
+
+
+def dcast(col: Column, dec: str = DEC) -> Column:
+    """Portable double→decimal (round-17 5%-extreme-double find, q9):
+    Spark's native cast renders through Java 17's Double.toString
+    (pre-Ryū FloatingDecimal), which for |x| ≥ 2^53 sometimes emits one
+    digit MORE than the shortest repr (JDK-4511638) — so its digits are
+    neither shortest nor 17-significant and NO other engine can mirror
+    them from SQL (probed: 9.09999999999999e18 casts to …989800 = 17
+    digits of the exact value, while 9.89999999999999e18 casts to
+    …990000 = its 15-digit shortest repr; derived profit terms at 9e18
+    then drift money sums by thousands).
+
+    Above 2^53 a double IS an exact integer, so the canonical,
+    engine-independent conversion is the EXACT BINARY VALUE — which is
+    precisely what DuckDB's native cast computes. This helper produces
+    the same exact integer in Spark without any string rendering: a
+    lossless hi/lo split at 2^30 (binary-exponent shifts and the
+    subtraction are exact IEEE ops; each half fits a BIGINT exactly)
+    recombined in decimal arithmetic. Below 2^53 the native cast stands
+    (battle-tested against the oracle's 17-digit printf mirror across
+    the full battery). Non-finite and |x| ≥ 1e19 stay NULL exactly as
+    the native cast's non-ANSI overflow semantics give."""
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", dec.strip(), re.IGNORECASE)
+    bound = 10.0 ** (int(m.group(1)) - int(m.group(2)))
+    # decomposition exactness ceiling: x/2^30, hi·2^30 and the
+    # subtraction are exact IEEE ops only while hi < 2^53, i.e.
+    # |x| < 2^83 ≈ 9.7e24 — every decimal bound in use (1e14…1e24)
+    # sits below it; a wider type would silently fall back to the
+    # native cast's Java digits, so fail loudly instead
+    assert bound <= 2.0**83, f"dcast decomposition cannot cover {dec}"
+    x = col
+    big = finite(x) & (F.abs(x) >= F.lit(_TWO53)) & (F.abs(x) < F.lit(bound))
+    hi = F.floor(x / F.lit(_TWO30))
+    lo = x - hi * F.lit(_TWO30)
+    exact = (
+        hi.cast("long").cast("decimal(28,0)") * F.lit(1073741824).cast("decimal(10,0)")
+        + lo.cast("long").cast("decimal(28,0)")
+    )
+    return F.when(big, exact.cast(dec)).otherwise(x.cast(dec))
+
+
 def dsum(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent SUM over a double column."""
-    return F.sum(col.cast(dec)).cast("double").alias(alias)
+    return F.sum(dcast(col, dec)).cast("double").alias(alias)
 
 
 def davg(col: Column, alias: str, dec: str = DEC) -> Column:
     """Order-independent AVG: exact decimal sum / count, divided as doubles."""
-    return (F.sum(col.cast(dec)).cast("double") / F.count(col)).alias(alias)
+    return (F.sum(dcast(col, dec)).cast("double") / F.count(col)).alias(alias)
 
 
 def sql_jackson_json(col: str = "props") -> str:

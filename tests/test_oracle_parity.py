@@ -171,9 +171,16 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     )
 
     # unit pins
+    # round-17 emission: two printf branches — %.24e for >=2^53
+    # doubles (exact integers; Java FloatingDecimal digits are
+    # irreproducible, so the contract is the exact binary value, which
+    # the engine matches via dcast) and the r16 %.16e path below
     assert g("SUM(CAST(v AS DECIMAL(25,6)))") == (
-        "SUM(CAST(CASE WHEN isfinite(v) AND abs(v) < 1e19 "
-        "THEN CAST(CASE WHEN abs(v) < 5e-7 THEN 0 ELSE v END AS VARCHAR) "
+        "SUM(CAST(CASE WHEN isfinite(v) "
+        "AND abs(v) >= 9007199254740992.0 AND abs(v) < 1e19 "
+        "THEN printf('%.24e', v) "
+        "ELSE printf('%.16e', CASE WHEN isfinite(v) AND abs(v) < 1e19 "
+        "THEN CASE WHEN abs(v) < 5e-7 THEN 0 ELSE v END END) "
         "END AS DECIMAL(25,6)))"
     )
     assert g("CAST(1.10 AS DECIMAL(3,2))") == "CAST(1.10 AS DECIMAL(3,2))"
@@ -188,22 +195,26 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     # structure — the quote-blind scanner let these escape the guard
     probe = "CAST(regexp_replace(x, '\\(', '') AS DECIMAL(25,6))"
     got = g(probe)
+    e = "regexp_replace(x, '\\(', '')"
     assert got == (
-        "CAST(CASE WHEN isfinite(regexp_replace(x, '\\(', '')) "
-        "AND abs(regexp_replace(x, '\\(', '')) < 1e19 "
-        "THEN CAST(CASE WHEN abs(regexp_replace(x, '\\(', '')) < 5e-7 "
-        "THEN 0 ELSE regexp_replace(x, '\\(', '') END AS VARCHAR) "
-        "END AS DECIMAL(25,6))"
+        f"CAST(CASE WHEN isfinite({e}) "
+        f"AND abs({e}) >= 9007199254740992.0 AND abs({e}) < 1e19 "
+        f"THEN printf('%.24e', {e}) "
+        f"ELSE printf('%.16e', CASE WHEN isfinite({e}) AND abs({e}) < 1e19 "
+        f"THEN CASE WHEN abs({e}) < 5e-7 THEN 0 ELSE {e} END END) "
+        f"END AS DECIMAL(25,6))"
     )
     assert g(got) == got  # idempotent with the literal inside the CASE
-    # ')' in a literal must not close the CAST early
-    assert g("CAST(replace(x, ')', '') AS DECIMAL(25,6))").count("isfinite") == 1
+    # ')' in a literal must not close the CAST early (the round-17
+    # emission carries TWO isfinite per wrapped site — one per printf
+    # branch — so one wrap == count 2; a double-wrap would be 4+)
+    assert g("CAST(replace(x, ')', '') AS DECIMAL(25,6))").count("isfinite") == 2
     # 'AS' inside a literal is not the type separator
     lit_as = g("CAST(concat(x, ' AS y') AS DECIMAL(25,6))")
     assert lit_as.endswith("END AS DECIMAL(25,6))") and "isfinite" in lit_as
     # escaped '' quote keeps the scanner in the literal
     esc = g("CAST(replace(x, '''(', '') AS DECIMAL(25,6))")
-    assert esc.count("isfinite") == 1
+    assert esc.count("isfinite") == 2
     # CAST( spelled inside a literal is not a cast site
     assert g("SELECT 'CAST(' AS label") == "SELECT 'CAST(' AS label"
 
@@ -213,8 +224,11 @@ def test_nonfinite_decimal_guard_rewrites_all_cast_sites():
     c1 = g("-- Spark's convention\nCAST(v AS DECIMAL(25,6))")
     assert c1 == (
         "-- Spark's convention\n"
-        "CAST(CASE WHEN isfinite(v) AND abs(v) < 1e19 "
-        "THEN CAST(CASE WHEN abs(v) < 5e-7 THEN 0 ELSE v END AS VARCHAR) "
+        "CAST(CASE WHEN isfinite(v) "
+        "AND abs(v) >= 9007199254740992.0 AND abs(v) < 1e19 "
+        "THEN printf('%.24e', v) "
+        "ELSE printf('%.16e', CASE WHEN isfinite(v) AND abs(v) < 1e19 "
+        "THEN CASE WHEN abs(v) < 5e-7 THEN 0 ELSE v END END) "
         "END AS DECIMAL(25,6))"
     )
     # ...a cast spelled INSIDE a comment is text, not a site...

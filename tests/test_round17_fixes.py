@@ -145,3 +145,56 @@ def test_debounce_flag_resort_fixture(spark, tmp_path):
     out = contract.queries()[name](spark, str(d)).collect()
     bursts = sorted((r["burst_n"], r["burst_value"]) for r in out)
     assert bursts == [(1, 3.86), (1, 44.67), (3, 27.0)]
+
+
+def test_dcast_exact_integer_contract(spark):
+    """≥2^53 doubles are exact integers; Spark's native cast renders
+    Java 17 FloatingDecimal digits (sometimes one digit more than
+    shortest — JDK-4511638, irreproducible outside the JVM), so dcast
+    converts by the EXACT BINARY VALUE via a lossless hi/lo split.
+    Probed natives: 9.09999999999999e18 natively casts to …989800
+    (17-digit form) while 9.89999999999999e18 casts to …990000 (its
+    15-digit shortest) — no single rule covers both; exactness does."""
+    from decimal import Decimal
+
+    from ndl_core_data_pipeline_spark.operators._util import dcast
+
+    vals = [9.09999999999999e18, 9.89999999999999e18, 9.399999999999977e18,
+            -9.200000000000004e18, 2.5e17, 9.007199254740992e15,
+            101211.99, 0.1, float("nan"), float("inf"), None, 1e300]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = [r[0] for r in df.select(dcast(F.col("v")).alias("d")).collect()]
+    for v, got in zip(vals, out):
+        if v is None or v != v or abs(v) == float("inf") or abs(v) >= 1e19:
+            assert got is None, (v, got)  # NULL semantics preserved
+        elif abs(v) >= 9007199254740992.0:
+            assert got == Decimal(v).quantize(Decimal("0.000001")), (v, got)
+        else:
+            # below 2^53 the native cast stands — unchanged behavior
+            assert got == df.sparkSession.createDataFrame(
+                [(v,)], "v double"
+            ).select(F.col("v").cast("decimal(25,6)")).collect()[0][0]
+
+
+def test_guard_emits_exact_branch_for_big_doubles():
+    from ndl_core_data_pipeline_spark.operators._util import (
+        guard_nonfinite_decimal_casts as g,
+    )
+
+    out = g("SELECT SUM(CAST(x AS DECIMAL(25,6))) FROM t")
+    assert "printf('%.24e'" in out and ">= 9007199254740992.0" in out
+    # and the DuckDB side of the contract really is exact there
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST(printf('%.24e', CAST(2.5e17 AS DOUBLE)) AS DECIMAL(25,6))"
+        "::VARCHAR"
+    ).fetchone()[0]
+    assert got == "250000000000000000.000000"
+    # the native DuckDB cast is NOT exact (it scales in double first) —
+    # this pin documents why the guard must never fall back to it
+    nat = con.execute(
+        "SELECT CAST(CAST(2.5e17 AS DOUBLE) AS DECIMAL(25,6))::VARCHAR"
+    ).fetchone()[0]
+    assert nat != got
