@@ -82,6 +82,56 @@ _DECIMAL_TYPE_RE = re.compile(
     r"^\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$", re.IGNORECASE
 )
 _NUM_LIT_RE = re.compile(r"^\s*-?\d+(\.\d+)?\s*$")
+_AS_DECIMAL_RE = re.compile(r"\bAS\s+DECIMAL\s*\(", re.IGNORECASE)
+
+
+def _contains_decimal_cast(s: str) -> bool:
+    """Skip-region-aware `AS DECIMAL(` detector (ADVICE r17: the DOUBLE
+    branch's plain substring test was quote/comment-blind, unlike the
+    rest of the scanner — an `AS DECIMAL(` inside a string literal or
+    comment would draft a float32-typed expr into the VARCHAR
+    round-trip, the exact distortion class that branch's scope note
+    warns about)."""
+    i, n = 0, len(s)
+    while i < n:
+        q = _find_skip(s, i)
+        m = _AS_DECIMAL_RE.search(s, i)
+        if m is None:
+            return False
+        if q != -1 and q < m.start():
+            i = _skip_region(s, q)
+            continue
+        return True
+    return False
+
+
+def _toplevel_decimal_cast(expr: str) -> tuple[int, int] | None:
+    """(p, s) when `expr` is exactly one top-level `CAST(... AS
+    DECIMAL(p,s))` spanning the whole string, else None. Skip-region-
+    aware balanced parse, same machinery as the guard scanners."""
+    s = expr.strip()
+    m = _CAST_OPEN_RE.match(s)
+    if not m:
+        return None
+    depth, j, n = 1, m.end(), len(s)
+    while j < n and depth:
+        if _at_skip_start(s, j):
+            j = _skip_region(s, j)
+            continue
+        c = s[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        j += 1
+    if depth or s[j:].strip():
+        return None
+    inner = s[m.end() : j - 1]
+    as_pos = _split_last_top_level_as(inner)
+    if as_pos < 0:
+        return None
+    tm = _DECIMAL_TYPE_RE.match(inner[as_pos + 2 :].strip())
+    return (int(tm.group(1)), int(tm.group(2))) if tm else None
 
 
 def _skip_quoted(s: str, j: int) -> int:
@@ -247,11 +297,53 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
         if as_pos >= 0:
             expr, typ = inner[:as_pos].strip(), inner[as_pos + 2 :].strip()
             tm = _DECIMAL_TYPE_RE.match(typ)
+            nested_dec = None
             if (
                 tm
                 and not _NUM_LIT_RE.match(expr)
                 and not expr.upper().startswith("CASE WHEN ISFINITE(")
                 and not expr.upper().startswith("PRINTF('%.16E'")
+                and not expr.upper().startswith("CASE WHEN ABS(")
+            ):
+                nested_dec = _toplevel_decimal_cast(expr)
+            if nested_dec is not None:
+                # ADVICE r17 (medium): the expr is itself DECIMAL-typed
+                # (a nested CAST like CAST(CAST(x AS DECIMAL(18,4)) AS
+                # DECIMAL(19,4)), e.g. the int128-forcing widenings in
+                # stats_corr/linreg). The printf('%.16e') wrap below
+                # would convert the decimal THROUGH DOUBLE — lossy for
+                # values with >17 significant digits (measured: 282/3000
+                # random doubles in [1e12,1e14] perturb the oracle).
+                # Decimals are always finite, so the isfinite guard is
+                # vacuous; for a pure WIDENING (integer capacity and
+                # scale both non-decreasing) overflow is impossible too,
+                # and the exact native cast IS the identity mirror of
+                # Spark's exact decimal widening — emit it unwrapped
+                # (the nested cast inside `inner` already got its own
+                # guard recursively). A NARROWING keeps Spark's
+                # NULL-on-overflow semantics via an exact decimal-
+                # compare magnitude guard (integer literal bound, never
+                # a double literal — DuckDB would promote the compare to
+                # lossy DOUBLE).
+                p, s = int(tm.group(1)), int(tm.group(2))
+                pi, si = nested_dec
+                if not (p - s >= pi - si and s >= si):
+                    nl = "\n" if _has_comment(expr) else ""
+                    e = f"{expr}{nl}"
+                    bound_lit = "1" + "0" * (p - s)
+                    out.append(
+                        f"CAST(CASE WHEN abs({e}) < {bound_lit} "
+                        f"THEN {e} END AS {typ})"
+                    )
+                    wrapped = True
+                # widening: fall through unwrapped — the re-emit below
+                # produces the plain exact CAST with nested guards
+            elif (
+                tm
+                and not _NUM_LIT_RE.match(expr)
+                and not expr.upper().startswith("CASE WHEN ISFINITE(")
+                and not expr.upper().startswith("PRINTF('%.16E'")
+                and not expr.upper().startswith("CASE WHEN ABS(")
             ):
                 # an expr containing a -- comment needs its line
                 # terminated before the inlined tail, else the comment
@@ -315,7 +407,7 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                 wrapped = True
             elif (
                 typ.upper() == "DOUBLE"
-                and "AS DECIMAL(" in expr.upper()
+                and _contains_decimal_cast(expr)
                 and not _NUM_LIT_RE.match(expr)
                 and not expr.upper().rstrip().endswith("AS VARCHAR)")
             ):
@@ -512,8 +604,11 @@ def dcast(col: Column, dec: str = DEC) -> Column:
     # subtraction are exact IEEE ops only while hi < 2^53, i.e.
     # |x| < 2^83 ≈ 9.7e24 — every decimal bound in use (1e14…1e24)
     # sits below it; a wider type would silently fall back to the
-    # native cast's Java digits, so fail loudly instead
-    assert bound <= 2.0**83, f"dcast decomposition cannot cover {dec}"
+    # native cast's Java digits, so fail loudly instead (ValueError,
+    # not assert — `python -O` strips asserts and would let the exact-
+    # integer branch silently exceed its exactness ceiling)
+    if bound > 2.0**83:
+        raise ValueError(f"dcast decomposition cannot cover {dec}")
     x = col
     big = finite(x) & (F.abs(x) >= F.lit(_TWO53)) & (F.abs(x) < F.lit(bound))
     hi = F.floor(x / F.lit(_TWO30))

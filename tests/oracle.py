@@ -287,10 +287,18 @@ def checksum_compare(
             h64 = F.xxhash64(*cols).cast("decimal(38,0)")
             h32 = F.hash(*cols).cast("decimal(38,0)")
             gb = df.groupBy(*[F.col(k) for k in key]) if key else df.groupBy()
+            # digest columns go out as STRINGS (ADVICE r17): the
+            # decimal(38,0) sums reach ~1e22 where _canon's
+            # float(Decimal) conversion discards the low ~6 digits and
+            # the REL_TOL band then tolerates a further 4.4e-16 relative
+            # drift — weakening the two-independent-hash multiset
+            # guarantee. Both digests come from the same Spark session,
+            # so string rendering is identical and compare()'s string
+            # path gives exact equality for free.
             return gb.agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(h64).alias("xx_sum"),
-                F.sum(h32).alias("mm_sum"),
+                F.count(F.lit(1)).cast("string").alias("cnt"),
+                F.sum(h64).cast("string").alias("xx_sum"),
+                F.sum(h32).cast("string").alias("mm_sum"),
             )
 
         s = _arrow_to_pandas(digest(out).toArrow())
