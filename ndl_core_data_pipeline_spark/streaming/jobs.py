@@ -619,6 +619,13 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 for t in pdf["event_type"].unique():
+                    # a NULL event_type is not a type: str(None) would
+                    # mint a 'None' MapState key and overcount vs the
+                    # batch contract's COUNT(DISTINCT event_type), which
+                    # skips NULLs (round-18 hostile-twin contract,
+                    # tests/test_streaming_parity.py)
+                    if pd.isna(t):
+                        continue
                     self._types.updateValue((str(t),), (1,))
             self._totals.update((n, total))
             n_types = sum(1 for _ in self._types.keys())
