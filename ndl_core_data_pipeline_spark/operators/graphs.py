@@ -77,6 +77,15 @@ FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
 """
 
+# Sweep-only override oracle (round 18): identical query with DuckDB's
+# byte-based levenshtein swapped for the harness-registered code-point
+# UDF (tests/oracle.duckdb_conn registers lev_cp). Multibyte fixtures
+# (unicode/compound/duprow-compound sweeps) compare the FULL result with
+# this; the registered oracle above stays stock SQL because the driver's
+# DuckDB has no UDFs — on the driver's all-ASCII names the two are
+# byte-for-byte the same query.
+FUZZY_SQL_CODEPOINT = _FUZZY_SQL.replace("levenshtein(", "lev_cp(")
+
 # ---------------------------------------------------------------------------
 # Hierarchy traversal: recursive-CTE semantics via pointer doubling
 

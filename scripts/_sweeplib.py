@@ -163,6 +163,7 @@ def parity_sweep(
     redo: bool = False,
     ascii_subset: dict | None = None,
     checksum: dict | None = None,
+    sql_overrides: dict | None = None,
 ) -> int:
     """Full-registry Spark-vs-DuckDB parity run against `data_dir`,
     checkpointed per query into `out` (tree-stamped, resumable). Shared
@@ -200,6 +201,7 @@ def parity_sweep(
 
     ascii_subset = ascii_subset or {}
     checksum = checksum or {}
+    sql_overrides = sql_overrides or {}
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -259,6 +261,18 @@ def parity_sweep(
                     "ok": not problems,
                     "problems": problems,
                     "checksum_digest": checksum[name],
+                }
+            elif name in sql_overrides:
+                # harness-only oracle variant (e.g. the code-point
+                # levenshtein UDF registered by duckdb_conn) — records
+                # the tier so certification shows which oracle ran
+                problems = run_compare(
+                    spark, name, queries[name], sql_overrides[name], data_dir
+                )
+                results[name] = {
+                    "ok": not problems,
+                    "problems": problems,
+                    "oracle_override": "harness-udf",
                 }
             else:
                 problems = run_compare(

@@ -112,6 +112,14 @@ SWEEP_FILES = {
     #       tests/test_streaming.py -k 'matches_batch' ; then record
     #   via the save_results snippet in scripts/collect_r17_artifacts.py
     "hostile streaming twins": ".scale/hostile_twins.json",
+    # round 18 (VERDICT r17 item 4): the two r17 escalation probes that
+    # found real bugs (the q9 exact-integer class; the flag-resort
+    # oracle class) become standing gates — history shows probes that
+    # found bugs keep finding them at higher densities.
+    # Runners: python scripts/probe_dblextreme5.py
+    #          python scripts/duprow_compound_sweep.py
+    "extreme-double parity (5% escalation)": ".scale/dblextreme5_sweep.json",
+    "duprow-interaction parity": ".scale/duprow_compound_sweep.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

@@ -93,12 +93,13 @@ def main() -> None:
     ensure_compound_dataset(args.base, args.dir)
 
     from _sweeplib import parity_sweep
-    from unicode_sweep import ASCII_SUBSET_EXEMPT
+    from unicode_sweep import ASCII_SUBSET_EXEMPT, sweep_sql_overrides
 
     only = frozenset(n for n in args.only.split(",") if n)
     n_bad = parity_sweep(
         args.dir, args.out, only=only, redo=args.redo,
         ascii_subset=ASCII_SUBSET_EXEMPT,
+        sql_overrides=sweep_sql_overrides(),
     )
     sys.exit(1 if n_bad else 0)
 

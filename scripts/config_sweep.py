@@ -66,6 +66,17 @@ CONFIGS: dict[str, dict[str, str]] = {
     # proves the pin actually covers every query path end-to-end
     # (construction, execution, and toPandas timestamp rendering).
     "tz_tokyo": {"spark.sql.session.timeZone": "Asia/Tokyo"},
+    # round 18 (VERDICT r17 item 5): Asia/Tokyo has no DST, so the
+    # tz_tokyo column never crossed a spring-forward gap — exactly where
+    # tumbling/session window alignment, calendar densify and trend
+    # alignment can shear if any path leaks the session zone (the
+    # extreme-timestamp axis proved pre-epoch alignment bugs exist in
+    # this family). Europe/London springs forward 01:00→02:00 (BST) and
+    # its offset is negative-history-bearing (LMT -0:01:15 pre-1847),
+    # stressing both the gap and the non-integral-offset rendering
+    # paths. Same UTC-pinned-at-load contract: results must be
+    # byte-identical.
+    "tz_london": {"spark.sql.session.timeZone": "Europe/London"},
 }
 
 

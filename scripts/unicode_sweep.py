@@ -29,30 +29,26 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-# Queries whose FULL multibyte result is oracle-inexpressible: compared
-# on the all-ASCII row subset instead, with the reason and dropped-row
-# counts recorded in the checkpoint (parity_sweep ascii_subset).
-ASCII_SUBSET_EXEMPT = {
-    "join_fuzzy_name_pairs": {
-        "reason": (
-            "DuckDB 1.x levenshtein/damerau/editdist3 are all BYTE-based "
-            "(probed: levenshtein('ab','aنb')=2); the engine's "
-            "F.levenshtein is code-point-based, matching the reference's "
-            "Python semantics. No stock-DuckDB expression reproduces "
-            "code-point edit distance, so multibyte-name pairs are "
-            "uncheckable; ASCII-name pairs (the clean driver data) remain "
-            "fully checked."
-        ),
-        # the divergent semantics changes the multibyte PAIR COUNT
-        # itself: a pair whose code-point distance meets the join
-        # threshold can exceed it in bytes (each multibyte char
-        # multiplies its byte weight), so the engine legitimately emits
-        # multibyte pairs the oracle never produces — r14 recorded
-        # spark=1/oracle=0 dropped rows. Counts are recorded per run;
-        # only DECLARED mismatches pass (r14 ADVICE).
-        "allow_count_mismatch": True,
-    },
-}
+# Round 18 (VERDICT r17 item 7): the former ascii-subset exemption for
+# join_fuzzy_name_pairs is LIFTED. DuckDB 1.x levenshtein/editdist3/
+# damerau_levenshtein are byte-based (re-probed on 1.0.0:
+# levenshtein('ab','aنb')=2, ('你好','你')=3, ('😀','x')=4) where the
+# engine's F.levenshtein is code-point-based — but the harness's DuckDB
+# connection now registers a code-point Levenshtein UDF
+# (tests/oracle.duckdb_conn: lev_cp), so multibyte fixtures compare the
+# FULL result against graphs.FUZZY_SQL_CODEPOINT instead of dropping
+# non-ASCII rows. The driver-registered oracle keeps stock SQL (the
+# driver's DuckDB has no UDFs; its names are all-ASCII where the two
+# queries are identical).
+ASCII_SUBSET_EXEMPT: dict[str, dict] = {}
+
+
+def sweep_sql_overrides() -> dict[str, str]:
+    from ndl_core_data_pipeline_spark.operators.graphs import (
+        FUZZY_SQL_CODEPOINT,
+    )
+
+    return {"join_fuzzy_name_pairs": FUZZY_SQL_CODEPOINT}
 
 
 def ensure_unicode_dataset(base: str, out: str) -> None:
@@ -93,6 +89,7 @@ def main() -> None:
     n_bad = parity_sweep(
         args.dir, args.out, only=only, redo=args.redo,
         ascii_subset=ASCII_SUBSET_EXEMPT,
+        sql_overrides=sweep_sql_overrides(),
     )
     sys.exit(1 if n_bad else 0)
 

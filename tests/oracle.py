@@ -128,7 +128,44 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # Code-point Levenshtein as a registered Python UDF (round 18,
+    # VERDICT r17 item 7): DuckDB 1.x's levenshtein/editdist3/
+    # damerau_levenshtein are all BYTE-based (probed on 1.0.0:
+    # levenshtein('ab','aنb')=2, ('你好','你')=3, ('😀','x')=4) where
+    # the engine's F.levenshtein is code-point-based like the
+    # reference's Python semantics — the former ascii-subset exemption
+    # for join_fuzzy_name_pairs existed solely because stock SQL cannot
+    # express code-point edit distance. A registered UDF can: sweeps
+    # pass an override oracle using lev_cp (see graphs.
+    # FUZZY_SQL_CODEPOINT) so multibyte fixtures get the FULL check.
+    # The driver's own DuckDB has no such UDF, so the REGISTERED oracle
+    # keeps stock levenshtein (identical on the driver's ASCII names).
+    # NULL handling: default create_function semantics map any NULL
+    # argument to NULL without calling the function — same as both
+    # engines' native levenshtein.
+    con.create_function(
+        "lev_cp", codepoint_levenshtein, ["VARCHAR", "VARCHAR"], "BIGINT"
+    )
     return con
+
+
+def codepoint_levenshtein(a: str, b: str) -> int:
+    """Plain DP Levenshtein over Unicode code points (Python strings),
+    mirroring Spark's org.apache.commons StringUtils semantics: unit
+    cost per insert/delete/substitute, no transposition."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ai != b[j - 1])
+            )
+        prev = cur
+    return prev[lb]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ndl_core_data_pipeline_spark.operators._util import (
     _contains_decimal_cast,
     _toplevel_decimal_cast,
@@ -160,3 +162,35 @@ def test_checksum_digest_columns_are_exact_strings(spark, sf_small):
     # would have slipped through REL_TOL
     bad = sql + " WHERE n_nationkey != 0 UNION ALL SELECT 0, 'XX'"
     assert checksum_compare(spark, "digest_pin_bad", q, bad, sf_small) != []
+
+
+def test_codepoint_levenshtein_matches_spark(spark):
+    """The harness UDF must mirror Spark's F.levenshtein exactly on the
+    multibyte cases where DuckDB's native byte-based levenshtein
+    diverges (probed 1.0.0: 'ab'/'aنb'=2, '你好'/'你'=3, '😀'/'x'=4) —
+    the basis for lifting the join_fuzzy_name_pairs ascii-subset
+    exemption (round-18 item 7)."""
+    from tests.oracle import codepoint_levenshtein, duckdb_conn
+
+    cases = [
+        ("ab", "aنb"), ("café", "cafe"), ("你好", "你"), ("naïve", "naive"),
+        ("é", "e"), ("😀", "x"), ("", "abc"), ("kettle", "kettle"),
+        ("Ω大x", "Ω大"), ("aΩb", "ab"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = [
+        r[0]
+        for r in df.select(F.levenshtein("a", "b")).collect()
+    ]
+    assert got == [codepoint_levenshtein(a, b) for a, b in cases]
+    # and the registered DuckDB UDF agrees (plus NULL -> NULL passthrough)
+    con = duckdb_conn("/root/testdata/sf0.001")
+    try:
+        for (a, b), want in zip(cases, got):
+            assert con.execute("SELECT lev_cp(?, ?)", [a, b]).fetchone()[0] == want
+        assert con.execute("SELECT lev_cp(NULL, 'x')").fetchone()[0] is None
+        # DuckDB's native function is still byte-based: the day this
+        # changes, the override can be retired
+        assert con.execute("SELECT levenshtein('ab','aنb')").fetchone()[0] == 2
+    finally:
+        con.close()
