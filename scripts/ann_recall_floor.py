@@ -28,7 +28,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FLOORS = {"mean_recall": 0.40, "min_recall": 0.15}
+# Round 18: re-pinned at the tuned IVF_NPROBE=4 operating point
+# (measured mean 0.68 / min 0.60 at sf1; curve in operators/vector.py).
+# Floors keep a safety margin for fixture evolution, but a regression
+# to the r17 nprobe=2 point (0.46/0.20) fails both.
+FLOORS = {"mean_recall": 0.60, "min_recall": 0.40}
 
 
 def main() -> None:
