@@ -192,6 +192,7 @@ def parity_sweep(
     CHECKSUM_QUERIES for volumetric (sf1+) runs where O(n²) outputs
     cannot be materialized. The entry records ``checksum_digest`` so
     certification shows which comparison tier ran."""
+    import time
     import traceback
 
     import __spark_entry__ as contract
@@ -216,6 +217,7 @@ def parity_sweep(
     for i, name in enumerate(names):
         if name in results and not (only or redo):
             continue
+        t0 = time.monotonic()
         try:
             if name in ascii_subset:
                 exemption = ascii_subset[name]
@@ -285,6 +287,10 @@ def parity_sweep(
                 "error": f"{type(e).__name__}: {str(e)[:400]}",
                 "trace": traceback.format_exc()[-1500:],
             }
+        # wall seconds per query (round 18: the volumetric sweeps owe a
+        # per-query sf-scaling ratio table; recording it here gives every
+        # sweep the column for free)
+        results[name]["secs"] = round(time.monotonic() - t0, 3)
         status = "ok" if results[name]["ok"] else "FAIL"
         print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
         save_results(out, results)
