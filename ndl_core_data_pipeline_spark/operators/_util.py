@@ -82,6 +82,14 @@ _DECIMAL_TYPE_RE = re.compile(
     r"^\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$", re.IGNORECASE
 )
 _NUM_LIT_RE = re.compile(r"^\s*-?\d+(\.\d+)?\s*$")
+# volatile SQL functions whose double evaluation inside a narrowing-cast
+# guard would be semantics-visible (r18 verdict #7) — the guard refuses
+# them loudly instead of silently emitting the expr twice
+_VOLATILE_RE = re.compile(
+    r"\b(?:random|uuid|gen_random_uuid|now|current_timestamp|"
+    r"current_date|current_time)\s*\(",
+    re.IGNORECASE,
+)
 _AS_DECIMAL_RE = re.compile(r"\bAS\s+DECIMAL\s*\(", re.IGNORECASE)
 
 
@@ -328,8 +336,31 @@ def guard_nonfinite_decimal_casts(sql: str) -> str:
                 p, s = int(tm.group(1)), int(tm.group(2))
                 pi, si = nested_dec
                 if not (p - s >= pi - si and s >= si):
+                    # the guarded emission evaluates the expr twice,
+                    # which is semantics-visible for a volatile
+                    # subexpression (r18 verdict #7) — none registered
+                    # today, so refuse loudly rather than diverge
+                    if _VOLATILE_RE.search(expr):
+                        raise ValueError(
+                            "narrowing decimal cast guard would evaluate"
+                            f" a volatile expression twice: {expr[:120]!r}"
+                        )
                     nl = "\n" if _has_comment(expr) else ""
                     e = f"{expr}{nl}"
+                    if s < si:
+                        # scale reduction: DuckDB's native narrowing
+                        # CAST truncates the dropped digits where Spark
+                        # rounds HALF_UP (probed: 1.999 (4,3)->(3,2) is
+                        # 1.99 vs Spark's 2.00). DuckDB round(dec, s) is
+                        # half-away-from-zero — exactly HALF_UP — and
+                        # returns DECIMAL(pi, s) (precision kept, no
+                        # overflow inside the round), so rounding FIRST
+                        # and applying the magnitude bound to the
+                        # ROUNDED value also sends carries across the
+                        # bound (99999999.999 at (10,2) rounds to
+                        # 100000000.00) to NULL exactly as Spark's
+                        # overflow does (r18 ADVICE, medium).
+                        e = f"round({e}, {s})"
                     bound_lit = "1" + "0" * (p - s)
                     out.append(
                         f"CAST(CASE WHEN abs({e}) < {bound_lit} "
@@ -613,11 +644,15 @@ def dcast(col: Column, dec: str = DEC) -> Column:
     # the guard is scan-bound cost on EVERY money aggregate (q1 runs
     # seven over the full lineitem scan; measured 25% overhead at sf1
     # with the r17 three-conjunct form, .scale/dcast_cost.json). An
-    # explicit finite(x) conjunct is redundant: NaN fails abs>=2^53
-    # (NaN comparisons are false, CaseWhen treats NULL/false alike) and
-    # ±Inf fails abs<bound, so both fall to the native cast's NULL
-    # exactly as before. Ordering abs>=2^53 first makes the common path
-    # one abs+compare per row.
+    # explicit finite(x) conjunct is redundant — but NOT because NaN
+    # fails the >= compare: under Spark SQL's NaN-greatest ordering
+    # abs(NaN) >= 2^53 evaluates TRUE (NaN compares greater than every
+    # value; it is not false-on-compare like SQL NULL). NaN is excluded
+    # SOLELY by the abs(x) < bound conjunct, as is +/-Inf; both fall to
+    # the native cast's NULL exactly as before (r18 ADVICE: do not
+    # widen or remove the upper bound without re-routing NaN — the
+    # previous comment's invariant was wrong). Ordering abs>=2^53 first
+    # makes the common path one abs+compare per row.
     big = (F.abs(x) >= F.lit(_TWO53)) & (F.abs(x) < F.lit(bound))
     hi = F.floor(x / F.lit(_TWO30))
     lo = x - hi * F.lit(_TWO30)

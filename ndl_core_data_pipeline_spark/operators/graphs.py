@@ -30,6 +30,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,7 +86,10 @@ WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
 # this; the registered oracle above stays stock SQL because the driver's
 # DuckDB has no UDFs — on the driver's all-ASCII names the two are
 # byte-for-byte the same query.
-FUZZY_SQL_CODEPOINT = _FUZZY_SQL.replace("levenshtein(", "lev_cp(")
+# word-boundary replace, not substring: a bare .replace would also
+# rewrite any future *_levenshtein identifier (damerau_levenshtein)
+# into an undefined function (r18 ADVICE, low)
+FUZZY_SQL_CODEPOINT = re.sub(r"\blevenshtein\(", "lev_cp(", _FUZZY_SQL)
 
 # ---------------------------------------------------------------------------
 # Hierarchy traversal: recursive-CTE semantics via pointer doubling
@@ -427,18 +432,24 @@ def graph_pagerank(spark, sf_dir):
 
 
 def _pagerank_sql() -> str:
+    # MATERIALIZED on every multiply-referenced CTE: DuckDB otherwise
+    # inlines them, re-running the items self-join + edge aggregation
+    # inside each of the PR_ITERS contribution CTEs — at sf3 that
+    # recomputation spilled 79 GB of temp disk before the round window
+    # closed (PARITY_SF3_r18 residual; engine side completed fine).
+    # Purely physical: result sets are identical.
     base = f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
+WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MINSUP}
 ),
-sym AS (SELECT pa AS src, pb AS dst FROM edges
+sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM edges
         UNION ALL SELECT pb, pa FROM edges),
-deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
-nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nv) AS pr FROM deg)"""
     parts = [base]
     for i in range(PR_ITERS):

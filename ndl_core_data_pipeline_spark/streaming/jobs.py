@@ -593,6 +593,11 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
     )
 
 
+# outside the generated id domain (gen_scale ids are small non-negative
+# longs; hostile fixtures never mint lows near -2^62)
+TWS_NULL_KEY_SENTINEL = -(1 << 62)
+
+
 def transform_with_state_profile(stream: DataFrame) -> DataFrame:
     """Per-user running profile on the Spark-4 transformWithStateInPandas
     API (the successor to applyInPandasWithState): typed state variables
@@ -600,8 +605,41 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
     MapState as the seen-event-type set — carried across micro-batches in
     the state store. Emits the refreshed profile row for each user each
     batch. TTL is available per state variable (ttlDurationMs) for
-    unbounded key spaces; unset here because the profile is the product."""
+    unbounded key spaces; unset here because the profile is the product.
+
+    Runtime requirements this helper wires up: (1) the state-server
+    protocol is protobuf — where the real runtime is absent the
+    from-spec shim (streaming/protoshim.py) is shipped to workers; the
+    DRIVER-side schema-inference worker additionally needs the shim on
+    the JVM's PYTHONPATH, i.e. ensure_protobuf_env() before the session
+    is created. (2) transformWithState needs a multi-column-family
+    state store: run with spark.sql.streaming.stateStore.providerClass
+    = RocksDBStateStoreProvider (the HDFS-backed default raises
+    UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+
+    NULL grouping keys route through a non-null sentinel (r19 hostile
+    twin find #1): pyspark's TransformWithStateInPandasSerializer
+    groups arrow rows with itertools.groupby over raw pandas tuples
+    (sql/pandas/serializers.py, generate_data_batches), so a NULL
+    bigint key — NaN in pandas — fails NaN != NaN equality and
+    explodes the NULL group into ~one group PER ROW; worse, any batch
+    containing a NaN flips the whole key column to float64, so other
+    users' keys in that batch serialize as floats and land in state
+    cells DISJOINT from their int-keyed cells (measured on the
+    null-heavy fixture: user 94 reported n_events 4119 vs the batch
+    contract's 52). Coalescing to an out-of-domain sentinel keeps the
+    key column int64 and total; the processor maps the sentinel back
+    to NULL on output, restoring the batch groupBy's NULL-is-one-group
+    contract."""
     import pandas as pd
+
+    from .protoshim import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime(stream.sparkSession)
+    sentinel = TWS_NULL_KEY_SENTINEL
+    stream = stream.withColumn(
+        "user_id", F.coalesce(F.col("user_id"), F.lit(sentinel))
+    )
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -629,9 +667,12 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
                     self._types.updateValue((str(t),), (1,))
             self._totals.update((n, total))
             n_types = sum(1 for _ in self._types.keys())
+            uid = key[0]
+            if uid == TWS_NULL_KEY_SENTINEL:
+                uid = None  # sentinel-keyed group IS the NULL-user group
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    "user_id": pd.array([uid], dtype="Int64"),
                     "n_events": [n],
                     "total_value": [round(total, 6)],
                     "n_event_types": [n_types],

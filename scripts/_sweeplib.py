@@ -153,6 +153,14 @@ def _drop_non_ascii_rows(df):
 # collecting it at sf1 crashed collectToPython in r16.
 CHECKSUM_QUERIES = {
     "join_theta_range": ["p_partkey"],
+    # r18 sf3 residuals (PARITY_SF3_r18 _residuals): both queries'
+    # full multisets are collect-infeasible at volumetric scale —
+    # join_interval_overlap blew spark.driver.maxResultSize=1g at sf3
+    # and join_range_binned's sf1 collect-compare already took 1808 s
+    # (largest output in the registry). Digest keys are the join's
+    # left-side key column.
+    "join_interval_overlap": ["l_orderkey"],
+    "join_range_binned": ["user_id"],
 }
 
 
@@ -255,32 +263,43 @@ def parity_sweep(
                     "dropped_rows": {"spark": na, "oracle": nb},
                 }
             elif name in checksum and oracles.get(name) is not None:
+                tm: dict = {}
                 problems = checksum_compare(
                     spark, name, queries[name], oracles[name], data_dir,
-                    key=checksum[name],
+                    key=checksum[name], timings=tm,
                 )
                 results[name] = {
                     "ok": not problems,
                     "problems": problems,
                     "checksum_digest": checksum[name],
                 }
+                if tm:
+                    results[name]["secs_split"] = tm
             elif name in sql_overrides:
                 # harness-only oracle variant (e.g. the code-point
                 # levenshtein UDF registered by duckdb_conn) — records
                 # the tier so certification shows which oracle ran
+                tm = {}
                 problems = run_compare(
-                    spark, name, queries[name], sql_overrides[name], data_dir
+                    spark, name, queries[name], sql_overrides[name], data_dir,
+                    timings=tm,
                 )
                 results[name] = {
                     "ok": not problems,
                     "problems": problems,
                     "oracle_override": "harness-udf",
                 }
+                if tm:
+                    results[name]["secs_split"] = tm
             else:
+                tm = {}
                 problems = run_compare(
-                    spark, name, queries[name], oracles.get(name), data_dir
+                    spark, name, queries[name], oracles.get(name), data_dir,
+                    timings=tm,
                 )
                 results[name] = {"ok": not problems, "problems": problems}
+                if tm:
+                    results[name]["secs_split"] = tm
         except Exception as e:
             results[name] = {
                 "ok": False,

@@ -120,6 +120,15 @@ SWEEP_FILES = {
     #          python scripts/duprow_compound_sweep.py
     "extreme-double parity (5% escalation)": ".scale/dblextreme5_sweep.json",
     "duprow-interaction parity": ".scale/duprow_compound_sweep.json",
+    # round 19 (VERDICT r18 item 3): the sf3 volumetric probe becomes a
+    # standing gate now that its five r18 residuals are closed (the two
+    # collect-tier monsters are checksum-routed, the pagerank oracle is
+    # CTE-materialized, theta/pack get a run-alone window). Runs LAST
+    # and ALONE — concurrent battery lanes starve the DuckDB oracle of
+    # memory at this scale (r18: 63 malloc failures, none semantic).
+    # Runner: python scripts/sf_parity_sweep.py --dir .scale/sf3 \
+    #           --mult 30 --out .scale/sf3_parity.json
+    "volumetric parity (sf3)": ".scale/sf3_parity.json",
 }
 
 # nested {outer: {inner: {ok: ...}}} checkpoint shapes

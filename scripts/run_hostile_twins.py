@@ -3,11 +3,13 @@
 certify checkpoint (.scale/hostile_twins.json) with the engine tree
 stamp — replacing the hand-run save_results snippet the r17 close used.
 
-Round 18 widens the matrix: tumbling/session/funnel PLUS stream_dedup,
-stateful_running_totals and stream_stream_join now run over
-clean/nullheavy/compound/duprow/duprow_compound (transformWithState
-stays protobuf-gated in this env), alongside the
-debounce/markov/cusum twin pins.
+Round 18 widened the matrix: tumbling/session/funnel PLUS stream_dedup,
+stateful_running_totals and stream_stream_join over
+clean/nullheavy/compound/duprow/duprow_compound, alongside the
+debounce/markov/cusum twin pins. Round 19 lifts the last gate:
+transform_with_state_profile runs all five fixture tiers via the
+from-spec protobuf shim (streaming/protoshim.py) — every stateful job
+is now hostile-fixture-certified with no environment annotation.
 
 Usage: python scripts/run_hostile_twins.py [--out .scale/hostile_twins.json]
 """
@@ -53,9 +55,10 @@ def main() -> None:
                 "detail": detail,
                 "tests": (
                     "test_streaming_parity.py (tumbling/session/funnel/"
-                    "dedup/running-totals/stream-stream-join x clean/"
-                    "nullheavy/compound/duprow/duprow_compound; "
-                    "transformWithState protobuf-gated) + "
+                    "dedup/running-totals/stream-stream-join/"
+                    "transformWithState-profile x clean/nullheavy/"
+                    "compound/duprow/duprow_compound; protobuf via "
+                    "from-spec shim where the real runtime is absent) + "
                     "debounce/markov/cusum twins x clean/dirty/nullheavy/"
                     "compound/duprow/duprow_compound"
                 ),

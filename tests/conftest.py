@@ -8,6 +8,17 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ndl_core_data_pipeline_spark.session import get_spark
+from ndl_core_data_pipeline_spark.streaming.protoshim import (
+    ensure_protobuf_env,
+)
+
+# transformWithStateInPandas spawns a DRIVER-side python worker whose
+# sys.path comes from the JVM's PYTHONPATH env var — addPyFile never
+# reaches it. Exporting the shim path here, at conftest import (before
+# any SparkSession and therefore before the JVM starts), covers every
+# python process the JVM will launch. No-op when the real protobuf
+# runtime is installed.
+ensure_protobuf_env()
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 SF_MEDIUM = os.environ.get("SPARK_GRAFT_SF_MEDIUM", "/root/testdata/sf0.01")

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import time
 
 import duckdb
 import numpy as np
@@ -263,7 +264,13 @@ def compare(spark_df, oracle_df) -> list[str]:
 
 
 def checksum_compare(
-    spark, name: str, fn, sql: str, sf_dir: str, key: list[str] | None = None
+    spark,
+    name: str,
+    fn,
+    sql: str,
+    sf_dir: str,
+    key: list[str] | None = None,
+    timings: dict | None = None,
 ) -> list[str]:
     """Aggregate-checksum comparison for results too large to collect
     (round-17 verdict item 2; prototype was join_theta_range's keyed
@@ -299,11 +306,13 @@ def checksum_compare(
     tmp = tempfile.mkdtemp(prefix=f"oracle_ck_{name}_")
     opath = f"{tmp}/oracle.parquet"
     try:
+        t0 = time.monotonic()
         con = duckdb_conn(sf_dir)
         try:
             con.execute(f"COPY ({sql}) TO '{opath}' (FORMAT PARQUET)")
         finally:
             con.close()
+        t_oracle = time.monotonic() - t0
         odf = spark.read.parquet(opath)
         if set(odf.columns) != set(out.columns):
             return [
@@ -338,14 +347,36 @@ def checksum_compare(
                 F.sum(h32).cast("string").alias("mm_sum"),
             )
 
+        # the engine query EXECUTES here (digest collect) — that span,
+        # not the wall total, is the engine-scaling evidence the
+        # sf-ratio report attributes (r18 verdict item 2). Digesting the
+        # oracle's materialized parquet is harness/compare cost.
+        t0 = time.monotonic()
         s = _arrow_to_pandas(digest(out).toArrow())
+        t_engine = time.monotonic() - t0
+        t0 = time.monotonic()
         o = _arrow_to_pandas(digest(odf).toArrow())
-        return compare(s, o)
+        problems = compare(s, o)
+        if timings is not None:
+            timings.update(
+                engine=round(t_engine, 3),
+                oracle=round(t_oracle, 3),
+                compare=round(time.monotonic() - t0, 3),
+            )
+        return problems
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_compare(spark, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
+def run_compare(
+    spark,
+    name: str,
+    fn,
+    sql: str | None,
+    sf_dir: str,
+    timings: dict | None = None,
+) -> list[str]:
+    t_start = time.monotonic()
     out = fn(spark, sf_dir)
     # Arrow-first materialization (see _arrow_to_pandas); toPandas only
     # for plans Arrow can't carry (e.g. a VARIANT output column). The
@@ -362,11 +393,29 @@ def run_compare(spark, name: str, fn, sql: str | None, sf_dir: str) -> list[str]
             "int64-with-NULL columns degrade to float64 in this path"
         )
         sdf = out.toPandas()
+    # engine span = plan build + execute + Arrow collect; the pandas
+    # conversion is included (small vs execute, and inseparable from
+    # the collect without a second run). Oracle and compare spans are
+    # recorded separately so volumetric scaling ratios can be computed
+    # on engine time alone (r18 verdict item 2).
+    t_engine = time.monotonic() - t_start
     if sql is None:
+        if timings is not None:
+            timings.update(engine=round(t_engine, 3), oracle=0.0, compare=0.0)
         return [] if len(sdf) >= 0 else ["spark query failed"]
+    t0 = time.monotonic()
     con = duckdb_conn(sf_dir)
     try:
         odf = _arrow_to_pandas(con.execute(sql).arrow())
     finally:
         con.close()
-    return compare(sdf, odf)
+    t_oracle = time.monotonic() - t0
+    t0 = time.monotonic()
+    problems = compare(sdf, odf)
+    if timings is not None:
+        timings.update(
+            engine=round(t_engine, 3),
+            oracle=round(t_oracle, 3),
+            compare=round(time.monotonic() - t0, 3),
+        )
+    return problems
