@@ -280,17 +280,26 @@ def ivf_cell_assignments(spark, sf_dir, cents=None):
     emb = load(spark, sf_dir, "embeddings")
     if cents is None:
         cents = _centroid_arrays(emb)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell_id",
-        _sq_l2(F.col("embedding"), F.col("centroid")).alias("d2"),
+    # r19 (guide §2.3 — shuffle fewer bytes): the K-way crossJoin
+    # expansion is replaced by a map-side argmin over the ONE broadcast
+    # array<struct<cell_id, centroid>> row (_argmin_cell; same (d2,
+    # cell_id) struct comparator as the former min(struct) aggregate).
+    # The groupBy(vec_id) stays — it is what merges NULL vec_ids into
+    # one output row (nullheavy fixtures null ids; min over per-row
+    # argmins == global min by associativity) — but its input is now one
+    # pre-reduced struct per vector instead of K expanded rows.
+    # size(cs) guard, not m.isNotNull() — see _kmeans_fit (a filter on
+    # the argmin output would re-evaluate the HOF in the join condition)
+    per_row = (
+        emb.crossJoin(F.broadcast(_cent_struct_row(cents)))
+        .filter(F.size("cs") > 0)
+        .select(
+            "vec_id",
+            _argmin_cell(F.col("embedding"), dist=_sq_l2).alias("m"),
+        )
     )
-    # keyed argmin via lexicographic struct-min (min_by with a (d2, cell_id)
-    # tie-break): partial aggregation collapses the K-way expansion map-side,
-    # where the former row_number() window had to sort all K rows per vector
-    # after the shuffle
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cell_id")).alias("m")
+    return per_row.groupBy("vec_id").agg(
+        F.min("m").alias("m")
     ).select(
         "vec_id",
         F.col("m.cell_id").alias("cell_id"),
@@ -993,32 +1002,81 @@ def _km_d2(v_col, c_col):
     )
 
 
+def _cent_struct_row(cents):
+    """Collapse the K-row centroid table to ONE row holding
+    array<struct<cell_id, centroid>> — the broadcastable literal the
+    map-side argmin (_argmin_cell) scans per vector. collect_list order
+    is nondeterministic but irrelevant: every consumer reduces the array
+    with array_min, which is order-independent."""
+    return cents.agg(F.collect_list(F.struct("cell_id", "centroid")).alias("cs"))
+
+
+def _argmin_cell(v_col, extra_fields=(), dist=None):
+    """Map-side nearest-centroid argmin over the broadcast `cs` array:
+    array_min over struct(d2, cell_id[, ...extra]) — the SAME (d2,
+    cell_id) lexicographic comparator (incl. null-field ordering) as the
+    former groupBy(vec_id).agg(min(struct(d2, cell_id))), because
+    ArrayMin and the Min aggregate share one interpreted struct
+    ordering. min over (row × cell) pairs == min over per-row argmins
+    (associativity), and vec_id is contractually unique (duprow fixtures
+    re-key; checks.enforce_unique_key rejects duplicate ids), so the
+    per-row form is exactly the per-key form. NULL elements can't occur
+    (struct() is never NULL); array_min of an empty cs is NULL — callers
+    filter, mirroring the old join-with-empty-assign drop."""
+    dist = dist or _km_d2
+    return F.array_min(
+        F.transform(
+            "cs",
+            lambda c: F.struct(
+                dist(v_col, c["centroid"]).alias("d2"),
+                c["cell_id"].alias("cell_id"),
+                *[c[f].alias(f) for f in extra_fields],
+            ),
+        )
+    )
+
+
 def _kmeans_fit(emb):
     """Lloyd's loop over (vec_id, v) rows; returns the final array-form
     centroid table (cell_id, centroid) — shared by the standalone
-    kmeans query and the IVF-PQ composition."""
+    kmeans query and the IVF-PQ composition.
+
+    r19 optimization (guide §2.4 — remove shuffles outright): the former
+    per-round shape crossJoined every vector with the K broadcast
+    centroid rows (K× row expansion), groupBy(vec_id)-argmin'd them
+    (shuffle 1), and joined the assignment back to emb by vec_id
+    (shuffle 2 — the heavy one: the full v arrays crossed the exchange)
+    before the keyed mean. The assignment depends only on (v, centroids),
+    so it is computable in the scan projection: collapse the centroid
+    table to ONE broadcast row of array<struct<cell_id, centroid>> and
+    argmin map-side (_argmin_cell). Per Lloyd round this removes BOTH
+    vec_id exchanges and the K× expansion; the only remaining shuffle is
+    the (cell_id, pos) mean, whose partial aggregation ships ≤K×dim rows
+    per task. The vec_id.isNotNull() filter reproduces the old
+    equi-join's NULL-key drop (nullheavy fixtures null ids).
+    Plan evidence: plans/r19/vector_kmeans_centroids_{before,after}.txt
+    (10 Exchange → 4); A/B timings in OPTIMIZATION_r19.md."""
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid")
     )
     for _ in range(KMEANS_ITERS):
-        a = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "cell_id",
-            _km_d2(F.col("v"), F.col("centroid")).alias("d2"),
-        )
-        assign = (
-            a.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cell_id")).alias("m"))
-            .select("vec_id", F.col("m.cell_id").alias("cell_id"))
+        # the empty-centroid guard filters on size(cs) — NOT on the
+        # argmin output being NULL (exactly equivalent: struct elements
+        # are never NULL, so array_min is NULL iff cs is empty) —
+        # because a filter on the argmin column gets predicate-pushed
+        # into the BNLJ join condition, re-evaluating the whole HOF per
+        # row (measured ~0.7 s/round at sf0.1)
+        assigned = (
+            emb.filter(F.col("vec_id").isNotNull())
+            .crossJoin(F.broadcast(_cent_struct_row(cents)))
+            .filter(F.size("cs") > 0)
+            .select(_argmin_cell(F.col("v"))["cell_id"].alias("cell_id"), "v")
         )
         # posexplode to (cell, dim) keyed rows, NOT 64 per-column
         # aggregates: A/B at sf0.1 measured the explode form 1.60 s vs
         # 3.94 s for F.sum(v[i]) x 64 (wide codegen loses to one keyed
         # agg over 64x rows with map-side combine)
-        dims = (
-            emb.join(assign, "vec_id")
-            .select("cell_id", F.posexplode("v").alias("pos", "x"))
-        )
+        dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
         means = dims.groupBy("cell_id", "pos").agg(
             F.round(
                 F.sum(F.col("x").cast(_KM_DEC)).cast("double") / F.count("x"), 6
@@ -1183,28 +1241,46 @@ def ivfpq_adc_search(spark, sf_dir):
     # consumer (A/B at sf0.1: 4.88 s -> 4.47 s — the fit runs once
     # either way inside one job tree, so the win is modest but real,
     # and both tables are K-rows / M*K-rows so the cut is free).
+    #
+    # r19 optimization (guide §2.4): the assignment/residual step used
+    # to crossJoin every vector with the K broadcast centroid rows (K×
+    # expansion), groupBy(vec_id)-argmin (shuffle), then JOIN the
+    # assignment back to emb by vec_id and the centroid by cell_id (two
+    # more exchanges carrying the full v arrays). The argmin depends
+    # only on (v, centroids), so it now runs in the scan projection via
+    # the broadcast array<struct<cell_id, centroid>> row
+    # (_argmin_cell with the centroid carried as an extra struct field
+    # — cell_id is unique per cs entry, so the widened struct never
+    # changes the (d2, cell_id) comparator's decision), and the
+    # residual zip_with reads the winning centroid straight out of the
+    # argmin struct. vec_id.isNotNull() reproduces the old equi-join's
+    # NULL-key drop. Plan evidence:
+    # plans/r19/vector_ivfpq_adc_search_{before,after}.txt.
     cents = F.broadcast(
         _kmeans_fit(emb.select("vec_id", "v")).localCheckpoint(eager=True)
     )
-    dists = emb.crossJoin(cents).select(
-        "vec_id", "cell_id", _km_d2(F.col("v"), F.col("centroid")).alias("d2")
-    )
-    assign = (
-        dists.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell_id")).alias("m"))
-        .select("vec_id", F.col("m.cell_id").alias("cell_id"))
-    )
-    resid = (
-        emb.join(assign, "vec_id")
-        .join(cents, "cell_id")
+    # size(cs) guard, not m.isNotNull(): a filter on the argmin output
+    # predicate-pushes into the BNLJ join condition and re-evaluates the
+    # HOF per row (see _kmeans_fit); equivalent because array_min is
+    # NULL iff cs is empty
+    best = (
+        emb.filter(F.col("vec_id").isNotNull())
+        .crossJoin(F.broadcast(_cent_struct_row(cents)))
+        .filter(F.size("cs") > 0)
         .select(
             "vec_id",
             "label",
-            "cell_id",
-            F.zip_with(
-                "v", "centroid", lambda x, c: _round6_det(x - c)
-            ).alias("r"),
+            "v",
+            _argmin_cell(F.col("v"), extra_fields=("centroid",)).alias("m"),
         )
+    )
+    resid = best.select(
+        "vec_id",
+        "label",
+        F.col("m.cell_id").alias("cell_id"),
+        F.zip_with(
+            "v", F.col("m.centroid"), lambda x, c: _round6_det(x - c)
+        ).alias("r"),
     )
     rex = resid.select("label", F.posexplode("r").alias("pos", "val"))
     cb = (
@@ -1240,8 +1316,15 @@ def ivfpq_adc_search(spark, sf_dir):
         .agg(F.min(F.struct("d2", "code")).alias("b"))
         .select("vec_id", "label", "cell_id", "m", F.col("b.code").alias("code"))
     )
+    # the query-cell probe needs distances for vec 0 only: a 1×K
+    # crossJoin against the broadcast centroid table (the former code
+    # filtered vec 0 out of the full K×n `dists` expansion)
     qcells = (
-        dists.filter(F.col("vec_id") == 0)
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(cents)
+        .select(
+            "cell_id", _km_d2(F.col("v"), F.col("centroid")).alias("d2")
+        )
         .orderBy("d2", "cell_id")
         .limit(IVFPQ_NPROBE)
         .select("cell_id")
