@@ -851,6 +851,51 @@ def _subvectors(emb):
     ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
 
 
+def _pq_filtered(emb):
+    """PQ is defined over identified, labeled, non-NULL vectors: a NULL
+    embedding would emit M NULL-subvec rows (oracle's UNNEST emits
+    none); NULL vec_ids would merge distinct vectors into one argmin
+    group; a NULL label would train a NULL codeword class whose argmin
+    tie order is engine-specific. Shared by the scored-expansion helper
+    and the map-side encode paths so the domain filter cannot drift."""
+    return emb.filter(
+        F.col("embedding").isNotNull()
+        & F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+    )
+
+
+def _codeword_arrays(cb):
+    """One row per subquantizer m holding array<struct<code, subcent>> —
+    the broadcast-hash-join build side for the map-side code argmin
+    (r19, guide §2.3/§2.4): joining the K-rows-per-m codebook expands
+    every (vec, m) subvector K ways and needs a keyed shuffle to argmin
+    it back down; joining THIS table keeps one row per (vec, m) and the
+    argmin runs in the scan projection (_argmin_code). collect_list
+    order is nondeterministic but irrelevant: every consumer reduces
+    the array with array_min, which is order-independent."""
+    return cb.groupBy("m").agg(
+        F.collect_list(F.struct("code", "subcent")).alias("cw")
+    )
+
+
+def _argmin_code(subvec_col):
+    """array_min over struct(d2, code) of the joined `cw` codeword
+    array — the SAME lexicographic comparator (incl. null-field
+    ordering) as the former groupBy.agg(min(struct(d2, code))), because
+    ArrayMin and the Min aggregate share one interpreted struct
+    ordering; see _argmin_cell for the full equivalence argument."""
+    return F.array_min(
+        F.transform(
+            "cw",
+            lambda c: F.struct(
+                _sq_l2(subvec_col, c["subcent"]).alias("d2"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+
+
 def _pq_scored(emb):
     """(vec_id, label, m, code, d2): L2² of every subvector against every
     codeword of its subquantizer. Broadcast codebook join keyed on m.
@@ -860,16 +905,7 @@ def _pq_scored(emb):
     aggregation per branch (round-9 A/B at sf0.1: 0.95-1.13 s direct vs
     0.91-0.96 s cut, identical rows; at scale the win is one saved
     corpus aggregation, the same cut ivfpq_adc_search makes)."""
-    # PQ is defined over identified, labeled, non-NULL vectors: a NULL
-    # embedding would emit M NULL-subvec rows (oracle's UNNEST emits
-    # none); NULL vec_ids would merge distinct vectors into one argmin
-    # group; a NULL label would train a NULL codeword class whose argmin
-    # tie order is engine-specific
-    emb = emb.filter(
-        F.col("embedding").isNotNull()
-        & F.col("vec_id").isNotNull()
-        & F.col("label").isNotNull()
-    )
+    emb = _pq_filtered(emb)
     subs = _subvectors(emb)
     cb = _pq_codebooks(emb).localCheckpoint(eager=True)
     return subs.join(F.broadcast(cb), "m").select(
@@ -888,18 +924,24 @@ def pq_codes(spark, sf_dir):
     shape as `ivf_cell_assignments`); at 100 TB the output is M small
     ints per vector, a ~32× compression of a 64-dim float vector.
     Reference ANN analog: LanceDB IVF-PQ (create_lancedb_index.py:143-148)
-    — this is the PQ half, the IVF half is `vector_ivf_assignments`."""
-    emb = load(spark, sf_dir, "embeddings")
-    return (
-        _pq_scored(emb)
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "code")).alias("b"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("b.code").alias("code"),
-            F.round(F.col("b.d2"), 6).alias("dist2"),
-        )
+    — this is the PQ half, the IVF half is `vector_ivf_assignments`.
+
+    r19 (guide §2.3/§2.4): the K-way codebook-join expansion +
+    groupBy(vec_id, m) argmin shuffle is replaced by a broadcast hash
+    join against the per-m codeword ARRAYS (_codeword_arrays) and a
+    map-side array_min (_argmin_code) — the encode is now shuffle-free.
+    Plan: plans/r19/vector_pq_codes_{before,after}.txt."""
+    emb = _pq_filtered(load(spark, sf_dir, "embeddings"))
+    subs = _subvectors(emb)
+    cb = _pq_codebooks(emb).localCheckpoint(eager=True)
+    enc = subs.join(F.broadcast(_codeword_arrays(cb)), "m").select(
+        "vec_id", "m", _argmin_code(F.col("subvec")).alias("b")
+    )
+    return enc.select(
+        "vec_id",
+        "m",
+        F.col("b.code").alias("code"),
+        F.round(F.col("b.d2"), 6).alias("dist2"),
     )
 
 
@@ -911,21 +953,40 @@ def pq_adc_topk(spark, sf_dir):
     original vectors. Per-subquantizer distances round to 6 dp and sum as
     decimals so the ranking hashes identically across engines. At 100 TB
     this is the memory-bound ANN scan shape: codes table + broadcast LUT,
-    no float vectors in the hot loop."""
-    emb = load(spark, sf_dir, "embeddings")
-    scored = _pq_scored(emb)
+    no float vectors in the hot loop.
+
+    r19 (guide §2.3/§2.4): the shared scored-expansion (K rows per
+    (vec, m) + groupBy argmin shuffle) is split — the DATABASE encode is
+    a shuffle-free map-side argmin over the broadcast per-m codeword
+    arrays, and only the 1-vector QUERY side still expands K ways (M×K
+    tiny rows) because the LUT needs every codeword distance, not the
+    argmin. cb stays localCheckpointed so the corpus aggregation runs
+    once for both branches. Plan:
+    plans/r19/vector_pq_adc_topk_{before,after}.txt."""
+    emb = _pq_filtered(load(spark, sf_dir, "embeddings"))
+    subs = _subvectors(emb)
+    cb = _pq_codebooks(emb).localCheckpoint(eager=True)
     codes = (
-        scored.groupBy("vec_id", "label", "m")
-        .agg(F.min(F.struct("d2", "code")).alias("b"))
-        .select("vec_id", "label", "m", F.col("b.code").alias("code"))
+        subs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(_codeword_arrays(cb)), "m")
+        .select(
+            "vec_id",
+            "label",
+            "m",
+            _argmin_code(F.col("subvec"))["code"].alias("code"),
+        )
     )
     lut = (
-        scored.filter(F.col("vec_id") == 0)
-        .select("m", "code", F.round("d2", 6).alias("qd2"))
+        subs.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cb), "m")
+        .select(
+            "m",
+            "code",
+            F.round(_sq_l2(F.col("subvec"), F.col("subcent")), 6).alias("qd2"),
+        )
     )
     return (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut), ["m", "code"])
+        codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy("vec_id", "label")
         .agg(F.sum(F.col("qd2").cast("decimal(25,6)")).cast("double").alias("adc_d2"))
         # label tiebreak: totality over the output row (r16 lint)
@@ -1301,20 +1362,18 @@ def ivfpq_adc_search(spark, sf_dir):
             "m", "code", F.transform("pc", lambda s: s["cval"]).alias("subcent")
         )
     )
-    cb = F.broadcast(cb.localCheckpoint(eager=True))
+    cb = cb.localCheckpoint(eager=True)
     subs = _slice_subs(resid, "r", ("vec_id", "label", "cell_id"))
-    scored = subs.join(cb, "m").select(
+    # r19 (guide §2.3/§2.4): database encode is a shuffle-free map-side
+    # argmin over the broadcast per-m codeword arrays — the former K-way
+    # codebook-join expansion + groupBy(vec, m) argmin shuffle is gone;
+    # only the 1-vector query LUT below still expands all K codewords.
+    codes = subs.join(F.broadcast(_codeword_arrays(cb)), "m").select(
         "vec_id",
         "label",
         "cell_id",
         "m",
-        "code",
-        _sq_l2(F.col("subvec"), F.col("subcent")).alias("d2"),
-    )
-    codes = (
-        scored.groupBy("vec_id", "label", "cell_id", "m")
-        .agg(F.min(F.struct("d2", "code")).alias("b"))
-        .select("vec_id", "label", "cell_id", "m", F.col("b.code").alias("code"))
+        _argmin_code(F.col("subvec"))["code"].alias("code"),
     )
     # the query-cell probe needs distances for vec 0 only: a 1×K
     # crossJoin against the broadcast centroid table (the former code
@@ -1340,7 +1399,7 @@ def ivfpq_adc_search(spark, sf_dir):
         )
     )
     qsubs = _slice_subs(qres, "r", ("cell_id",))
-    lut = qsubs.join(cb, "m").select(
+    lut = qsubs.join(F.broadcast(cb), "m").select(
         "cell_id",
         "m",
         "code",
