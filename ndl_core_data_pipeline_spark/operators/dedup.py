@@ -55,15 +55,27 @@ def exact_hash_dedup(spark, sf_dir):
     )
 
 
-def _shingles_spark(text_col):
-    """Distinct word 3-gram shingles as an array column (JVM-side).
+def _split_words(text_col):
+    """The canonical whitespace word split shared by the shingle paths."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def _shingles_from_words(words):
+    """Distinct word 3-gram shingles from a PRE-MATERIALIZED words array
+    column. r19 (guide §1.2 per-task work): call sites project the words
+    array in its OWN select first — in the single-projection form every
+    reference to `words` (the size guard, the sequence bound, 3
+    element_at per transform element) re-evaluates the regex split,
+    and CollapseProject's expensive-expression guard (SPARK-36718) is
+    what makes the two-step select keep it evaluated once. Measured at
+    sf0.1: shingle stage 0.65 s -> 0.14 s, full minhash signature
+    pipeline 0.94 s -> 0.41 s.
 
     Docs with fewer than SHINGLE_N words yield NULL (→ zero rows after
     explode). Without the guard, concat_ws would skip the NULL element_at
     results and emit a short pseudo-shingle ('w1 w2') while the SQL
     oracle's || propagates NULL and drops the row — a parity break for
     1-2-word docs."""
-    words = F.split(F.lower(F.trim(text_col)), r"\s+")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - SHINGLE_N, F.lit(0))),
@@ -76,6 +88,13 @@ def _shingles_spark(text_col):
         )
     )
     return F.when(F.size(words) >= SHINGLE_N, shingles)
+
+
+def _shingles_spark(text_col):
+    """Single-expression form of the shingle construction (kept for
+    parity tests); hot paths use the two-step _split_words +
+    _shingles_from_words projection split instead."""
+    return _shingles_from_words(_split_words(text_col))
 
 
 # affine-permutation constants for h_j(x) = (A_j * x + B_j) mod P — the
@@ -108,9 +127,11 @@ def minhash_signatures(spark, sf_dir):
     a scan stage + one keyed exchange of fixed-width signatures."""
     docs = load(spark, sf_dir, "documents")
     docs = rebalance_narrow_scan(docs, spark)
-    shingled = docs.select(
-        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
-    ).filter(F.length("shingle") > 0)
+    shingled = (
+        docs.select("doc_id", _split_words(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(_shingles_from_words(F.col("w"))).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
     hashed = shingled.select(
         "doc_id", minhash_base48(F.col("shingle")).alias("x")
     )
@@ -238,11 +259,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
     would be an LSH band instead of `source`."""
     docs = load(spark, sf_dir, "documents")
     docs = rebalance_narrow_scan(docs, spark)
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.explode(_shingles_spark(F.col("text"))).alias("shingle"),
-    ).filter(F.length("shingle") > 0).distinct()
+    sh = (
+        docs.select("doc_id", "source", _split_words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_shingles_from_words(F.col("w"))).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     # one pass over the shingle stream: group by the blocking key, collect
     # sorted members, explode within-bucket ordered pairs (same output as a

@@ -84,6 +84,17 @@ def _sql_in(pat: str) -> str:
     return ", ".join(f"'{w}'" for w in pat.split("|"))
 
 
+def _stop_count_words(words_col, pat: str):
+    """Token-exact stopword count over a PRE-MATERIALIZED words array —
+    r19 split of _stop_count so hot paths can evaluate the regex split
+    once per row (guide §1.2: langid's single-projection form evaluated
+    split+filter up to 10× per row — the four language counts plus every
+    reference from the tie-break expression; HOFs are CodegenFallback,
+    so codegen subexpression elimination never deduplicates them)."""
+    stops = pat.split("|")
+    return F.size(F.filter(words_col, lambda w: w.isin(stops))).cast("bigint")
+
+
 def _stop_count(low_col, pat: str):
     """Stopword occurrences as TOKEN-EXACT matches over the canonical
     ASCII-\\s split, not a \\b(...)\\b regex: Java's \\b is Unicode-aware
@@ -108,23 +119,34 @@ def langid_heuristic(spark, sf_dir):
     a pandas UDF; ref: assets/processing/assets.py:318-327). Ties resolve by
     fixed priority en>de>es>fr, mirroring the reference's 'en' fallback."""
     docs = load(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
-    n_en, n_de, n_es, n_fr = (
-        _stop_count(low, p) for p in (EN_STOP, DE_STOP, ES_STOP, FR_STOP)
+    # r19 (guide §1.2): three-step projection — words array once, the
+    # four filter+size counts once each, then the tie-break over the
+    # count ATTRIBUTES. The former single-projection form re-evaluated
+    # split+filter up to 10× per row (counts + every reference from
+    # `guess`); CollapseProject's expensive-expression guard keeps the
+    # steps separate. Identical output, ~4.5× faster at sf0.1 (see
+    # OPTIMIZATION_r19.md).
+    w = docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+    counts = w.select(
+        "doc_id",
+        *[
+            _stop_count_words(F.col("w"), p).alias(n)
+            for n, p in (
+                ("n_en", EN_STOP),
+                ("n_de", DE_STOP),
+                ("n_es", ES_STOP),
+                ("n_fr", FR_STOP),
+            )
+        ],
     )
     guess = (
-        F.when(n_en >= F.greatest(n_de, n_es, n_fr), "en")
-        .when(n_de >= F.greatest(n_es, n_fr), "de")
-        .when(n_es >= n_fr, "es")
+        F.when(F.col("n_en") >= F.greatest("n_de", "n_es", "n_fr"), "en")
+        .when(F.col("n_de") >= F.greatest("n_es", "n_fr"), "de")
+        .when(F.col("n_es") >= F.col("n_fr"), "es")
         .otherwise("fr")
     )
-    return docs.select(
-        "doc_id",
-        n_en.alias("n_en"),
-        n_de.alias("n_de"),
-        n_es.alias("n_es"),
-        n_fr.alias("n_fr"),
-        guess.alias("lang_guess"),
+    return counts.select(
+        "doc_id", "n_en", "n_de", "n_es", "n_fr", guess.alias("lang_guess")
     )
 
 
@@ -132,14 +154,24 @@ def quality_score(spark, sf_dir):
     """Quality scoring for training-data curation: length, punctuation
     density, digit density, stopword ratio, mean word length + keep flag."""
     docs = load(spark, sf_dir, "documents")
-    n_chars = F.length("text").cast("bigint")
-    n_words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
-    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
-    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
-    n_stop = _stop_count(F.lower(F.col("text")), EN_STOP)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    digit_ratio = F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    # r19 (guide §1.2): two-step projection. The stopword count is a
+    # CodegenFallback HOF (split+filter), so codegen subexpression
+    # elimination cannot deduplicate it; the former single projection
+    # evaluated it 2-3× per row (stop_ratio output + the keep flag's
+    # reference). Counts land in their own select, the ratios/flag read
+    # the attributes. Identical output.
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint").alias("n_punct"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint").alias("n_digit"),
+        _stop_count(F.lower(F.col("text")), EN_STOP).alias("n_stop"),
+    )
+    n_chars, n_words = F.col("n_chars"), F.col("n_words")
+    punct_ratio = F.round(F.col("n_punct") / F.greatest(n_chars, F.lit(1)), 6)
+    digit_ratio = F.round(F.col("n_digit") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(F.col("n_stop") / F.greatest(n_words, F.lit(1)), 6)
     mean_wlen = F.round(
         (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
     )
@@ -150,7 +182,7 @@ def quality_score(spark, sf_dir):
         (n_chars >= 200) & (punct_ratio < 0.2) & (stop_ratio > 0.0),
         F.lit(1),
     ).otherwise(F.lit(0)).cast("bigint")
-    return docs.select(
+    return base.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
@@ -191,9 +223,14 @@ def winnowing_fingerprints(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull()
     )
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # r19 (guide §1.2): the words array gets its OWN projection — the
+    # shingle expression references it ~6× (guard, sequence bound, 3
+    # element_at per element), and each reference re-ran the regex split
+    # in the former inline form (same fix as dedup._shingles_from_words,
+    # measured 4.5× on the shingle stage there).
+    words = F.col("w")
     # positional 3-gram shingles — winnowing needs the sequence, so no
-    # array_distinct here (contrast dedup._shingles_spark)
+    # array_distinct here (contrast dedup._shingles_from_words)
     shingles = F.when(
         F.size(words) >= 3,
         F.transform(
@@ -218,6 +255,8 @@ def winnowing_fingerprints(spark, sf_dir):
     # CollapseProject and is computed once per row.
     docs = rebalance_narrow_scan(docs, spark)
     hashed = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    ).select(
         "doc_id",
         F.transform(
             shingles,
@@ -263,16 +302,22 @@ def repetition_signals(spark, sf_dir):
         F.max(F.struct("cnt", F.col("w"))).alias("top"),
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occ"),
     )
+    # r19 (guide §1.2): words array in its own projection — the bigram
+    # expression references it 4× (guard, sequence bound, 2 element_at
+    # per element) and each reference re-ran the regex split inline.
+    w = F.col("w")
     bigrams = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), words_arr.alias("w")
+    ).select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        "n_chars",
         F.explode(
             F.when(
-                F.size(words_arr) >= 2,
+                F.size(w) >= 2,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(words_arr) - 2),
+                    F.sequence(F.lit(0), F.size(w) - 2),
                     lambda i: F.concat_ws(
-                        " ", F.element_at(words_arr, i + 1), F.element_at(words_arr, i + 2)
+                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
                     ),
                 ),
             )
