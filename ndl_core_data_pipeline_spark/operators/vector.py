@@ -196,20 +196,41 @@ def embedding_dim(df, vec_col: str = "embedding") -> int:
     return int(row["d"])
 
 
-def _lsh_signature(emb_col, planes):
+def _sql_double(v: float) -> str:
+    """Shortest-roundtrip double literal for Spark SQL (D suffix — an
+    unsuffixed decimal literal would parse as DECIMAL, not DOUBLE)."""
+    return repr(float(v)) + "D"
+
+
+def _plane_dot_sql(emb_sql: str, plane) -> str:
+    """SQL text of the hyperplane dot product — semantically identical
+    to the former Column-DSL aggregate(zip_with(...)) form."""
+    arr = "array(" + ", ".join(_sql_double(v) for v in plane) + ")"
+    return (
+        f"aggregate(zip_with({emb_sql}, {arr}, "
+        "(x, hv) -> CAST(x AS DOUBLE) * hv), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_signature(emb_sql: str, planes):
     """16-bit random-hyperplane signature: bit j = sign of the dot product
     with literal hyperplane j (plan-time constants, nothing rebuilt per
-    row)."""
-    bits = []
-    for j, plane in enumerate(planes):
-        h = F.array(*[F.lit(v) for v in plane])
-        h_dot = F.aggregate(
-            F.zip_with(emb_col, h, lambda x, hv: x.cast("double") * hv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
-    return sum(bits[1:], bits[0]).cast("bigint")
+    row). `emb_sql` is the embedding column's SQL identifier.
+
+    r19 (guide §1 — the cost was DRIVER-side): the former Column-DSL
+    form created n_planes x dim literal Column objects, one py4j round
+    trip each (~1k calls at 16x64) — measured 0.9-1.1 s of per-query
+    DataFrame CONSTRUCTION before any job ran. The whole expression is
+    now rendered as ONE SQL string and parsed with a single F.expr
+    call; the resulting expression tree (and therefore the plan and the
+    results) is the same."""
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(emb_sql, plane)} > 0 "
+        f"THEN 1 ELSE 0 END) * {2 ** j}"
+        for j, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def lsh_bucket_assignment(spark, sf_dir):
@@ -222,7 +243,7 @@ def lsh_bucket_assignment(spark, sf_dir):
     algorithm, same role: prune the candidate space)."""
     emb = load(spark, sf_dir, "embeddings")
     planes = hyperplane_matrix(LSH_SIG_BITS, embedding_dim(emb))
-    sig = _lsh_signature(F.col("embedding"), planes)
+    sig = _lsh_signature("embedding", planes)
     return emb.select("vec_id", "label", sig.alias("lsh_bucket"))
 
 
@@ -479,7 +500,7 @@ LSH_BAND_MASK = (1 << LSH_BAND_BITS) - 1
 EMB_NEAR_DUP_MIN_COS = 0.35
 
 
-def _band_value_structs(emb_col, planes, n_bands: int):
+def _band_value_structs(emb_sql: str, planes, n_bands: int):
     """Per-band LSH values, each computed directly from its own
     hyperplane subset: band b's value is Σ_k bit_{b·w+k}·2^k for band
     width w = len(planes)/n_bands. Computing bands independently (rather
@@ -489,19 +510,17 @@ def _band_value_structs(emb_col, planes, n_bands: int):
     w = len(planes) // n_bands
     out = []
     for bnd in range(n_bands):
-        bits = []
-        for k in range(w):
-            h = F.array(*[F.lit(v) for v in planes[bnd * w + k]])
-            h_dot = F.aggregate(
-                F.zip_with(emb_col, h, lambda x, hv: x.cast("double") * hv),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(h_dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**k))
+        # same single-F.expr construction as _lsh_signature (r19): one
+        # SQL parse per band instead of w x dim py4j literal calls
+        terms = " + ".join(
+            f"(CASE WHEN {_plane_dot_sql(emb_sql, planes[bnd * w + k])} > 0 "
+            f"THEN 1 ELSE 0 END) * {2 ** k}"
+            for k in range(w)
+        )
         out.append(
             F.struct(
                 F.lit(bnd).alias("band"),
-                sum(bits[1:], bits[0]).cast("bigint").alias("bval"),
+                F.expr(f"CAST({terms} AS BIGINT)").alias("bval"),
             )
         )
     return out
@@ -549,7 +568,7 @@ def lsh_near_dup_pairs(
         "vec_id",
         "embedding",
         F.explode(
-            F.array(*_band_value_structs(F.col("embedding"), planes, n_bands))
+            F.array(*_band_value_structs("embedding", planes, n_bands))
         ).alias("bk"),
     ).select("vec_id", "embedding", "bk.band", "bk.bval")
     # plain collect_list: pair orientation comes from min/max in
