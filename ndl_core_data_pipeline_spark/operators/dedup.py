@@ -351,25 +351,39 @@ def simhash_fingerprints(spark, sf_dir):
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
     )
-    bit_votes = []
+    # r19 (guide §1 — the cost was DRIVER-side): the Column-DSL loops
+    # built ~500 Column objects (64 shift/mask/when/sum chains + a
+    # 64-deep nested Add for the fingerprint), and every chained
+    # DataFrame op re-analyzes the wide plan — measured 2.87 s of
+    # CONSTRUCTION per query before any job ran (the execute itself is
+    # ~1 s at sf0.1). The same expressions are now rendered as SQL text
+    # (one F.expr parse per aggregate, one for the fingerprint); the
+    # analyzed plan and results are identical. Same fix as
+    # vector._lsh_signature.
+    votes = []
     for bpos in range(SIMHASH_BITS):
         char = bpos // 4  # 0-based hex char index
-        half = F.col("hi") if char < 8 else F.col("lo")
+        half = "hi" if char < 8 else "lo"
         shift = 4 * (7 - char % 8) + bpos % 4
-        bit = F.shiftright(half, shift).bitwiseAND(F.lit(1))
-        bit_votes.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{bpos}")
+        votes.append(
+            f"SUM(CASE WHEN (SHIFTRIGHT({half}, {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         )
-    sums = halved.groupBy("doc_id").agg(*bit_votes)
-    terms = [
-        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-    ]
-    for b in range(1, SIMHASH_BITS):
-        weight = -(2**63) if b == 63 else 2**b
-        terms.append(
-            F.when(F.col(f"s{b}") > 0, F.lit(weight)).otherwise(F.lit(0)).cast("bigint")
-        )
-    fp = sum(terms[1:], terms[0])
+    # ONE parsed expression for all 64 vote sums (64 separate F.expr
+    # calls measured ~1 s of parser round trips on their own): the
+    # aggregate buffers are still the 64 individual sums — array() only
+    # wraps the RESULT expressions — so partial aggregation is unchanged
+    sums = halved.groupBy("doc_id").agg(
+        F.expr("array(" + ", ".join(votes) + ")").alias("svec")
+    )
+    # bit 63's weight is BIGINT MIN — written as (-max - 1) because a
+    # bare -9223372036854775808 literal parses as unary minus on an
+    # out-of-range bigint (DECIMAL(19,0)), which would widen the sum
+    terms = []
+    for b in range(SIMHASH_BITS):
+        weight = "(-9223372036854775807L - 1L)" if b == 63 else f"{2 ** b}L"
+        terms.append(f"(CASE WHEN svec[{b}] > 0 THEN {weight} ELSE 0L END)")
+    fp = F.expr(" + ".join(terms))
     return sums.select("doc_id", fp.alias("simhash"))
 
 
