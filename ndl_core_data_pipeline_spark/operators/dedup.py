@@ -826,9 +826,24 @@ def substring_dup_spans(spark, sf_dir):
         docs.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
     )
-    dup = pos.groupBy("gh").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
-    hits = pos.join(dup.select("gh"), "gh", "left_semi").select(
-        "doc_id", "start", (F.col("start") + SPAN_W - 1).alias("end")
+    # r19 optimization (guide §2.4 / §1.2 step 1): the former count-agg +
+    # broadcast-semi-join shape evaluated the gram subtree TWICE — `pos`
+    # fed both the corpus-wide count and the probe side, and Catalyst
+    # re-executes an uncached subtree per consumer (column pruning gives
+    # the two branches different exchange payloads, so ReuseExchange can
+    # never fire). A per-gram window count is the same predicate — rows
+    # whose gh occurs more than once — computed from ONE evaluation of
+    # the gram scan and ONE hash-partitioned exchange of (doc_id, start,
+    # gh) rows. It also drops the broadcast of the duplicated-gram set
+    # (a driver/executor-memory hazard at corpus scale: the dup set is
+    # data-dependent and unbounded, while the shuffled gram rows are the
+    # same bytes the count aggregate's probe side already carried).
+    # A/B at sf0.1 (quiet box, interleaved): 0.92/1.02 -> 0.78/0.84 s
+    # (min/median); plan: 2 parquet scans -> 1.
+    hits = (
+        pos.withColumn("n", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "start", (F.col("start") + SPAN_W - 1).alias("end"))
     )
     w_prev = (
         W.partitionBy("doc_id").orderBy("start").rowsBetween(W.unboundedPreceding, -1)

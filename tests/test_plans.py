@@ -464,10 +464,19 @@ def test_aqe_splits_skewed_join_partition(spark, sf_small):
 
 
 def test_substring_spans_ship_hashes_not_text(spark, sf_small):
+    # r19: the duplicated-gram filter is a per-gh window count over ONE
+    # evaluation of the gram subtree — the former count-agg + broadcast
+    # semi join re-executed the md5 gram scan per consumer (2 scans) and
+    # broadcast an unbounded dup-gram set
     plan = plan_of(spark, "dedup_substring_spans", sf_small)
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan  # duplicated-gram filter is a semi join
-    assert "partial_count" in plan  # gram count map-side combined
+    import re
+
+    # formatted explain prints each scan once in the tree and once in the
+    # detail list — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BroadcastExchange" not in plan  # no data-dependent broadcast
+    assert "Window" in plan  # per-gh count + interval-merge windows
 
 
 def test_pipeline_summary_two_shuffles_only(spark, sf_small):
