@@ -284,53 +284,83 @@ def repetition_signals(spark, sf_dir):
     unique-word fraction, most-frequent-word fraction, fraction of word
     occurrences that are repeats, top-bigram character fraction
     (occurrences × bigram chars / total chars), and fraction of bigram
-    occurrences whose bigram occurs more than once. Plan: two
-    explode → (doc, term) count → per-doc rollup passes (words, bigrams),
-    joined on doc_id — keyed shuffles whose post-count rows are tiny, so
-    the shape holds at any corpus size. Tie-break for the top term is
-    (count, term) max — deterministic in both engines."""
+    occurrences whose bigram occurs more than once. Tie-break for the
+    top term is (count, term) max — deterministic in both engines.
+
+    r19 optimization (guide §2.4 / §1.2 step 1): the former plan ran TWO
+    scan → split → explode → (doc, term) count → per-doc rollup passes
+    (words, bigrams) joined on doc_id — the document scan and the regex
+    split each executed twice. Both streams derive from the SAME word
+    array, so one explode of a kind-tagged struct stream (k=0 word,
+    k=1 bigram) feeds one (doc, k, term) count and ONE per-doc
+    conditional rollup — 1 scan instead of 2, 2 keyed shuffles instead
+    of 4, and the doc_id join disappears. The conditional aggregates
+    reproduce the old left join's NULL semantics exactly: a doc with <2
+    words has no k=1 rows, so every bigram aggregate is NULL, just as
+    the missing bstats row was. A/B at sf0.1 (interleaved, 4 reps):
+    1.005/1.177 → 0.755/0.888 s min/median (−25%), output
+    bit-identical. Plans: text_repetition_signals_{before,after}.txt."""
     docs = load(spark, sf_dir, "documents")
     docs = rebalance_narrow_scan(docs, spark)
     words_arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    words = docs.select(
-        "doc_id", F.explode(words_arr).alias("w")
-    ).filter(F.length("w") > 0)
-    wcounts = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
-    wstats = wcounts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_words"),
-        F.count("*").alias("n_uniq"),
-        F.max(F.struct("cnt", F.col("w"))).alias("top"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occ"),
+    wa = F.col("wa")
+    wstructs = F.transform(
+        wa, lambda x: F.struct(F.lit(0).alias("k"), x.alias("term"))
     )
-    # r19 (guide §1.2): words array in its own projection — the bigram
-    # expression references it 4× (guard, sequence bound, 2 element_at
-    # per element) and each reference re-ran the regex split inline.
-    w = F.col("w")
-    bigrams = docs.select(
-        "doc_id", F.length("text").alias("n_chars"), words_arr.alias("w")
-    ).select(
-        "doc_id",
-        "n_chars",
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
-                    ),
+    # empty-array coalesce (NOT a bare when): concat(x, NULL) is NULL,
+    # which would silently drop the doc's WORD rows too
+    bstructs = F.coalesce(
+        F.when(
+            F.size(wa) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wa) - 2),
+                lambda i: F.struct(
+                    F.lit(1).alias("k"),
+                    F.concat_ws(
+                        " ", F.element_at(wa, i + 1), F.element_at(wa, i + 2)
+                    ).alias("term"),
                 ),
-            )
-        ).alias("bg"),
+            ),
+        ),
+        F.array().cast("array<struct<k:int,term:string>>"),
     )
-    bcounts = bigrams.groupBy("doc_id", "n_chars", "bg").agg(F.count("*").alias("cnt"))
-    bstats = bcounts.groupBy("doc_id", "n_chars").agg(
-        F.sum("cnt").alias("n_bg"),
-        F.max(F.struct("cnt", F.col("bg"))).alias("topbg"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_bg_occ"),
+    merged = (
+        docs.select(
+            "doc_id", F.length("text").alias("n_chars"), words_arr.alias("wa")
+        )
+        .select(
+            "doc_id", "n_chars", F.explode(F.concat(wstructs, bstructs)).alias("e")
+        )
+        .select(
+            "doc_id", "n_chars", F.col("e.k").alias("k"), F.col("e.term").alias("term")
+        )
+        # the length guard only ever fires on the [''] array of an
+        # empty/whitespace-only text (split on trimmed text yields no
+        # interior empties) — the old words-branch filter; bigram rows
+        # pass untouched like the old bigram branch
+        .filter((F.col("k") == 1) | (F.length("term") > 0))
     )
-    joined = wstats.join(bstats, "doc_id", "left")
-    return joined.select(
+    counts = merged.groupBy("doc_id", "n_chars", "k", "term").agg(
+        F.count("*").alias("cnt")
+    )
+    isw, isb = F.col("k") == 0, F.col("k") == 1
+    stats = counts.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),  # per-doc constant
+        F.sum(F.when(isw, F.col("cnt"))).alias("n_words"),
+        F.count(F.when(isw, 1)).alias("n_uniq"),
+        F.max(F.when(isw, F.struct("cnt", F.col("term").alias("w")))).alias("top"),
+        F.sum(
+            F.when(isw, F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        ).alias("dup_occ"),
+        F.sum(F.when(isb, F.col("cnt"))).alias("n_bg"),
+        F.max(F.when(isb, F.struct("cnt", F.col("term").alias("bg")))).alias(
+            "topbg"
+        ),
+        F.sum(
+            F.when(isb, F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        ).alias("dup_bg_occ"),
+    )
+    return stats.select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
         F.round(F.col("n_uniq") / F.col("n_words"), 6).alias("uniq_word_frac"),
