@@ -1575,13 +1575,25 @@ def tfidf_doc_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     words = _words(docs)
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r19 (guide §2.4): dfreq derives from tf — the distinct (doc_id,
+    # term) pairs ARE tf's group keys, so words.distinct() re-ran the
+    # whole tokenize+explode and added a second (doc_id, term) exchange
+    # for the same row set
     dfreq = (
-        words.distinct()
-        .groupBy("term")
+        tf.groupBy("term")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= PAIR_MAX_DF)
     )
     n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    # r19 (guide §2.4/§5): wtab feeds THREE consumers (norms + both
+    # sides of the term self-join) and Catalyst re-executes an uncached
+    # subtree per consumer — the committed before-plan re-tokenized the
+    # corpus 12 times (12 parquet scans, 60 Exchanges). One eager
+    # localCheckpoint of the post-aggregation (doc_id, term, w) rows —
+    # the df-capped weighted postings, tiny next to the token stream —
+    # collapses that to one evaluation: 12 scans → 1 construction pass,
+    # 60 → 12 Exchanges (plans/r19/text_tfidf_doc_pairs_{before,after}).
+    # Output verified bit-identical at sf0.01 + sf0.1.
     wtab = (
         tf.join(dfreq, "term")
         .crossJoin(n_docs)
@@ -1592,6 +1604,7 @@ def tfidf_doc_pairs(spark, sf_dir):
                 F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
             ).alias("w"),
         )
+        .localCheckpoint(eager=True)
     )
     norms = wtab.groupBy("doc_id").agg(
         F.sqrt(
