@@ -1217,6 +1217,15 @@ def bm25_topk(spark, sf_dir):
         for i, t in enumerate(BM25_TERMS)
     ]
     per_doc = words.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
+    # r19 (guide §5): per_doc feeds both the corpus stats aggregate and
+    # the scoring join, so the tokenize+explode+groupBy subtree ran
+    # twice (6 parquet scans in the before plan). The lazy checkpoint
+    # (post-aggregation doc-count rows, tiny next to the token stream —
+    # the tfidf wtab pattern) makes it run once; interleaved A/B at
+    # sf0.1 flat (0.97 vs 1.00 s median), the win is the saved corpus
+    # tokenize at scale. Lazy, not eager: the eager barrier measured
+    # +0.3 s median with no compensating gain.
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats_aggs = [
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     ] + [

@@ -1362,6 +1362,13 @@ def ivfpq_adc_search(spark, sf_dir):
             "v", F.col("m.centroid"), lambda x, c: _round6_det(x - c)
         ).alias("r"),
     )
+    # r19 (guide §5/§8): resid feeds TWO corpus-scale consumers — the
+    # codebook build (rex) and the encode (subs) — and each re-ran the
+    # whole scan + map-side argmin + residual zip_with. One
+    # localCheckpoint makes the residual pass run once (the index-build
+    # artifact a production IVF-PQ materializes anyway); interleaved A/B
+    # at sf0.1: 4.26/4.36 -> 3.60/3.81 s min/median (-15%).
+    resid = resid.localCheckpoint(eager=True)
     rex = resid.select("label", F.posexplode("r").alias("pos", "val"))
     cb = (
         rex.groupBy(
