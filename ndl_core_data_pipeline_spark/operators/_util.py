@@ -738,6 +738,15 @@ def sql_davg(expr: str, dec: str = "DECIMAL(25,6)") -> str:
     return f"(CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE) / COUNT({expr}))"
 
 
+# (appId, scan files, target) -> split count. Every caller passes a bare
+# load() scan (at most narrowly filtered/projected), whose partition
+# count is a function of the scan's files + session conf only — but the
+# df.rdd probe that measures it builds the full physical plan and RDD
+# DAG per call (measured ~50 ms warm / 300 ms cold of driver time;
+# guide §7.3). Memoize it per file set.
+_SPLIT_CACHE: dict = {}
+
+
 def rebalance_narrow_scan(df, spark):
     """Round-robin rebalance a scan that produced fewer splits than cores.
 
@@ -747,8 +756,18 @@ def rebalance_narrow_scan(df, spark):
     the input is returned unchanged, so no shuffle is ever added to a
     wide scan. Round-robin (no key) spreads rows evenly regardless of
     key skew; downstream keyed aggregations add their own exchange, but
-    those ship post-aggregation rows (e.g. 8 longs per doc), not text."""
+    those ship post-aggregation rows (e.g. 8 longs per doc), not text.
+
+    Only pass a bare scan (optionally narrow-filtered/projected): the
+    split-count probe is memoized per (app, scan files) — see
+    _SPLIT_CACHE — which is only sound when the partition count is the
+    scan's split count."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = (spark.sparkContext.applicationId, tuple(df.inputFiles()), target)
+    n = _SPLIT_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPLIT_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)

@@ -992,6 +992,13 @@ def jaccard_prefix_join(spark, sf_dir):
             F.size("st").alias("ntok"),
         )
     )
+    # r19 (guide §5): arr — one row per distinct name with its sorted
+    # token array — feeds FOUR consumers (both sides of the prefix
+    # self-join, x, y), so the part scan + tokenize + dfreq join ran 4×
+    # (8 scans / 32 Exchanges in the census plan). One lazy
+    # localCheckpoint runs it once; interleaved A/B at sf0.1:
+    # 0.745/0.849 → 0.552/0.630 s min/median (−26%).
+    arr = arr.localCheckpoint(eager=False)
     plen = (
         F.col("ntok")
         - F.expr(f"({JACC_TAU_NUM} * ntok + {JACC_TAU_DEN - 1}) DIV {JACC_TAU_DEN}")

@@ -129,33 +129,73 @@ def funnel_steps(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: for each user,
     the first view, the first click strictly AFTER that view, and the
     first purchase strictly AFTER that click (the MATCH_RECOGNIZE /
-    event-analytics funnel primitive). Three keyed min-aggregations
-    chained by user_id-keyed joins — every stage shuffles on the same
-    user_id key, so at scale the exchanges collapse to one co-partitioned
-    pipeline; nothing holds per-user state in memory."""
+    event-analytics funnel primitive).
+
+    r19 (guide §2.4 — remove shuffles outright): the former shape was
+    three keyed min-aggregations chained by user_id joins, and because
+    each stage's subtree feeds both the next stage AND the final join,
+    Catalyst re-derived it per consumer — 6 events scans, 10 Exchanges.
+    The three firsts are all per-user aggregates of ONE stream, so they
+    stack as three unbounded windows over a single user_id partition:
+    1 scan, 1 exchange, no joins. Semantics reproduced exactly:
+    view_ts = the user's min view ts (window min == groupBy min);
+    click_ts's `ts > view_ts` reads the first window's output, so a
+    user with no views nulls the comparison and click_ts stays NULL
+    exactly as the old inner-join drop; the old user_id equi-joins
+    DROPPED NULL users from clicks/purchases while window partitioning
+    GROUPS them, so the click condition carries an explicit
+    user_id IS NOT NULL (purchase then nulls via ts > NULL); the row
+    set stays anchored on users with a view EVENT — the old groupBy
+    kept a user whose every view has NULL ts (view_ts NULL, stage 1),
+    so the anchor flag counts view events, NOT view_ts IS NOT NULL
+    (caught by the 30%-NULL fixture sweep, not by clean-data parity) —
+    and the per-user groupBy dedups the per-event rows (the window
+    cols are constant within a user).
+    """
     ev = load(spark, sf_dir, "events")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
+    w = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
+    df = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "has_view",
+            F.max((F.col("event_type") == "view").cast("int")).over(w),
+        )
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    df = df.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("user_id").isNotNull()
+                & (F.col("ts") > F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
     return (
-        views.join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
+        df.filter(F.col("has_view") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("purchase_ts").alias("purchase_ts"),
+        )
         .select(
             "user_id",
             "view_ts",

@@ -36,6 +36,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # r19 (guide §7.3 driver-side cost): PySpark 4's DataFrame
+        # debugging wraps EVERY Column/DataFrame op with a call-site
+        # capture — an inspect stack walk plus a conf-get py4j round
+        # trip per op, measured ~3 ms/op (q1's seven dcast aggregates
+        # alone paid 0.4 s of driver time per build). It only decorates
+        # error messages with Python line numbers; results and plans
+        # are identical. Must be set at build: the flag is cached
+        # process-wide on first Column op.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
