@@ -205,6 +205,10 @@ def mad_outliers(spark, sf_dir):
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
+    # r19: checkpointing dev (it feeds both the MAD aggregate and the
+    # verdict) was TRIED and rejected — interleaved A/B flat-to-worse
+    # (median 2.00 → 2.12 s); it would trade a cheap columnar re-scan +
+    # broadcast join for materializing input-scale rows.
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")

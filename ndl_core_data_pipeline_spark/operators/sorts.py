@@ -110,6 +110,13 @@ def elbow_cut(spark, sf_dir):
         F.row_number().over(w).alias("rnk"),
         (F.col("dist") - F.lag("dist", 1).over(w)).alias("diff"),
     )
+    # r19 (guide §5): diffs is FIFTEEN rows, but it feeds both the
+    # median-diff aggregate and the cut scan, and each consumer re-ran
+    # the whole corpus KNN (scan + distance + top-15) behind it — 4
+    # listed scans in the census plan. Lazy checkpoint runs the KNN
+    # once; local A/B flat under box noise, the win is the saved
+    # corpus pass at scale (15-row materialization is free).
+    diffs = diffs.localCheckpoint(eager=False)
     med = diffs.select(
         F.expr("percentile(diff, 0.5)").alias("median_diff")
     )

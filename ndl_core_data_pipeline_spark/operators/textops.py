@@ -930,6 +930,14 @@ def bigram_nll(spark, sf_dir):
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
+    # r19 (guide §5): bi — the document bigram stream — feeds BOTH the
+    # model counts and the scoring join; each re-ran scan + split +
+    # zip_with explode. Lazy checkpoint runs it once (interleaved A/B
+    # at sf0.1: 1.50 → 1.41 s median; one saved corpus pass at scale).
+    # Checkpointing `uni` as well was TRIED and measured WORSE
+    # (1.96 → 2.42 s median) — its vocab-key join prefers the live
+    # subtree — so uni stays re-derived.
+    bi = bi.localCheckpoint(eager=False)
     big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     vocab = uni.agg(F.count("*").alias("v"))
     k = BIGRAM_SMOOTH_K
@@ -1507,6 +1515,11 @@ def cooccur_pmi(spark, sf_dir):
     df_t = words.groupBy("term").agg(F.count("*").alias("df"))
     vocab = F.broadcast(df_t.orderBy(F.desc("df"), "term").limit(PMI_VOCAB))
     wv = words.join(vocab, "term")
+    # r19 (guide §5): wv — the vocab-restricted token stream — feeds
+    # BOTH self-join sides, so the corpus tokenize + vocab join ran
+    # twice. Lazy checkpoint runs it once (interleaved A/B at sf0.1:
+    # 1.31 → 1.22 s median; the win is one saved corpus pass at scale).
+    wv = wv.localCheckpoint(eager=False)
     a = wv.select(
         "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
     )
