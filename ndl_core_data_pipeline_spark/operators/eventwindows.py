@@ -213,17 +213,27 @@ def funnel_steps(spark, sf_dir):
 def cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity day, then
     distinct active users per (cohort_day, day_offset) — the standard
-    retention triangle. Two keyed aggregations joined on user_id; the
-    distinct-user count shuffles (cohort, offset, user) tuples once. At
-    100 TB the first-activity table is the only state and it's one row
-    per user."""
-    ev = load(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    retention triangle. At 100 TB the distinct-user count shuffles
+    (cohort, offset, user) tuples once.
+
+    r19 (guide §2.4): the first-activity aggregate was a groupBy joined
+    back to the stream — the events scan ran twice (once under the
+    aggregate, once as the probe side). cohort_day is a per-user min, so
+    it computes as an unbounded window over ONE user_id partition: 1
+    scan, and the join exchange disappears. The old inner join on
+    user_id dropped NULL-user rows (NULL never equi-joins) while window
+    partitioning groups them — the explicit isNotNull filter reproduces
+    the drop."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     return (
-        ev.join(first, "user_id")
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .withColumn("cohort_day", F.min("d").over(w))
         .select(
             "cohort_day",
-            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
             "user_id",
         )
         .groupBy("cohort_day", "day_offset")
@@ -655,6 +665,11 @@ def events_markov_transitions(spark, sf_dir):
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n"))
     )
+    # r19 (guide §5): pairs is ≤T² rows, but it feeds both the marginals
+    # and the final join, and each consumer re-ran the data-sized lag
+    # window behind it. Lazy checkpoint runs the window pass once (the
+    # elbow_cut pattern: tiny materialization, saves a corpus pass).
+    pairs = pairs.localCheckpoint(eager=False)
     totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
     return pairs.join(F.broadcast(totals), "prev_type").select(
         "prev_type",

@@ -558,8 +558,26 @@ def q11_part_value_threshold(spark, sf_dir):
     national = l.join(s, l.l_suppkey == s.s_suppkey).join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     )
-    per_part = national.groupBy("l_partkey").agg(dsum(value, "part_value"))
-    total = national.agg(dsum(value, "total_value"))
+    # r19 (guide §2.4): the nation-wide total was a SECOND aggregate over
+    # `national`, re-running the fact join (6 listed scans). The total is
+    # exactly the sum of the per-part DECIMAL partials (decimal addition
+    # is exact and associative; an all-NULL part sums to NULL and is
+    # ignored by the outer SUM just as its rows were by the global one),
+    # so both outputs derive from ONE checkpointed per-part decimal
+    # table; the double casts happen after, as before.
+    from ._util import DEC, dcast
+
+    per_part_dec = (
+        national.groupBy("l_partkey")
+        .agg(F.sum(dcast(value, DEC)).alias("_pv"))
+        .localCheckpoint(eager=False)
+    )
+    per_part = per_part_dec.select(
+        "l_partkey", F.col("_pv").cast("double").alias("part_value")
+    )
+    total = per_part_dec.agg(
+        F.sum("_pv").cast("double").alias("total_value")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > 0.002 * F.col("total_value"))
