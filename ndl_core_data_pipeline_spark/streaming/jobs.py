@@ -105,7 +105,13 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    # r19 (guide §4.1/§2.3): the stateful operator is opaque to column
+    # pruning — without the explicit select the state shuffle and the
+    # Arrow boundary carry every input column (events' `props` JSON
+    # payload included) for a function that reads only `value`.
+    return stream.select("user_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
         stateStructType="n BIGINT, total DOUBLE",
@@ -388,7 +394,12 @@ def markov_pairs_stream(stream: DataFrame) -> DataFrame:
         if prevs:
             yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    # r19 (guide §4.1): ship only the columns the state machine reads —
+    # the opaque operator otherwise carries the full event row (incl.
+    # `props`) through the state shuffle and the Arrow boundary.
+    return stream.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="prev_type STRING, next_type STRING",
         stateStructType="last_us BIGINT, last_eid BIGINT, last_type STRING",
@@ -482,6 +493,8 @@ def cusum_prefix_stream(stream: DataFrame) -> DataFrame:
 
     return (
         stream.filter(F.col("value").isNotNull())
+        # r19 (guide §4.1): narrow the opaque stateful operator's input
+        .select("event_type", "ts", "event_id", "value")
         .groupBy("event_type")
         .applyInPandasWithState(
             update,
@@ -583,7 +596,10 @@ def stateful_funnel(stream: DataFrame) -> DataFrame:
             # exists with view_ts NULL → stage 1, never progresses
             yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [1]})
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    # r19 (guide §4.1): narrow the opaque stateful operator's input
+    return stream.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, funnel_stage BIGINT",
         stateStructType="view_us BIGINT, click_us BIGINT, purchase_us BIGINT, "
@@ -682,7 +698,10 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return stream.groupBy("user_id").transformWithStateInPandas(
+    # r19 (guide §4.1): narrow the opaque stateful operator's input
+    return stream.select("user_id", "event_type", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
         statefulProcessor=ProfileProcessor(),
         outputStructType=(
             "user_id BIGINT, n_events BIGINT, total_value DOUBLE, "
