@@ -506,10 +506,17 @@ def test_gaps_islands_single_user_shuffle(spark, sf_small):
 
 
 def test_incremental_dedup_ships_hashes(spark, sf_small):
+    # r19: the semi/anti PAIR folded into ONE LeftOuter join with a
+    # marker column (base fp is distinct, so the outer join cannot
+    # multiply rows) and the fingerprint pass is checkpointed — the pin
+    # now asserts the single-join form and that fingerprints, not text,
+    # remain the join key
     plan = plan_of(spark, "dedup_incremental_vs_base", sf_small)
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan
-    assert "md5" in plan  # fingerprints, not text, are the join key
+    assert "LeftOuter" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "fp#" in plan  # the checkpointed md5 fingerprint is the join key
+    assert "text" not in plan.lower().replace("context", "")  # no text cols ship
 
 
 def test_constraint_report_no_cartesian(spark, sf_small):
