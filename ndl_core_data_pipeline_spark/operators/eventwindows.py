@@ -131,71 +131,48 @@ def funnel_steps(spark, sf_dir):
     first purchase strictly AFTER that click (the MATCH_RECOGNIZE /
     event-analytics funnel primitive).
 
-    r19 (guide §2.4 — remove shuffles outright): the former shape was
-    three keyed min-aggregations chained by user_id joins, and because
-    each stage's subtree feeds both the next stage AND the final join,
-    Catalyst re-derived it per consumer — 6 events scans, 10 Exchanges.
-    The three firsts are all per-user aggregates of ONE stream, so they
-    stack as three unbounded windows over a single user_id partition:
-    1 scan, 1 exchange, no joins. Semantics reproduced exactly:
-    view_ts = the user's min view ts (window min == groupBy min);
-    click_ts's `ts > view_ts` reads the first window's output, so a
-    user with no views nulls the comparison and click_ts stays NULL
-    exactly as the old inner-join drop; the old user_id equi-joins
-    DROPPED NULL users from clicks/purchases while window partitioning
-    GROUPS them, so the click condition carries an explicit
-    user_id IS NOT NULL (purchase then nulls via ts > NULL); the row
-    set stays anchored on users with a view EVENT — the old groupBy
-    kept a user whose every view has NULL ts (view_ts NULL, stage 1),
-    so the anchor flag counts view events, NOT view_ts IS NOT NULL
-    (caught by the 30%-NULL fixture sweep, not by clean-data parity) —
-    and the per-user groupBy dedups the per-event rows (the window
-    cols are constant within a user).
+    r19 (guide §5 + §2.3, after a MEASURED reversal): the r6 shape —
+    three keyed min-aggregations chained by user_id joins — re-derived
+    each stage's subtree per consumer (views ran 4×, clicks 2×: 6
+    events scans, 10 Exchanges). A full window restructure (stacked
+    unbounded windows over one user_id partition, 1 scan / no joins)
+    was TRIED first: faster at sf0.1 (−20%) but consistently SLOWER at
+    sf1 across three interleaved trials (old mins 0.89–1.17 s vs new
+    1.04–1.61 s) — the window form ships EVERY event row into the
+    partition sort, while the aggregate form partial-aggregates
+    map-side and shuffles only per-user rows (guide §2.3 "aggregate
+    before you shuffle"; the trend worsens with scale, so the window
+    form was REVERTED). The kept fix attacks only the re-derivation:
+    lazy localCheckpoints on the per-user `views` and `clicks` tables
+    (users-scale, two narrow columns), so each stage computes once —
+    3 filtered scans instead of 6, identical NULL semantics to the
+    r6 form (no window NULL-group pitfalls to re-prove).
     """
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+        .localCheckpoint(eager=False)
     )
-    df = (
-        ev.select("user_id", "ts", "event_type")
-        .withColumn(
-            "view_ts",
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "has_view",
-            F.max((F.col("event_type") == "view").cast("int")).over(w),
-        )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+        .localCheckpoint(eager=False)
     )
-    df = df.withColumn(
-        "click_ts",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click")
-                & F.col("user_id").isNotNull()
-                & (F.col("ts") > F.col("view_ts")),
-                F.col("ts"),
-            )
-        ).over(w),
-    )
-    df = df.withColumn(
-        "purchase_ts",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("ts") > F.col("click_ts")),
-                F.col("ts"),
-            )
-        ).over(w),
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
     )
     return (
-        df.filter(F.col("has_view") == 1)
-        .groupBy("user_id")
-        .agg(
-            F.min("view_ts").alias("view_ts"),
-            F.min("click_ts").alias("click_ts"),
-            F.min("purchase_ts").alias("purchase_ts"),
-        )
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
         .select(
             "user_id",
             "view_ts",
