@@ -1610,12 +1610,18 @@ def tfidf_doc_pairs(spark, sf_dir):
     # r19 (guide §2.4/§5): wtab feeds THREE consumers (norms + both
     # sides of the term self-join) and Catalyst re-executes an uncached
     # subtree per consumer — the committed before-plan re-tokenized the
-    # corpus 12 times (12 parquet scans, 60 Exchanges). One eager
+    # corpus 12 times (12 parquet scans, 60 Exchanges). One
     # localCheckpoint of the post-aggregation (doc_id, term, w) rows —
     # the df-capped weighted postings, tiny next to the token stream —
     # collapses that to one evaluation: 12 scans → 1 construction pass,
     # 60 → 12 Exchanges (plans/r19/text_tfidf_doc_pairs_{before,after}).
-    # Output verified bit-identical at sf0.01 + sf0.1.
+    # Output verified bit-identical at sf0.01 + sf0.1. LAZY, not eager
+    # (re-measured at sf1, 10× rows): the eager barrier serializes the
+    # materialization into its own job and measured consistently slower
+    # (sf1 A/B 2.48/2.81 lazy vs 2.71/3.05 eager min/median; the eager
+    # form also lost to the UNcheckpointed tree at sf1, 2.49 vs 3.14 —
+    # the 32-core box hides re-derived branches behind parallelism that
+    # a barrier forfeits).
     wtab = (
         tf.join(dfreq, "term")
         .crossJoin(n_docs)
@@ -1626,7 +1632,7 @@ def tfidf_doc_pairs(spark, sf_dir):
                 F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
             ).alias("w"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     norms = wtab.groupBy("doc_id").agg(
         F.sqrt(
