@@ -313,6 +313,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans in one plan. Round-9 A/B at sf0.1, best-of-3 interleaved:
     2.36-2.61 s direct vs 2.03-2.15 s cut, identical output; at 100 TB
     the win is the 15 saved fact scans, not the 20%."""
+    # r19: an eager->lazy A/B at sf1 measured flat (lazy 3.48/4.08 vs
+    # eager 3.83/3.94 min/median) — eager kept, no churn.
     e = _affinity_edges(spark, sf_dir).localCheckpoint(eager=True)
     return _triangle_count_from_edges(e)
 

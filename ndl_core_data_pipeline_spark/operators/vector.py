@@ -1367,8 +1367,11 @@ def ivfpq_adc_search(spark, sf_dir):
     # whole scan + map-side argmin + residual zip_with. One
     # localCheckpoint makes the residual pass run once (the index-build
     # artifact a production IVF-PQ materializes anyway); interleaved A/B
-    # at sf0.1: 4.26/4.36 -> 3.60/3.81 s min/median (-15%).
-    resid = resid.localCheckpoint(eager=True)
+    # at sf0.1: 4.26/4.36 -> 3.60/3.81 s min/median (-15%). LAZY after
+    # the sf1 re-measure (A/B at 10x rows: lazy 16.3/18.6 vs eager
+    # 17.6/19.6 min/median) — the eager barrier serializes the
+    # materialization job, the same lesson as the tfidf wtab demotion.
+    resid = resid.localCheckpoint(eager=False)
     rex = resid.select("label", F.posexplode("r").alias("pos", "val"))
     cb = (
         rex.groupBy(
