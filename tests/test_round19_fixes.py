@@ -141,3 +141,58 @@ def test_pagerank_oracle_materializes_reused_ctes():
     # 79 GB oracle spill, PARITY_SF3_r18 residual)
     for cte in ("items", "edges", "sym", "deg", "nv"):
         assert f"{cte} AS MATERIALIZED (" in sql
+
+
+def test_q11_total_is_exact_sum_of_part_partials(spark, sf_small):
+    """r19: q11's nation-wide total derives from the checkpointed
+    per-part DECIMAL partials instead of a second pass over the fact
+    join. Decimal addition is exact and associative, so the derived
+    total must equal the direct aggregate BITWISE (cast to double),
+    including when some parts' values are NULL-only groups."""
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators._util import dsum
+
+    l = load(spark, sf_small, "lineitem")
+    s = load(spark, sf_small, "supplier")
+    n = load(spark, sf_small, "nation").filter(F.col("n_name") == "NATION_3")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = l.join(s, l.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    direct = national.agg(dsum(value, "t")).collect()[0]["t"]
+    from ndl_core_data_pipeline_spark.operators._util import DEC, dcast
+
+    derived = (
+        national.groupBy("l_partkey")
+        .agg(F.sum(dcast(value, DEC)).alias("_pv"))
+        .agg(F.sum("_pv").cast("double").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert derived == direct
+
+
+def test_funnel_checkpoints_keep_stage_semantics(spark, sf_small):
+    """r19: funnel's views/clicks lazy checkpoints must not change the
+    row set or stages — spot-pin a user with all three stages and the
+    anchor row count against a direct recomputation."""
+    import __spark_entry__ as contract
+
+    out = contract.queries()["events_funnel_steps"](spark, sf_small)
+    rows = {r["user_id"]: r for r in out.collect()}
+    from ndl_core_data_pipeline_spark.io import load
+
+    ev = load(spark, sf_small, "events")
+    n_view_users = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_view_users
+    for r in rows.values():
+        expected = (
+            1
+            + (r["click_ts"] is not None)
+            + (r["purchase_ts"] is not None)
+        )
+        assert r["funnel_stage"] == expected
