@@ -295,36 +295,47 @@ def _sq_l2(a, b):
 
 def ivf_cell_assignments(spark, sf_dir, cents=None):
     """IVF build step: every vector assigned to its nearest coarse cell
-    (K-way broadcast expansion + per-vector argmin via window — no n²,
-    shuffle keyed on vec_id only). The assigned cell can differ from the
-    vector's own label; that disagreement is the quantizer doing its job."""
+    (map-side argmin — no n², no expansion). The assigned cell can
+    differ from the vector's own label; that disagreement is the
+    quantizer doing its job.
+
+    r20 (guide §4.2): the interpreted HOF argmin over the broadcast
+    centroid row is replaced by the Arrow-native argmin against the
+    driver-collected K-row centroid table (_nearest_arrow — bit-exact
+    fold + comparator, see its block comment). `cents` may be passed as
+    the (cell_id, centroid) DataFrame (ivf_topk / ann_recall share the
+    centroid build); it is collected here — K rows, the same table the
+    former plan broadcast. The groupBy(vec_id) stays — it is what
+    merges NULL vec_ids into one output row (nullheavy fixtures null
+    ids; min over per-row argmins == global min by associativity)."""
     emb = load(spark, sf_dir, "embeddings")
     if cents is None:
         cents = _centroid_arrays(emb)
-    # r19 (guide §2.3 — shuffle fewer bytes): the K-way crossJoin
-    # expansion is replaced by a map-side argmin over the ONE broadcast
-    # array<struct<cell_id, centroid>> row (_argmin_cell; same (d2,
-    # cell_id) struct comparator as the former min(struct) aggregate).
-    # The groupBy(vec_id) stays — it is what merges NULL vec_ids into
-    # one output row (nullheavy fixtures null ids; min over per-row
-    # argmins == global min by associativity) — but its input is now one
-    # pre-reduced struct per vector instead of K expanded rows.
-    # size(cs) guard, not m.isNotNull() — see _kmeans_fit (a filter on
-    # the argmin output would re-evaluate the HOF in the join condition)
-    per_row = (
-        emb.crossJoin(F.broadcast(_cent_struct_row(cents)))
-        .filter(F.size("cs") > 0)
+    cent_rows = [(r["cell_id"], r["centroid"]) for r in cents.collect()]
+    if not cent_rows:
+        # former size(cs) > 0 guard: no cells -> no output rows
+        return emb.filter(F.lit(False)).select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cell_id"),
+            F.lit(None).cast("double").alias("dist2"),
+        )
+    per_row = _nearest_arrow(
+        emb.select("vec_id", "embedding"),
+        cent_rows,
+        keep=[("vec_id", "bigint")],
+        v_name="embedding",
+        v_sql_type="array<float>",
+        id_sql_type="int",
+        with_d2=True,
+    )
+    return (
+        per_row.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell_id")).alias("m"))
         .select(
             "vec_id",
-            _argmin_cell(F.col("embedding"), dist=_sq_l2).alias("m"),
+            F.col("m.cell_id").alias("cell_id"),
+            F.round(F.col("m.d2"), 6).alias("dist2"),
         )
-    )
-    return per_row.groupBy("vec_id").agg(
-        F.min("m").alias("m")
-    ).select(
-        "vec_id",
-        F.col("m.cell_id").alias("cell_id"),
-        F.round(F.col("m.d2"), 6).alias("dist2"),
     )
 
 
@@ -335,11 +346,14 @@ def ivf_topk(spark, sf_dir):
     an equi-join on vec_id (co-partitioned), never a cross join (reference
     ANN analog: LanceDB IVF-PQ, create_lancedb_index.py:143-148)."""
     emb = load(spark, sf_dir, "embeddings")
-    # K×dim rows — cache so the probe and the assignment share ONE
-    # computation of the centroid subtree (the plan otherwise recomputes
-    # the posexplode+groupBy pipeline per consumer; no ReusedExchange
-    # across a broadcast boundary)
-    cents = _centroid_arrays(emb).cache()
+    # r20: the K×dim centroid table is computed ONCE and collected (the
+    # assignment consumer needs the driver rows for the Arrow argmin
+    # anyway); the probe reads the same rows as a K-row local relation —
+    # replaces the r19 .cache() shared-subtree cut
+    cent_rows = [
+        (r["cell_id"], r["centroid"]) for r in _centroid_arrays(emb).collect()
+    ]
+    cents = _cents_df(spark, cent_rows, id_sql_type="INT")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     probed = (
         cents.crossJoin(F.broadcast(q))
@@ -945,22 +959,27 @@ def pq_codes(spark, sf_dir):
     Reference ANN analog: LanceDB IVF-PQ (create_lancedb_index.py:143-148)
     — this is the PQ half, the IVF half is `vector_ivf_assignments`.
 
-    r19 (guide §2.3/§2.4): the K-way codebook-join expansion +
-    groupBy(vec_id, m) argmin shuffle is replaced by a broadcast hash
-    join against the per-m codeword ARRAYS (_codeword_arrays) and a
-    map-side array_min (_argmin_code) — the encode is now shuffle-free.
-    Plan: plans/r19/vector_pq_codes_{before,after}.txt."""
+    r20 (guide §4.2): the encode is ONE Arrow pass — slice + M×K
+    distance math + argmin vectorized in numpy against the
+    driver-collected codebook (_pq_encode_arrow; the collect replaces
+    the r19 eager checkpoint as the codebook materialization). The r19
+    broadcast join + interpreted HOF argmin (and before that the K-way
+    expansion + keyed shuffle) are gone. Plan:
+    plans/r20/vector_pq_codes_{before,after}.txt."""
     emb = _pq_filtered(load(spark, sf_dir, "embeddings"))
-    subs = _subvectors(emb)
-    cb = _pq_codebooks(emb).localCheckpoint(eager=True)
-    enc = subs.join(F.broadcast(_codeword_arrays(cb)), "m").select(
-        "vec_id", "m", _argmin_code(F.col("subvec")).alias("b")
+    cw = _collect_codebook(_pq_codebooks(emb))
+    enc = _pq_encode_arrow(
+        emb.select("vec_id", "embedding"),
+        cw,
+        keep=[("vec_id", "bigint")],
+        v_name="embedding",
+        with_d2=True,
     )
     return enc.select(
         "vec_id",
         "m",
-        F.col("b.code").alias("code"),
-        F.round(F.col("b.d2"), 6).alias("dist2"),
+        "code",
+        F.round(F.col("d2"), 6).alias("dist2"),
     )
 
 
@@ -974,30 +993,30 @@ def pq_adc_topk(spark, sf_dir):
     this is the memory-bound ANN scan shape: codes table + broadcast LUT,
     no float vectors in the hot loop.
 
-    r19 (guide §2.3/§2.4): the shared scored-expansion (K rows per
-    (vec, m) + groupBy argmin shuffle) is split — the DATABASE encode is
-    a shuffle-free map-side argmin over the broadcast per-m codeword
-    arrays, and only the 1-vector QUERY side still expands K ways (M×K
+    r20 (guide §4.2): the DATABASE encode is ONE Arrow pass — slice +
+    M×K distance math + argmin vectorized in numpy against the
+    driver-collected codebook (_pq_encode_arrow; the collect replaces
+    the r19 eager checkpoint as the codebook materialization; vec 0 is
+    dropped BEFORE the opaque pass because mapInArrow blocks predicate
+    pushdown). Only the 1-vector QUERY side still expands K ways (M×K
     tiny rows) because the LUT needs every codeword distance, not the
-    argmin. cb stays localCheckpointed so the corpus aggregation runs
-    once for both branches. Plan:
-    plans/r19/vector_pq_adc_topk_{before,after}.txt."""
+    argmin. Plan: plans/r20/vector_pq_adc_topk_{before,after}.txt."""
     emb = _pq_filtered(load(spark, sf_dir, "embeddings"))
-    subs = _subvectors(emb)
-    cb = _pq_codebooks(emb).localCheckpoint(eager=True)
-    codes = (
-        subs.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(_codeword_arrays(cb)), "m")
-        .select(
-            "vec_id",
-            "label",
-            "m",
-            _argmin_code(F.col("subvec"))["code"].alias("code"),
-        )
+    cb = _pq_codebooks(emb)
+    cw = _collect_codebook(cb)
+    codes = _pq_encode_arrow(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "label", "embedding"),
+        cw,
+        keep=[("vec_id", "bigint"), ("label", "int")],
+        v_name="embedding",
+    )
+    cb_df = spark.createDataFrame(
+        [(m, code, sc_) for m, rows in sorted(cw.items()) for code, sc_ in rows],
+        "m INT, code INT, subcent ARRAY<DOUBLE>",
     )
     lut = (
-        subs.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(cb), "m")
+        _subvectors(emb.filter(F.col("vec_id") == 0))
+        .join(F.broadcast(cb_df), "m")
         .select(
             "m",
             "code",
@@ -1072,6 +1091,405 @@ KMEANS_ITERS = 2
 _KM_DEC = "decimal(27,10)"  # exact partial sums for unit-magnitude dims
 
 
+# --------- r20: Arrow-native nearest-centroid argmin (guide §4.2) ---------
+#
+# The map-side argmin (r19's _argmin_cell) evaluates interpreted
+# higher-order functions per row: transform(cs, ...) × zip_with ×
+# aggregate is ~1.5k boxed lambda evaluations per vector (~70 µs/row at
+# sf1 — THE per-row cost of every kmeans/IVF/PQ corpus pass). Codegen
+# cannot help: an unrolled K×dim argmin is a single expression, Janino
+# fails it with "Code grows beyond 64 KB" and the whole stage falls back
+# to interpreted eval (measured; see OPTIMIZATION_r20.md). The fix is
+# guide §4.2 — hand whole Arrow batches to numpy — with the JVM
+# semantics reproduced EXACTLY:
+#
+# d2 semantics of aggregate(zip_with(v, c, (x,y)->(x-y)*(x-y)), 0.0, +):
+#   zip_with pads the shorter side with NULL and the left fold sticks at
+#   NULL, so d2 is NULL iff len(v) != len(c) OR either side has a NULL
+#   element OR either side IS NULL; otherwise it is the sequential
+#   left-fold float64 sum (emulated bit-exactly: numpy/Python floats are
+#   IEEE doubles and the accumulation loop preserves the fold order).
+#
+# argmin comparator of array_min over struct(d2, cell_id):
+#   lexicographic with NULL FIRST (a NULL d2 BEATS any finite d2) and
+#   NaN greatest among non-NULLs (probed: array_min(struct(NULL,5),
+#   struct(1.0,3)) -> the NULL struct). d2 is a sum of squares, so -0.0
+#   can never arise; cell ids are unique per cents row, so ties resolve
+#   by id (NULL id first). tests/test_round20_argmin.py pins every one
+#   of these cases against the HOF form.
+
+
+def _vec_clean(c, dim) -> bool:
+    return c is not None and len(c) == dim and all(x is not None for x in c)
+
+
+def _id_key(cid):
+    """Sort key reproducing Spark's NULL-FIRST int ordering."""
+    return (0 if cid is None else 1, 0 if cid is None else cid)
+
+
+def _fold_d2(v, c):
+    """Exact scalar emulation of the zip_with/aggregate squared-L2 fold
+    (see the block comment above). Python floats are C doubles, so the
+    arithmetic (including NaN/Inf propagation) is bit-identical."""
+    if v is None or c is None or len(v) != len(c):
+        return None
+    acc = 0.0
+    for x, y in zip(v, c):
+        if x is None or y is None:
+            return None
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def _d2_key(d2):
+    """Sort key reproducing Spark's double ordering for the d2 field:
+    NULL first, NaN greatest."""
+    if d2 is None:
+        return (0, 0.0)
+    if d2 != d2:  # NaN
+        return (2, 0.0)
+    return (1, d2)
+
+
+def _argmin_scalar(v, cents):
+    """Per-row exact argmin over arbitrary (possibly hostile) inputs —
+    the authority path the vectorized fast path must agree with."""
+    best = None
+    best_key = None
+    for cid, c in sorted(cents, key=lambda rc: _id_key(rc[0])):
+        d2 = _fold_d2(v, c)
+        key = _d2_key(d2)
+        if best_key is None or key < best_key:  # strict: first id wins ties
+            best_key, best = key, (cid, d2)
+    return best
+
+
+def _nearest_arrow(df, cents, *, keep, v_name, v_sql_type, id_sql_type,
+                   with_d2=False, out_id="cell_id"):
+    """Append the nearest-centroid id (and optionally its d2) per row via
+    one numpy pass over Arrow batches — replaces the interpreted HOF
+    argmin + the crossJoin/broadcast of the centroid row (guide §4.2 /
+    §2.4). `cents` is the driver-held [(id, centroid), ...] list (K rows
+    — the same table the former plan broadcast). `keep` lists
+    (name, sql_type) passthrough columns; only keep + v cross the Python
+    boundary (guide §4.1). Bit-exactness argument + hostile-case pins:
+    block comment above / tests/test_round20_argmin.py."""
+    cents = list(cents)
+    lens = {len(c) for _, c in cents if c is not None}
+    uniform_dim = (
+        lens.pop()
+        if len(lens) == 1 and not any(c is None for _, c in cents)
+        else None
+    )
+    clean_cells = (
+        [(cid, c) for cid, c in cents if _vec_clean(c, uniform_dim)]
+        if uniform_dim
+        else []
+    )
+    # the vectorized path only runs when EVERY cell is clean and
+    # same-length; any hostile cell (NULL array, NULL element, ragged
+    # length) sends every row through the exact scalar path instead
+    all_clean = bool(cents) and len(clean_cells) == len(cents)
+    # pre-sort clean cells in comparator id order: iterating with a
+    # strict < keeps the smallest id on d2 ties
+    clean_sorted = sorted(clean_cells, key=lambda rc: _id_key(rc[0]))
+    id_py = [cid for cid, _ in clean_sorted]
+    cents_all = cents
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = (
+            np.array([c for _, c in clean_sorted], dtype=np.float64)
+            if clean_sorted
+            else None
+        )
+        dim = uniform_dim or 0
+        for b in batches:
+            n = b.num_rows
+            vcol = b.column(b.schema.get_field_index(v_name))
+            if isinstance(vcol, pa.ChunkedArray):  # pragma: no cover
+                vcol = vcol.combine_chunks()
+            offs = vcol.offsets.to_numpy(zero_copy_only=False)
+            rlens = offs[1:] - offs[:-1]
+            row_null = np.asarray(vcol.is_null())
+            vals = vcol.values
+            el_null = np.asarray(vals.is_null()) if len(vals) else np.zeros(0, bool)
+            cum = np.concatenate([[0], np.cumsum(el_null)])
+            any_el_null = (cum[offs[1:]] - cum[offs[:-1]]) > 0
+            fast = (~row_null) & (rlens == dim) & (~any_el_null) if all_clean else np.zeros(n, bool)
+            cell_out = [None] * n
+            d2_out = [None] * n
+            if all_clean and C is not None and fast.any():
+                idx = np.nonzero(fast)[0]
+                starts = offs[:-1][idx]
+                gather = starts[:, None] + np.arange(dim)[None, :]
+                M = vals.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )[gather]
+                best_k1 = best_k2 = best_j = best_d2 = None
+                for j in range(len(clean_sorted)):
+                    diff = M - C[j][None, :]
+                    sq = diff * diff
+                    acc = np.zeros(len(idx))
+                    for i in range(dim):  # exact left-fold order
+                        acc = acc + sq[:, i]
+                    k1 = np.where(np.isnan(acc), 2, 1)
+                    k2 = np.where(np.isnan(acc), 0.0, acc)
+                    if best_k1 is None:
+                        best_k1, best_k2 = k1, k2
+                        best_j = np.zeros(len(idx), dtype=np.int64)
+                        best_d2 = acc
+                    else:
+                        better = (k1 < best_k1) | ((k1 == best_k1) & (k2 < best_k2))
+                        best_k1 = np.where(better, k1, best_k1)
+                        best_k2 = np.where(better, k2, best_k2)
+                        best_j = np.where(better, j, best_j)
+                        best_d2 = np.where(better, acc, best_d2)
+                for t, ri in enumerate(idx):
+                    cell_out[ri] = id_py[int(best_j[t])]
+                    d2_out[ri] = float(best_d2[t])
+            for ri in np.nonzero(~fast)[0]:  # exact per-row authority path
+                hit = _argmin_scalar(vcol[int(ri)].as_py(), cents_all)
+                if hit is not None:
+                    cell_out[int(ri)] = hit[0]
+                    d2_out[int(ri)] = hit[1]
+            arrays = [b.column(b.schema.get_field_index(nm)) for nm, _ in keep]
+            names = [nm for nm, _ in keep]
+            arrays.append(vcol)
+            names.append(v_name)
+            arrays.append(
+                pa.array(cell_out, type=pa.int64() if id_sql_type == "bigint" else pa.int32())
+            )
+            names.append(out_id)
+            if with_d2:
+                arrays.append(pa.array(d2_out, type=pa.float64()))
+                names.append("d2")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    schema = ", ".join(
+        [f"{nm} {tp}" for nm, tp in keep]
+        + [f"{v_name} {v_sql_type}", f"{out_id} {id_sql_type}"]
+        + (["d2 double"] if with_d2 else [])
+    )
+    return df.mapInArrow(assign, schema)
+
+
+def _pq_encode_arrow(df, cw, *, keep, v_name, with_d2=False):
+    """PQ encode as ONE Arrow pass: per input vector emit one row per
+    live subquantizer m with the argmin codeword (and optionally its
+    d2). Replaces the _subvectors/_slice_subs explode + broadcast join
+    on m + interpreted HOF argmin (guide §4.2 — the M×K×subdim distance
+    math runs vectorized in numpy; §2.3 — only `keep` + the vector cross
+    the Python boundary, and the M-way row expansion happens after it).
+
+    Exact-equivalence contract (pinned in tests/test_round20_argmin.py):
+    - the JVM form explodes ALL m in 0..PQ_M-1 and the inner join drops
+      m values absent from the codebook -> emit only m in sorted(cw);
+    - subvec = slice(v, m*8+1, 8): shorter/empty past the vector's end,
+      NULL when v is NULL;
+    - d2 = the zip_with/aggregate left fold of (CAST(x AS DOUBLE) - y)^2
+      (NULL on length mismatch / NULL elements — _fold_d2), and the
+      argmin comparator is array_min over struct(d2, code): NULL-first,
+      NaN-greatest, code tiebreak (same probed ordering as the cells).
+    `cw` is {m: [(code, subcent), ...]} — the driver-held codebook."""
+    ms = sorted(cw)
+    cw_sorted = {
+        m: sorted(cw[m], key=lambda rc: _id_key(rc[0])) for m in ms
+    }
+    fast_m = {
+        m: all(_vec_clean(sc_, PQ_SUBDIM) for _, sc_ in rows) and bool(rows)
+        for m, rows in cw_sorted.items()
+    }
+    all_fast = all(fast_m.values()) and bool(ms)
+    dim = PQ_M * PQ_SUBDIM
+
+    def _encode_row(v):
+        out = []
+        for m in ms:
+            if v is None:
+                sub = None
+            else:
+                lo = m * PQ_SUBDIM
+                sub = list(v[lo : lo + PQ_SUBDIM])
+                sub = [None if x is None else float(x) for x in sub]
+            best = _argmin_scalar(sub, cw_sorted[m])
+            out.append((m, best[0] if best else None, best[1] if best else None))
+        return out
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CW = (
+            {
+                m: np.array([sc_ for _, sc_ in rows], dtype=np.float64)
+                for m, rows in cw_sorted.items()
+            }
+            if all_fast
+            else {}
+        )
+        code_py = {m: [c for c, _ in rows] for m, rows in cw_sorted.items()}
+        for b in batches:
+            n = b.num_rows
+            vcol = b.column(b.schema.get_field_index(v_name))
+            if isinstance(vcol, pa.ChunkedArray):  # pragma: no cover
+                vcol = vcol.combine_chunks()
+            offs = vcol.offsets.to_numpy(zero_copy_only=False)
+            rlens = offs[1:] - offs[:-1]
+            row_null = np.asarray(vcol.is_null())
+            vals = vcol.values
+            el_null = np.asarray(vals.is_null()) if len(vals) else np.zeros(0, bool)
+            cum = np.concatenate([[0], np.cumsum(el_null)])
+            any_el_null = (cum[offs[1:]] - cum[offs[:-1]]) > 0
+            fast = (
+                (~row_null) & (rlens == dim) & (~any_el_null)
+                if all_fast
+                else np.zeros(n, bool)
+            )
+            # per-row outputs: list of (m, code, d2) triples
+            m_out: list = [None] * n
+            code_out: list = [None] * n
+            d2_out: list = [None] * n
+            idx = np.nonzero(fast)[0]
+            if len(idx):
+                starts = offs[:-1][idx]
+                gather = starts[:, None] + np.arange(dim)[None, :]
+                M = (
+                    vals.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)[gather]
+                    .reshape(len(idx), PQ_M, PQ_SUBDIM)
+                )
+                for m in ms:
+                    S = M[:, m, :]
+                    best_k1 = best_k2 = best_j = best_d2 = None
+                    for j in range(len(code_py[m])):
+                        diff = S - CW[m][j][None, :]
+                        sq = diff * diff
+                        acc = np.zeros(len(idx))
+                        for i in range(PQ_SUBDIM):  # exact left-fold order
+                            acc = acc + sq[:, i]
+                        k1 = np.where(np.isnan(acc), 2, 1)
+                        k2 = np.where(np.isnan(acc), 0.0, acc)
+                        if best_k1 is None:
+                            best_k1, best_k2 = k1, k2
+                            best_j = np.zeros(len(idx), dtype=np.int64)
+                            best_d2 = acc
+                        else:
+                            better = (k1 < best_k1) | (
+                                (k1 == best_k1) & (k2 < best_k2)
+                            )
+                            best_k1 = np.where(better, k1, best_k1)
+                            best_k2 = np.where(better, k2, best_k2)
+                            best_j = np.where(better, j, best_j)
+                            best_d2 = np.where(better, acc, best_d2)
+                    for t, ri in enumerate(idx):
+                        ri = int(ri)
+                        if m_out[ri] is None:
+                            m_out[ri], code_out[ri], d2_out[ri] = [], [], []
+                        m_out[ri].append(m)
+                        code_out[ri].append(code_py[m][int(best_j[t])])
+                        d2_out[ri].append(float(best_d2[t]))
+            for ri in np.nonzero(~fast)[0]:  # exact per-row authority path
+                ri = int(ri)
+                m_out[ri], code_out[ri], d2_out[ri] = [], [], []
+                for m, code, d2 in _encode_row(vcol[ri].as_py()):
+                    m_out[ri].append(m)
+                    code_out[ri].append(code)
+                    d2_out[ri].append(d2)
+            # explode: one output row per (input row, m)
+            reps = np.array([len(x) if x else 0 for x in m_out], dtype=np.int64)
+            take = np.repeat(np.arange(n), reps)
+            arrays = [
+                b.column(b.schema.get_field_index(nm)).take(pa.array(take))
+                for nm, _ in keep
+            ]
+            names = [nm for nm, _ in keep]
+            arrays.append(
+                pa.array([m for row in m_out if row for m in row], type=pa.int32())
+            )
+            names.append("m")
+            arrays.append(
+                pa.array(
+                    [c for row in code_out if row for c in row], type=pa.int32()
+                )
+            )
+            names.append("code")
+            if with_d2:
+                arrays.append(
+                    pa.array(
+                        [d for row in d2_out if row for d in row],
+                        type=pa.float64(),
+                    )
+                )
+                names.append("d2")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    schema = ", ".join(
+        [f"{nm} {tp}" for nm, tp in keep]
+        + ["m int", "code int"]
+        + (["d2 double"] if with_d2 else [])
+    )
+    return df.mapInArrow(encode, schema)
+
+
+def _collect_codebook(cb) -> dict:
+    """(m, code, subcent) codebook DataFrame -> {m: [(code, subcent)]}
+    driver rows for _pq_encode_arrow — M×K rows, the same bounded table
+    the former plans checkpointed + broadcast."""
+    out: dict = {}
+    for r in cb.collect():
+        out.setdefault(r["m"], []).append((r["code"], r["subcent"]))
+    return out
+
+
+def _arr_dlit(cvals) -> str:
+    """Exact SQL literal for an array<double> (NaN/Inf/NULL safe;
+    repr() is shortest-roundtrip so values survive bit-exactly)."""
+    if cvals is None:
+        return "CAST(NULL AS ARRAY<DOUBLE>)"
+    if not len(cvals):
+        return "CAST(array() AS ARRAY<DOUBLE>)"
+    parts = []
+    for x in cvals:
+        if x is None:
+            parts.append("CAST(NULL AS DOUBLE)")
+            continue
+        x = float(x)
+        if x != x:
+            parts.append("CAST('NaN' AS DOUBLE)")
+        elif x == float("inf"):
+            parts.append("CAST('Infinity' AS DOUBLE)")
+        elif x == float("-inf"):
+            parts.append("CAST('-Infinity' AS DOUBLE)")
+        else:
+            parts.append(repr(x) + "D")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _cent_lookup(cents, id_col: str, id_sql_type: str):
+    """cell_id -> centroid literal lookup (CASE chain over the K driver
+    rows — folded constants, one interpreted compare per row). Used to
+    re-attach the winning centroid after the Arrow argmin, replacing the
+    argmin struct's extra `centroid` field; the values are the same
+    collected doubles, so the reattached array is bit-identical."""
+    if not cents:
+        return F.expr("CAST(NULL AS ARRAY<DOUBLE>)")
+    expr = "CASE"
+    for cid, cvals in cents:
+        cond = (
+            f"{id_col} IS NULL"
+            if cid is None
+            else f"{id_col} = CAST({int(cid)} AS {id_sql_type})"
+        )
+        expr += f" WHEN {cond} THEN {_arr_dlit(cvals)}"
+    expr += " END"
+    return F.expr(expr)
+
+
 def _km_d2(v_col, c_col):
     """Squared L2 as a sequential left fold — bit-identical to the
     oracle's list_sum(list_transform(list_zip(...)))."""
@@ -1116,59 +1534,86 @@ def _argmin_cell(v_col, extra_fields=(), dist=None):
     )
 
 
-def _kmeans_fit(emb):
-    """Lloyd's loop over (vec_id, v) rows; returns the final array-form
-    centroid table (cell_id, centroid) — shared by the standalone
-    kmeans query and the IVF-PQ composition.
+def _kmeans_means(emb, cents_rows):
+    """One Lloyd round from driver-held centroid rows: Arrow-native
+    map-side argmin assignment (_nearest_arrow — no join, no broadcast
+    chain) + the keyed per-(cell, dim) decimal mean.
 
-    r19 optimization (guide §2.4 — remove shuffles outright): the former
-    per-round shape crossJoined every vector with the K broadcast
-    centroid rows (K× row expansion), groupBy(vec_id)-argmin'd them
-    (shuffle 1), and joined the assignment back to emb by vec_id
-    (shuffle 2 — the heavy one: the full v arrays crossed the exchange)
-    before the keyed mean. The assignment depends only on (v, centroids),
-    so it is computable in the scan projection: collapse the centroid
-    table to ONE broadcast row of array<struct<cell_id, centroid>> and
-    argmin map-side (_argmin_cell). Per Lloyd round this removes BOTH
-    vec_id exchanges and the K× expansion; the only remaining shuffle is
-    the (cell_id, pos) mean, whose partial aggregation ships ≤K×dim rows
-    per task. The vec_id.isNotNull() filter reproduces the old
-    equi-join's NULL-key drop (nullheavy fixtures null ids).
-    Plan evidence: plans/r19/vector_kmeans_centroids_{before,after}.txt
-    (10 Exchange → 4); A/B timings in OPTIMIZATION_r19.md."""
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid")
+    posexplode to (cell, dim) keyed rows, NOT 64 per-column aggregates:
+    A/B at sf0.1 measured the explode form 1.60 s vs 3.94 s for
+    F.sum(v[i]) x 64 (wide codegen loses to one keyed agg over 64x rows
+    with map-side combine)."""
+    if not cents_rows:
+        # no live cells: the former crossJoin's size(cs) > 0 guard
+        # dropped every row, so the round's mean table is empty
+        assigned = emb.filter(F.lit(False)).select(
+            F.lit(None).cast("bigint").alias("cell_id"), "v"
+        )
+    else:
+        assigned = _nearest_arrow(
+            emb.filter(F.col("vec_id").isNotNull()).select("v"),
+            cents_rows,
+            keep=[],
+            v_name="v",
+            v_sql_type="array<double>",
+            id_sql_type="bigint",
+        )
+    dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+    return dims.groupBy("cell_id", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast(_KM_DEC)).cast("double") / F.count("x"), 6
+        ).alias("cval")
     )
-    for _ in range(KMEANS_ITERS):
-        # the empty-centroid guard filters on size(cs) — NOT on the
-        # argmin output being NULL (exactly equivalent: struct elements
-        # are never NULL, so array_min is NULL iff cs is empty) —
-        # because a filter on the argmin column gets predicate-pushed
-        # into the BNLJ join condition, re-evaluating the whole HOF per
-        # row (measured ~0.7 s/round at sf0.1)
-        assigned = (
-            emb.filter(F.col("vec_id").isNotNull())
-            .crossJoin(F.broadcast(_cent_struct_row(cents)))
-            .filter(F.size("cs") > 0)
-            .select(_argmin_cell(F.col("v"))["cell_id"].alias("cell_id"), "v")
-        )
-        # posexplode to (cell, dim) keyed rows, NOT 64 per-column
-        # aggregates: A/B at sf0.1 measured the explode form 1.60 s vs
-        # 3.94 s for F.sum(v[i]) x 64 (wide codegen loses to one keyed
-        # agg over 64x rows with map-side combine)
-        dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
-        means = dims.groupBy("cell_id", "pos").agg(
-            F.round(
-                F.sum(F.col("x").cast(_KM_DEC)).cast("double") / F.count("x"), 6
-            ).alias("cval")
-        )
-        cents = means.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s["cval"],
-            ).alias("centroid")
-        )
+
+
+def _assemble_cents(mean_rows):
+    """(cell_id, pos, cval) rows -> [(cell_id, centroid), ...] with the
+    centroid ordered by pos — the same assembly the former
+    array_sort(collect_list(struct(pos, cval))) performed."""
+    bycell: dict = {}
+    for r in mean_rows:
+        bycell.setdefault(r["cell_id"], []).append((r["pos"], r["cval"]))
+    return [
+        (cid, [cv for _, cv in sorted(pcs, key=lambda t: t[0])])
+        for cid, pcs in sorted(bycell.items(), key=lambda kv: _id_key(kv[0]))
+    ]
+
+
+def _kmeans_rows(emb, rounds: int = KMEANS_ITERS):
+    """Lloyd's loop with DRIVER-held centroids (the MLlib/BPE pattern —
+    bpe.train_bpe_merges is the registry precedent for bounded per-round
+    driver state in a declared query). Each round is ONE job: scan ->
+    Arrow argmin -> keyed decimal mean -> collect of <= K×dim rows. The
+    r19 form nested a broadcast-exchange chain per round (seed scan +
+    struct-row agg + BNLJ per round, ~9 jobs for the 2-round fit); this
+    is 3 jobs and the collected state is K×dim doubles (~4 KB), bounded
+    by the algorithm constant, never by data size. Values round-trip
+    bit-exactly (collect -> Python float -> repr literal is the IEEE
+    shortest-roundtrip path), so the trained table is byte-identical to
+    the r19 plan's — pinned by tests/test_round20_argmin.py."""
+    seeds = emb.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "v").collect()
+    cents = [(r["vec_id"], r["v"]) for r in seeds]
+    for _ in range(rounds):
+        if not cents:
+            return []
+        cents = _assemble_cents(_kmeans_means(emb, cents).collect())
     return cents
+
+
+def _cents_df(spark, cents_rows, id_sql_type: str = "BIGINT"):
+    """The driver-held centroid rows as a (cell_id, centroid) DataFrame —
+    for the K-row consumers that stay distributed (query-cell probe)."""
+    return spark.createDataFrame(
+        [(cid, cvals) for cid, cvals in cents_rows],
+        f"cell_id {id_sql_type}, centroid ARRAY<DOUBLE>",
+    )
+
+
+def _kmeans_fit(emb):
+    """Compatibility wrapper: the trained centroid table as a DataFrame
+    (kept for tests/tools; the query paths use _kmeans_rows directly)."""
+    spark = emb.sparkSession
+    return _cents_df(spark, _kmeans_rows(emb))
 
 
 def kmeans_centroids(spark, sf_dir):
@@ -1176,20 +1621,28 @@ def kmeans_centroids(spark, sf_dir):
     step the IVF family's label-derived centroids stand in for: K=8
     centroids over the embedding corpus, seeded deterministically from
     the first K vectors, KMEANS_ITERS assignment/update rounds. Each
-    round is the canonical scale shape: broadcast the K×dim centroid
-    table, map-side argmin assignment (fold-based squared L2, lexico-
-    graphic (d2, cell) tie-break), then a keyed per-(cell, dim) mean
-    with decimal partials rounded to 6 dp so the next round's inputs are
-    EXACT shared values in both engines. Only centroids (K×dim rows)
-    ever reach a broadcast; vectors shuffle once per round, keyed by
-    cell. Oracle: the same iterations unrolled as SQL CTEs."""
+    round is the canonical scale shape: the K×dim centroid table lives
+    on the driver (bounded by K, like a broadcast), assignment is a
+    map-side Arrow argmin, and the keyed per-(cell, dim) mean uses
+    decimal partials rounded to 6 dp so the next round's inputs are
+    EXACT shared values in both engines. Oracle: the same iterations
+    unrolled as SQL CTEs.
+
+    r20 (guide §4.2/§2.4): the first KMEANS_ITERS-1 rounds run as the
+    driver loop (_kmeans_rows); the LAST round's mean table — which IS
+    the query output (oracle CTE m{last}) — stays distributed, so the
+    output schema/derivation is unchanged. Plan evidence:
+    plans/r20/vector_kmeans_centroids_{before,after}.txt."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cents = _kmeans_fit(emb)
-    return cents.select(
-        "cell_id", F.posexplode("centroid").alias("pos", "centroid_val")
-    ).select("cell_id", F.col("pos").cast("bigint").alias("pos"), "centroid_val")
+    cents = _kmeans_rows(emb, rounds=KMEANS_ITERS - 1)
+    means = _kmeans_means(emb, cents)
+    return means.select(
+        "cell_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("cval").alias("centroid_val"),
+    )
 
 
 _KM_SQ = (
@@ -1336,30 +1789,40 @@ def ivfpq_adc_search(spark, sf_dir):
     # argmin struct. vec_id.isNotNull() reproduces the old equi-join's
     # NULL-key drop. Plan evidence:
     # plans/r19/vector_ivfpq_adc_search_{before,after}.txt.
-    cents = F.broadcast(
-        _kmeans_fit(emb.select("vec_id", "v")).localCheckpoint(eager=True)
-    )
-    # size(cs) guard, not m.isNotNull(): a filter on the argmin output
-    # predicate-pushes into the BNLJ join condition and re-evaluates the
-    # HOF per row (see _kmeans_fit); equivalent because array_min is
-    # NULL iff cs is empty
-    best = (
-        emb.filter(F.col("vec_id").isNotNull())
-        .crossJoin(F.broadcast(_cent_struct_row(cents)))
-        .filter(F.size("cs") > 0)
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            _argmin_cell(F.col("v"), extra_fields=("centroid",)).alias("m"),
+    # r20 (guide §4.2/§2.4): the coarse quantizer trains in the driver
+    # loop (_kmeans_rows — bounded K×dim state, one job per round); the
+    # final assignment is the Arrow argmin over the same K rows, and the
+    # winning centroid re-attaches as a folded literal lookup
+    # (_cent_lookup — same collected doubles, bit-identical residuals).
+    # This removes the per-round broadcast-exchange chain, the eager
+    # cents checkpoint, and the BNLJ guard plan of r19. Plan:
+    # plans/r20/vector_ivfpq_adc_search_{before,after}.txt.
+    cents_rows = _kmeans_rows(emb.select("vec_id", "v"))
+    if not cents_rows:
+        # the former size(cs) > 0 guard dropped every row when no cell
+        # survived training
+        best = emb.filter(F.lit(False)).select(
+            "vec_id", "label", "v", F.lit(None).cast("bigint").alias("cell_id")
         )
-    )
+    else:
+        best = _nearest_arrow(
+            emb.filter(F.col("vec_id").isNotNull()).select(
+                "vec_id", "label", "v"
+            ),
+            cents_rows,
+            keep=[("vec_id", "bigint"), ("label", "int")],
+            v_name="v",
+            v_sql_type="array<double>",
+            id_sql_type="bigint",
+        )
     resid = best.select(
         "vec_id",
         "label",
-        F.col("m.cell_id").alias("cell_id"),
+        "cell_id",
         F.zip_with(
-            "v", F.col("m.centroid"), lambda x, c: _round6_det(x - c)
+            "v",
+            _cent_lookup(cents_rows, "cell_id", "BIGINT"),
+            lambda x, c: _round6_det(x - c),
         ).alias("r"),
     )
     # r19 (guide §5/§8): resid feeds TWO corpus-scale consumers — the
@@ -1373,43 +1836,50 @@ def ivfpq_adc_search(spark, sf_dir):
     # materialization job, the same lesson as the tfidf wtab demotion.
     resid = resid.localCheckpoint(eager=False)
     rex = resid.select("label", F.posexplode("r").alias("pos", "val"))
-    cb = (
-        rex.groupBy(
-            (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
-            F.col("label").alias("code"),
-            (F.col("pos") % PQ_SUBDIM).alias("spos"),
-        )
-        .agg(
-            _round6_det(
-                F.sum(F.col("val").cast(_KM_DEC)).cast("double")
-                / F.count("val")
-            ).alias("cval")
-        )
-        .groupBy("m", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("spos", "cval"))).alias("pc"))
-        .select(
-            "m", "code", F.transform("pc", lambda s: s["cval"]).alias("subcent")
-        )
+    # r20: collect the M×K×subdim codebook to the driver (same bounded
+    # table the r19 plan eagerly checkpointed + broadcast; the collect
+    # is the materialization job and also warms the lazy resid
+    # checkpoint). The second groupBy(m, code) collect_list pivot is
+    # gone — the array assembly happens in Python (guide §2.4: one
+    # exchange removed).
+    cb_flat = rex.groupBy(
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+        F.col("label").alias("code"),
+        (F.col("pos") % PQ_SUBDIM).alias("spos"),
+    ).agg(
+        _round6_det(
+            F.sum(F.col("val").cast(_KM_DEC)).cast("double") / F.count("val")
+        ).alias("cval")
     )
-    cb = cb.localCheckpoint(eager=True)
-    subs = _slice_subs(resid, "r", ("vec_id", "label", "cell_id"))
-    # r19 (guide §2.3/§2.4): database encode is a shuffle-free map-side
-    # argmin over the broadcast per-m codeword arrays — the former K-way
-    # codebook-join expansion + groupBy(vec, m) argmin shuffle is gone;
-    # only the 1-vector query LUT below still expands all K codewords.
-    codes = subs.join(F.broadcast(_codeword_arrays(cb)), "m").select(
-        "vec_id",
-        "label",
-        "cell_id",
-        "m",
-        _argmin_code(F.col("subvec"))["code"].alias("code"),
+    cw: dict = {}
+    for r in cb_flat.collect():
+        cw.setdefault(r["m"], {}).setdefault(r["code"], []).append(
+            (r["spos"], r["cval"])
+        )
+    cw = {
+        m: [
+            (code, [cv for _, cv in sorted(pcs, key=lambda t: t[0])])
+            for code, pcs in codes_.items()
+        ]
+        for m, codes_ in cw.items()
+    }
+    # r20 (guide §4.2): database encode is ONE Arrow pass — slice, M×K
+    # distance math and argmin run vectorized in numpy against the
+    # driver-held codebook (was: 8-way explode + broadcast join +
+    # interpreted HOF argmin). vec 0 is dropped BEFORE the opaque pass
+    # (mapInArrow blocks predicate pushdown — guide §4.1).
+    codes = _pq_encode_arrow(
+        resid.filter(F.col("vec_id") != 0),
+        cw,
+        keep=[("vec_id", "bigint"), ("label", "int"), ("cell_id", "bigint")],
+        v_name="r",
     )
     # the query-cell probe needs distances for vec 0 only: a 1×K
-    # crossJoin against the broadcast centroid table (the former code
-    # filtered vec 0 out of the full K×n `dists` expansion)
+    # crossJoin against the K-row driver-built centroid table
+    cents = _cents_df(spark, cents_rows)
     qcells = (
         emb.filter(F.col("vec_id") == 0)
-        .crossJoin(cents)
+        .crossJoin(F.broadcast(cents))
         .select(
             "cell_id", _km_d2(F.col("v"), F.col("centroid")).alias("d2")
         )
@@ -1428,15 +1898,19 @@ def ivfpq_adc_search(spark, sf_dir):
         )
     )
     qsubs = _slice_subs(qres, "r", ("cell_id",))
-    lut = qsubs.join(F.broadcast(cb), "m").select(
+    cb_df = spark.createDataFrame(
+        [(m, code, sc_) for m, rows in sorted(cw.items()) for code, sc_ in rows],
+        "m INT, code INT, subcent ARRAY<DOUBLE>",
+    )
+    lut = qsubs.join(F.broadcast(cb_df), "m").select(
         "cell_id",
         "m",
         "code",
         _round6_det(_sq_l2(F.col("subvec"), F.col("subcent"))).alias("qd2"),
     )
     return (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut), ["cell_id", "m", "code"])
+        # vec 0 already dropped before the encode pass
+        codes.join(F.broadcast(lut), ["cell_id", "m", "code"])
         .groupBy("vec_id", "label", "cell_id")
         .agg(
             F.sum(F.col("qd2").cast("decimal(25,6)"))

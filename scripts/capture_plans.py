@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for bench headliners (or a named subset)
-into plans/r19/<query>_<tag>.txt — the optimization round's before/after
+into plans/r20/<query>_<tag>.txt — the optimization round's before/after
 plan evidence (guide §1 / §7.2).
 
 Usage:
@@ -39,7 +39,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r19",
+        "r20",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="ndlspark-plans", cpus=cpus, shuffle_partitions=cpus)

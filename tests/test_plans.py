@@ -660,11 +660,15 @@ def test_session_paths_user_keyed_then_takeordered(spark, sf_small):
     assert "partial_count" in plan  # trigram rollup map-side combined
 
 
-def test_kmeans_broadcasts_centroids_each_round(spark, sf_small):
+def test_kmeans_final_round_is_arrow_assign_plus_keyed_mean(spark, sf_small):
+    # r20: the fit runs as a driver loop (bounded K×dim state; jobs
+    # outside this plan), the FINAL round is the query plan — one
+    # Arrow-native argmin pass + the keyed per-(cell, dim) mean. No
+    # joins, no broadcast chain, exactly one exchange (the mean).
     plan = plan_of(spark, "vector_kmeans_centroids", sf_small)
-    assert "CartesianProduct" not in plan  # K-row centroid side broadcast
-    # one per Lloyd round (formatted output lists each op in tree + detail)
-    assert plan.count("BroadcastNestedLoopJoin (") <= 2
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "MapInArrow" in plan  # the argmin crossed to numpy
     assert "partial_sum" in plan  # per-(cell,dim) means map-side combined
 
 
