@@ -326,14 +326,29 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    total = toks.groupBy().agg(F.count("*").alias("n_total"))
-    counts = (
-        toks.join(F.broadcast(cand), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
+    # r20 (guide §2.4 — one pass instead of two): the exact recount used
+    # to tokenize the corpus TWICE — once for the global token count and
+    # once for the candidate counts. One keyed aggregation now yields
+    # both: non-candidate tokens collapse into a single NULL group (the
+    # left-join marker), so the map-side partial aggregation still ships
+    # <= C+2 rows per task (the tail never reaches the shuffle, same as
+    # the former left_semi shape) and n_total is the exact integer sum
+    # of all group counts. The <= C+2-row result is lazily checkpointed
+    # because both the total and the filter read it.
+    marked = toks.join(
+        F.broadcast(cand.withColumn("_c", F.lit(1))), "token", "left"
     )
+    grouped = (
+        marked.groupBy(
+            F.when(F.col("_c") == 1, F.col("token")).alias("token")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = grouped.groupBy().agg(F.sum("cnt").alias("n_total"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        grouped.filter(F.col("token").isNotNull())
+        .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * (_MG_CAPACITY + 1) > F.col("n_total"))
         .select("token", "cnt")
     )
