@@ -44,8 +44,13 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 # loads six tables, so 0.6 s of its bench seconds was re-listing the same
 # static files; guide §7.3 driver-side cost). No DATA is cached: every
 # execution of the returned plan still scans parquet. The signature
-# (mtime_ns, size) invalidates the entry if a fixture dir is rewritten
-# in-place within one session.
+# (mtime_ns, size) invalidates the entry if a SINGLE-FILE fixture is
+# rewritten in-place within one session (every repo fixture is one
+# .parquet file); for a directory-style table, rewriting a part file in
+# place would NOT bump the directory stat — callers that mutate a
+# directory dataset mid-session must use a new path. Entries from prior
+# Spark applications are evicted on insert (r20, ADVICE r19: the cache
+# otherwise grows without bound in a long-lived multi-session driver).
 _SCAN_CACHE: dict = {}
 
 
@@ -84,5 +89,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dtype != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    app_id = key[0]
+    for k in [k for k in _SCAN_CACHE if k[0] != app_id]:
+        del _SCAN_CACHE[k]
     _SCAN_CACHE[key] = df
     return df

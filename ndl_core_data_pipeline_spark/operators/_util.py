@@ -11,6 +11,7 @@ deterministic and needs no special handling.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, functions as F
@@ -738,13 +739,43 @@ def sql_davg(expr: str, dec: str = "DECIMAL(25,6)") -> str:
     return f"(CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE) / COUNT({expr}))"
 
 
-# (appId, scan files, target) -> split count. Every caller passes a bare
-# load() scan (at most narrowly filtered/projected), whose partition
-# count is a function of the scan's files + session conf only — but the
-# df.rdd probe that measures it builds the full physical plan and RDD
-# DAG per call (measured ~50 ms warm / 300 ms cold of driver time;
-# guide §7.3). Memoize it per file set.
+# (appId, normalized analyzed plan, scan files, target) -> split count.
+# The df.rdd probe that measures the count builds the full physical plan
+# and RDD DAG per call (measured ~50 ms warm / 300 ms cold of driver
+# time; guide §7.3). Memoize it — keyed on the ANALYZED PLAN SHAPE, not
+# just the file set (r20, ADVICE r19: two DataFrames over the same files
+# can have different partition counts — a repartitioned/joined/unioned
+# df must not inherit a bare scan's memoized count). Expression ids
+# (#123) are normalized away so re-building the same logical scan hits.
+# Entries from prior Spark applications are evicted on insert.
 _SPLIT_CACHE: dict = {}
+
+_EXPR_ID_RE = re.compile(r"#\d+")
+
+
+def _plan_shape_key(df) -> str:
+    """Analyzed-plan string with expression ids stripped — a stable
+    fingerprint of what the DataFrame computes (same shape => same
+    partitioning for the scan-derived plans this keys)."""
+    return _EXPR_ID_RE.sub("#", df._jdf.queryExecution().analyzed().toString())
+
+
+def corpus_checkpoint(df):
+    """Lazy localCheckpoint for an INPUT-scale shared intermediate (the
+    ivfpq residuals, token/bigram/shingle streams) — cuts the re-derive
+    of a multi-consumer corpus pass (guide §5).
+
+    Failure-mode contract (r19 ADVICE): localCheckpoint blocks are
+    EXECUTOR-LOCAL — a lost executor loses them with no lineage past the
+    truncation, and the persisted footprint is corpus-sized, unlike the
+    engine's other checkpoints (per-doc stats, K×dim tables). That trade
+    is right for this engine's single-node bench/oracle contract; a
+    large fault-sensitive deployment can set SPARK_GRAFT_NO_CORPUS_CKPT=1
+    to fall back to lineage recompute (results identical, the shared
+    subtree just re-executes per consumer)."""
+    if os.environ.get("SPARK_GRAFT_NO_CORPUS_CKPT"):
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def rebalance_narrow_scan(df, spark):
@@ -756,17 +787,20 @@ def rebalance_narrow_scan(df, spark):
     the input is returned unchanged, so no shuffle is ever added to a
     wide scan. Round-robin (no key) spreads rows evenly regardless of
     key skew; downstream keyed aggregations add their own exchange, but
-    those ship post-aggregation rows (e.g. 8 longs per doc), not text.
-
-    Only pass a bare scan (optionally narrow-filtered/projected): the
-    split-count probe is memoized per (app, scan files) — see
-    _SPLIT_CACHE — which is only sound when the partition count is the
-    scan's split count."""
+    those ship post-aggregation rows (e.g. 8 longs per doc), not text."""
     target = spark.sparkContext.defaultParallelism
-    key = (spark.sparkContext.applicationId, tuple(df.inputFiles()), target)
+    key = (
+        spark.sparkContext.applicationId,
+        _plan_shape_key(df),
+        tuple(df.inputFiles()),
+        target,
+    )
     n = _SPLIT_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
+        app_id = key[0]
+        for k in [k for k in _SPLIT_CACHE if k[0] != app_id]:
+            del _SPLIT_CACHE[k]
         _SPLIT_CACHE[key] = n
     if n >= target:
         return df

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ._util import (
+    corpus_checkpoint,
     davg,
     rebalance_narrow_scan,
     sql_jackson_json,
@@ -937,7 +938,7 @@ def bigram_nll(spark, sf_dir):
     # Checkpointing `uni` as well was TRIED and measured WORSE
     # (1.96 → 2.42 s median) — its vocab-key join prefers the live
     # subtree — so uni stays re-derived.
-    bi = bi.localCheckpoint(eager=False)
+    bi = corpus_checkpoint(bi)
     big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     vocab = uni.agg(F.count("*").alias("v"))
     k = BIGRAM_SMOOTH_K
@@ -1519,7 +1520,7 @@ def cooccur_pmi(spark, sf_dir):
     # BOTH self-join sides, so the corpus tokenize + vocab join ran
     # twice. Lazy checkpoint runs it once (interleaved A/B at sf0.1:
     # 1.31 → 1.22 s median; the win is one saved corpus pass at scale).
-    wv = wv.localCheckpoint(eager=False)
+    wv = corpus_checkpoint(wv)
     a = wv.select(
         "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
     )

@@ -1702,6 +1702,7 @@ def register_round6b(reg):
 IVFPQ_NPROBE = 2
 
 
+from ._util import corpus_checkpoint  # noqa: E402
 from ._util import round6_det as _round6_det, sql_r6 as _sql_r6  # noqa: E402
 # (hit by the IVF-PQ residual codebook at sf0.01 — see _util.round6_det)
 
@@ -1834,7 +1835,7 @@ def ivfpq_adc_search(spark, sf_dir):
     # the sf1 re-measure (A/B at 10x rows: lazy 16.3/18.6 vs eager
     # 17.6/19.6 min/median) — the eager barrier serializes the
     # materialization job, the same lesson as the tfidf wtab demotion.
-    resid = resid.localCheckpoint(eager=False)
+    resid = corpus_checkpoint(resid)
     rex = resid.select("label", F.posexplode("r").alias("pos", "val"))
     # r20: collect the M×K×subdim codebook to the driver (same bounded
     # table the r19 plan eagerly checkpointed + broadcast; the collect
