@@ -14,6 +14,8 @@ Usage: python scripts/plan_census.py [--out .scale/plan_census.json]
 from __future__ import annotations
 
 import argparse
+import io
+from contextlib import redirect_stdout
 import json
 import os
 import re
@@ -58,9 +60,13 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = queries[name](spark, args.sf_dir)
-                plan = df._sc._jvm.PythonSQLUtils.explainString(
-                    df._jdf.queryExecution(), "formatted"
-                )
+                # public API captured via redirect (r19 ADVICE: the
+                # former df._sc._jvm.PythonSQLUtils call breaks across
+                # minor versions and under Spark Connect)
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    df.explain(mode="formatted")
+                plan = buf.getvalue()
             except Exception as e:  # noqa: BLE001 — census must not abort on one query
                 out[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
                 continue
