@@ -945,6 +945,13 @@ def bigram_nll(spark, sf_dir):
     nll = F.round(
         -F.log((F.col("c12") + k) / (F.col("c1") + k * F.col("v"))), 4
     )
+    # r20 examined: folding the model into ONE type-scale nll table
+    # (ntab = big ⋈ uni ⋈ v, stream joins ntab once) was TRIED and
+    # measured WORSE at sf1 (interleaved A/B: old 5.95/7.27 vs ntab
+    # 8.15/8.97 min/median, rows identical) — both stream joins are
+    # already broadcast-hash probes, and chaining big⋈uni⋈vocab
+    # serializes uni's two corpus passes inside one broadcast-build
+    # chain, where the two-join form builds them as parallel jobs.
     scored = (
         bi.join(big, ["w1", "w2"])
         .join(uni, "w1")
@@ -1514,33 +1521,64 @@ def cooccur_pmi(spark, sf_dir):
         words.agg(F.count_distinct("doc_id").cast("double").alias("n_total"))
     )
     df_t = words.groupBy("term").agg(F.count("*").alias("df"))
-    vocab = F.broadcast(df_t.orderBy(F.desc("df"), "term").limit(PMI_VOCAB))
-    wv = words.join(vocab, "term")
-    # r19 (guide §5): wv — the vocab-restricted token stream — feeds
-    # BOTH self-join sides, so the corpus tokenize + vocab join ran
-    # twice. Lazy checkpoint runs it once (interleaved A/B at sf0.1:
-    # 1.31 → 1.22 s median; the win is one saved corpus pass at scale).
-    wv = corpus_checkpoint(wv)
-    a = wv.select(
-        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    # 100-row table with THREE consumers below (stream restriction +
+    # the two df re-attach joins) — checkpointed so the corpus-wide df
+    # aggregation behind it runs once
+    vocab = df_t.orderBy(F.desc("df"), "term").limit(PMI_VOCAB).localCheckpoint(
+        eager=False
     )
-    b = wv.select(
-        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    wv = words.join(F.broadcast(vocab), "term")
+    # r20 (guide §2.4, the mine_frequent_pairs discipline): pairs come
+    # from an in-row combination expansion over each document's sorted
+    # vocab-term set — never a doc-keyed SELF-JOIN (the old shape
+    # shuffled the token stream twice by doc_id and exploded C(k,2)
+    # rows through the join machinery). One groupBy(doc_id) collects
+    # the ≤PMI_VOCAB-term basket, the expansion is map-side, and the
+    # pair rollup map-side combines into ≤C(V,2) rows per task. wv now
+    # has a single consumer, so the r19 checkpoint is gone. term_a <
+    # term_b is exactly the sorted-array i<j enumeration (array_sort
+    # uses the same binary string ordering as the old `<` filter); df
+    # re-attaches from the broadcast vocab table afterwards, off the
+    # pair-expansion path.
+    baskets = wv.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("term")).alias("ts")
+    )
+    idx = F.sequence(F.lit(0), F.size("ts") - 1)
+    pair_rows = baskets.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("ts"), i + 2, F.size("ts") - (i + 1)),
+                        lambda b: F.struct(
+                            F.element_at(F.col("ts"), i + 1).alias("term_a"),
+                            b.alias("term_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("term_a") < F.col("term_b"))
-        .groupBy("term_a", "term_b", "df_a", "df_b")
+        pair_rows.select(
+            F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b")
+        )
+        .groupBy("term_a", "term_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= PMI_MIN_COOC)
     )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
     pmi = F.log(
         F.col("n_ab").cast("double")
         * F.col("n_total")
         / (F.col("df_a") * F.col("df_b"))
     )
     return (
-        pairs.crossJoin(n_docs)
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(n_docs)
         .select("term_a", "term_b", "n_ab", round6_det(pmi).alias("pmi"))
         .orderBy(F.desc("pmi"), "term_a", "term_b")
         .limit(50)
