@@ -11,17 +11,38 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import davg, dsum, rebalance_narrow_scan, sql_davg, sql_dsum
 
 
 def q1_pricing_summary(spark, sf_dir):
     """Q1 shape: full-scan groupBy with derived measures and a date
-    predicate pushed to the parquet scan."""
+    predicate pushed to the parquet scan.
+
+    r20 (guide §2.5/§6 — input splits bound the parallelism): the sf0.1
+    fixture file arrives as 3 splits, so the seven guarded decimal
+    aggregates — q1's entire cost — ran 3-wide on a 32-core box (the
+    r19 driver's 8v32 ratio of 0.68 was this). The filtered, projected
+    scan round-robins through rebalance_narrow_scan (a no-op whenever
+    the scan already has >= core-count splits — always true at scale),
+    shipping ~45 B/row so every core aggregates. Decimal sums are
+    order-independent by construction (that is dsum's contract), so the
+    result is bit-identical. Interleaved A/B: sf0.1 1.40/1.66 ->
+    1.11/1.20, sf1 2.56/2.76 -> 1.87/2.09 s min/median."""
     l = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    f = l.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        rebalance_narrow_scan(f, spark)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),
