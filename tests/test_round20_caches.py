@@ -82,3 +82,46 @@ def test_corpus_checkpoint_gate_keeps_results_identical(spark, sf_small):
     finally:
         del os.environ["SPARK_GRAFT_NO_CORPUS_CKPT"]
     assert base == gated
+
+
+def test_union_find_numpy_matches_per_edge_reference():
+    """The vectorized min-label propagation must match the classic
+    per-edge union-find on random and structured graphs (chains, stars,
+    singleton self-loops, duplicate edges, negative ids)."""
+    import random
+
+    from ndl_core_data_pipeline_spark.operators.dedup import _union_find_labels
+
+    def reference(edge_rows):
+        parent = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edge_rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return sorted((n, find(n)) for n in parent)
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [(5, 5)],
+        [(1, 2), (2, 3), (3, 4)],                      # chain
+        [(10, k) for k in range(11, 30)],              # star
+        [(-3, -9), (-9, 40), (7, 7)],                  # negative ids
+        [(1, 2), (1, 2), (2, 1)],                      # duplicates
+        [(k, k + 1) for k in range(0, 2000)],          # long path (doubling)
+        [(rng.randrange(500), rng.randrange(500)) for _ in range(3000)],
+        [(rng.randrange(10**12), rng.randrange(10**12)) for _ in range(2000)],
+    ]
+    for edges in cases:
+        assert sorted(_union_find_labels(edges)) == reference(edges), edges[:5]
