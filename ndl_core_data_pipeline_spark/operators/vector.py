@@ -243,8 +243,20 @@ def lsh_bucket_assignment(spark, sf_dir):
     algorithm, same role: prune the candidate space)."""
     emb = load(spark, sf_dir, "embeddings")
     planes = hyperplane_matrix(LSH_SIG_BITS, embedding_dim(emb))
-    sig = _lsh_signature("embedding", planes)
-    return emb.select("vec_id", "label", sig.alias("lsh_bucket"))
+    # r20 (guide §4.2): the 16 dot-product folds per row run as one
+    # Arrow/numpy pass (_lsh_bands_arrow with a single band of width 16
+    # — band 0's value IS the full signature); the SQL-HOF form
+    # (_lsh_signature) stays as the reference the equivalence tests pin
+    # against. Plan: plans/r20/vector_lsh_buckets_{before,after}.txt.
+    out = _lsh_bands_arrow(
+        emb.select("vec_id", "label", "embedding"),
+        planes,
+        1,
+        keep=[("vec_id", "bigint"), ("label", "int")],
+    )
+    return out.select(
+        "vec_id", "label", F.col("bvals")[0].alias("lsh_bucket")
+    )
 
 
 # Probed cells per query. Tuned round 18 (VERDICT r17 stretch item 8)
@@ -540,6 +552,180 @@ def _band_value_structs(emb_sql: str, planes, n_bands: int):
     return out
 
 
+def _lsh_bands_arrow(df, planes, n_bands: int, *, keep, v_name="embedding"):
+    """Per-row LSH band values as ONE Arrow pass (guide §4.2), appending
+    `bvals` (array<bigint>, one value per band) — replaces n_planes
+    interpreted zip_with/aggregate dot-product folds per row.
+
+    Exactness contract (pinned in tests/test_round20_argmin.py):
+    - each plane's dot is the left fold of CAST(x AS DOUBLE) * hv — the
+      accumulation loop preserves the fold order, so finite/NaN/Inf
+      arithmetic is bit-identical to the JVM HOF;
+    - bit k of band b is (dot > 0): NaN > 0 and NULL > 0 are both false
+      in both engines;
+    - a row whose vector is NULL, has a NULL element, or whose length
+      differs from the plane dimension makes EVERY dot NULL (zip_with
+      pads with NULL and the fold sticks), so all its band values are 0
+      — emitted as constants, no per-row fallback needed."""
+    import numpy as np
+
+    H = np.array(planes, dtype=np.float64)  # (bits, dim)
+    bits, dim = H.shape
+    w = bits // n_bands
+
+    def bands(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            vcol = b.column(b.schema.get_field_index(v_name))
+            if isinstance(vcol, pa.ChunkedArray):  # pragma: no cover
+                vcol = vcol.combine_chunks()
+            offs = vcol.offsets.to_numpy(zero_copy_only=False)
+            rlens = offs[1:] - offs[:-1]
+            row_null = np.asarray(vcol.is_null())
+            vals = vcol.values
+            el_null = np.asarray(vals.is_null()) if len(vals) else np.zeros(0, bool)
+            cum = np.concatenate([[0], np.cumsum(el_null)])
+            any_el_null = (cum[offs[1:]] - cum[offs[:-1]]) > 0
+            clean = (~row_null) & (rlens == dim) & (~any_el_null)
+            bv = np.zeros((n, n_bands), dtype=np.int64)
+            idx = np.nonzero(clean)[0]
+            if len(idx):
+                starts = offs[:-1][idx]
+                gather = starts[:, None] + np.arange(dim)[None, :]
+                M = vals.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )[gather]
+                acc = np.zeros((len(idx), bits))
+                for i in range(dim):  # exact left-fold order per plane
+                    acc = acc + M[:, i : i + 1] * H[:, i][None, :]
+                # Spark comparison semantics: NaN is GREATER than every
+                # value, so a NaN dot sets its bit (numpy's NaN > 0 is
+                # False — pinned by test_lsh_bands_arrow_matches_sql_hof)
+                bitvals = ((acc > 0) | np.isnan(acc)).astype(np.int64)
+                for bnd in range(n_bands):
+                    v = np.zeros(len(idx), dtype=np.int64)
+                    for k in range(w):
+                        v += bitvals[:, bnd * w + k] << k
+                    bv[idx, bnd] = v
+            arrays = [b.column(b.schema.get_field_index(nm)) for nm, _ in keep]
+            names = [nm for nm, _ in keep]
+            arrays.append(vcol)
+            names.append(v_name)
+            arrays.append(
+                pa.array(bv.tolist(), type=pa.list_(pa.int64()))
+            )
+            names.append("bvals")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    schema = ", ".join(
+        [f"{nm} {tp}" for nm, tp in keep]
+        + [f"{v_name} array<float>", "bvals array<bigint>"]
+    )
+    return df.mapInArrow(bands, schema)
+
+
+def _fold_dot(a, b):
+    """Exact scalar zip_with/aggregate dot fold (None on length mismatch
+    or NULL elements; Python floats are IEEE doubles)."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _cos_verify_arrow(df, *, a_name="emb_a", b_name="emb_b", keep, dim=64):
+    """Exact cosine FOLDS for candidate pairs as ONE Arrow pass: appends
+    dot, sa (=sum a_i^2) and sb with every fold in the exact sequential
+    order of _dot/_norm (guide §4.2 — replaces three interpreted HOF
+    folds per surviving pair). The quotient dot/(sqrt(sa)*sqrt(sb)) and
+    the HALF_UP rounding stay in the JVM, so division semantics —
+    including the session's ANSI divide-by-zero error on a zero-norm
+    vector — are exactly the old expression's. Rows whose vectors are
+    NULL, hold NULL elements, or differ from `dim` take the exact
+    per-row scalar path (equal non-dim lengths still produce finite
+    folds, exactly like zip_with)."""
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+
+            def col_info(name):
+                c = b.column(b.schema.get_field_index(name))
+                if isinstance(c, pa.ChunkedArray):  # pragma: no cover
+                    c = c.combine_chunks()
+                offs = c.offsets.to_numpy(zero_copy_only=False)
+                rl = offs[1:] - offs[:-1]
+                rn = np.asarray(c.is_null())
+                vv = c.values
+                en = np.asarray(vv.is_null()) if len(vv) else np.zeros(0, bool)
+                cm = np.concatenate([[0], np.cumsum(en)])
+                anyn = (cm[offs[1:]] - cm[offs[:-1]]) > 0
+                return c, offs, (~rn) & (rl == dim) & (~anyn)
+
+            ca, offa, cleana = col_info(a_name)
+            cb, offb, cleanb = col_info(b_name)
+            clean = cleana & cleanb
+            dot_o = [None] * n
+            sa_o = [None] * n
+            sb_o = [None] * n
+            idx = np.nonzero(clean)[0]
+            if len(idx):
+                ga = offa[:-1][idx][:, None] + np.arange(dim)[None, :]
+                gb = offb[:-1][idx][:, None] + np.arange(dim)[None, :]
+                A = ca.values.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )[ga]
+                B = cb.values.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )[gb]
+                d = np.zeros(len(idx))
+                sa = np.zeros(len(idx))
+                sb = np.zeros(len(idx))
+                for i in range(dim):  # exact left-fold order
+                    d = d + A[:, i] * B[:, i]
+                    sa = sa + A[:, i] * A[:, i]
+                    sb = sb + B[:, i] * B[:, i]
+                for t, ri in enumerate(idx):
+                    ri = int(ri)
+                    dot_o[ri] = float(d[t])
+                    sa_o[ri] = float(sa[t])
+                    sb_o[ri] = float(sb[t])
+            for ri in np.nonzero(~clean)[0]:
+                ri = int(ri)
+                a_py = ca[ri].as_py()
+                b_py = cb[ri].as_py()
+                dot_o[ri] = _fold_dot(a_py, b_py)
+                sa_o[ri] = _fold_dot(a_py, a_py)
+                sb_o[ri] = _fold_dot(b_py, b_py)
+            arrays = [b.column(b.schema.get_field_index(nm)) for nm, _ in keep]
+            names = [nm for nm, _ in keep]
+            arrays.append(pa.array(dot_o, type=pa.float64()))
+            names.append("dot")
+            arrays.append(pa.array(sa_o, type=pa.float64()))
+            names.append("sa")
+            arrays.append(pa.array(sb_o, type=pa.float64()))
+            names.append("sb")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    schema = ", ".join(
+        [f"{nm} {tp}" for nm, tp in keep]
+        + ["dot double", "sa double", "sb double"]
+    )
+    out = df.mapInArrow(verify, schema)
+    return out.withColumn(
+        "cos_raw", F.col("dot") / (F.sqrt("sa") * F.sqrt("sb"))
+    ).drop("dot", "sa", "sb")
+
+
 def lsh_near_dup_pairs(
     emb,
     min_cos: float,
@@ -578,13 +764,18 @@ def lsh_near_dup_pairs(
     # but can never emit a pair — NULL cosine fails the verify — and a
     # None inside a packed bucket would crash np.array: exclude them
     emb = emb.filter(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(*_band_value_structs("embedding", planes, n_bands))
-        ).alias("bk"),
-    ).select("vec_id", "embedding", "bk.band", "bk.bval")
+    # r20 (guide §4.2): band values from ONE Arrow pass, exploded JVM-
+    # side (posexplode index == the former struct's band literal); the
+    # SQL-HOF band form (_band_value_structs) stays as the test
+    # reference. Bit-exactness: _lsh_bands_arrow block comment.
+    banded = _lsh_bands_arrow(
+        emb.select("vec_id", "embedding"),
+        planes,
+        n_bands,
+        keep=[("vec_id", "bigint")],
+    ).select(
+        "vec_id", "embedding", F.posexplode("bvals").alias("band", "bval")
+    )
     # plain collect_list: pair orientation comes from min/max in
     # _tile_pairs and cross-band dedup from the distinct below, so the
     # r6 form's sort (load-bearing for _bucket_pairs' first<second
@@ -631,13 +822,20 @@ def lsh_near_dup_pairs(
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    # r20 (guide §4.2): the exact verify — three interpreted HOF folds
+    # per candidate, the pipeline's dominant cost once tiles prune the
+    # collisions — runs as one Arrow pass (_cos_verify_arrow, exact
+    # fold order); HALF_UP rounding stays in the JVM.
+    verified = _cos_verify_arrow(
+        pair_ids.join(a, "vec_a").join(b, "vec_b").select(
+            "vec_a", "vec_b", "emb_a", "emb_b"
+        ),
+        keep=[("vec_a", "bigint"), ("vec_b", "bigint")],
     )
     return (
-        pair_ids.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        verified.select(
+            "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= min_cos)
     )
 

@@ -252,3 +252,96 @@ def test_struct_min_ordering_assumptions(spark):
     assert r["nan_loses"] == 3
     assert r["inf_beats_nan"] == 5
     assert r["null_id_first"] is None
+
+
+def test_lsh_bands_arrow_matches_sql_hof(spark):
+    """Arrow band values == the SQL-HOF signature/band forms on real-ish
+    and hostile vectors (NULL rows, NULL elements, NaN/Inf, ragged)."""
+    planes = V.hyperplane_matrix(V.LSH_SIG_BITS, 64)
+    rows = [
+        (1, [0.1 * i - 3.0 for i in range(64)]),
+        (2, [-0.25 * i for i in range(64)]),
+        (3, [float("nan")] + [1.0] * 63),
+        (4, [float("inf")] + [1.0] * 63),
+        (5, [-float("inf")] + [1.0] * 63),
+        (6, [None] + [1.0] * 63),
+        (7, [1.0] * 32),
+        (8, [1.0] * 70),
+        (9, None),
+        (10, [0.0] * 64),
+    ]
+    hdf = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    # full-signature form (1 band of 16 bits)
+    old_sig = hdf.select(
+        "vec_id", V._lsh_signature("v", planes).alias("s")
+    )
+    new_sig = V._lsh_bands_arrow(
+        hdf, planes, 1, keep=[("vec_id", "bigint")], v_name="v"
+    ).select("vec_id", F.col("bvals")[0].alias("s"))
+    a = {r["vec_id"]: r["s"] for r in old_sig.collect()}
+    b = {r["vec_id"]: r["s"] for r in new_sig.collect()}
+    assert a == b
+    # banded form (4 bands of 4 bits)
+    old_b = hdf.select(
+        "vec_id",
+        F.explode(
+            F.array(*V._band_value_structs("v", planes, V.LSH_SIG_BANDS))
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.bval")
+    new_b = V._lsh_bands_arrow(
+        hdf, planes, V.LSH_SIG_BANDS, keep=[("vec_id", "bigint")], v_name="v"
+    ).select("vec_id", F.posexplode("bvals").alias("band", "bval"))
+    a = {(r["vec_id"], r["band"]): r["bval"] for r in old_b.collect()}
+    b = {(r["vec_id"], r["band"]): r["bval"] for r in new_b.collect()}
+    assert a == b
+
+
+def test_cos_verify_arrow_matches_hof(spark):
+    """Arrow cosine == the _dot/_norm HOF quotient bitwise, including
+    zero-norm (Inf/NaN), NULL-element, and ragged-length pairs."""
+    import struct as st
+
+    vecs = {
+        1: [0.1 * i for i in range(64)],
+        2: [0.2 * (64 - i) for i in range(64)],
+        3: [0.0] * 64,                         # zero norm -> NaN/Inf
+        4: [float("nan")] + [1.0] * 63,
+        5: [float("inf")] + [1.0] * 63,
+        6: [None] + [1.0] * 63,
+        7: [1.0] * 32,                         # short but EQUAL lengths work
+        8: [2.0] * 32,
+        9: None,
+        10: [3.0] * 64,
+    }
+    # engine conditions: every query path calls io.load ->
+    # ensure_session_defaults, which sets ansi=false (so a zero-norm
+    # pair divides to Inf/NaN instead of erroring); the division lives
+    # in the JVM in BOTH forms, so they track the session setting
+    # identically either way
+    from ndl_core_data_pipeline_spark.io import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    pairs = [
+        (1, 2), (1, 3), (3, 3), (4, 1), (5, 1), (6, 1), (7, 8), (7, 1),
+        (9, 1), (10, 10),
+    ]
+    rows = [(a, b, vecs[a], vecs[b]) for a, b in pairs]
+    pdf = spark.createDataFrame(
+        rows, "vec_a long, vec_b long, emb_a array<float>, emb_b array<float>"
+    )
+    cos = V._dot(F.col("emb_a"), F.col("emb_b")) / (
+        V._norm(F.col("emb_a")) * V._norm(F.col("emb_b"))
+    )
+    old = {(r["vec_a"], r["vec_b"]): r["c"] for r in pdf.select("vec_a", "vec_b", cos.alias("c")).collect()}
+    new = {
+        (r["vec_a"], r["vec_b"]): r["cos_raw"]
+        for r in V._cos_verify_arrow(
+            pdf, keep=[("vec_a", "bigint"), ("vec_b", "bigint")]
+        ).collect()
+    }
+    assert set(old) == set(new)
+    for k in old:
+        x, y = old[k], new[k]
+        bx = None if x is None else st.pack(">d", x)
+        by = None if y is None else st.pack(">d", y)
+        assert bx == by, (k, x, y)
