@@ -505,13 +505,22 @@ def embedding_cosine_near_dup(spark, sf_dir):
     cand = tasks.mapInPandas(gram, f"label {label_t}, vec_a BIGINT, vec_b BIGINT")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    # r20 (guide §4.2): the exact re-verify runs as one Arrow pass (same
+    # helper as the LSH form — exact fold order, quotient + HALF_UP
+    # rounding in the JVM)
+    verified = _cos_verify_arrow(
+        cand.join(a, "vec_a").join(b, "vec_b").select(
+            "label", "vec_a", "vec_b", "emb_a", "emb_b"
+        ),
+        keep=[("label", label_t), ("vec_a", "bigint"), ("vec_b", "bigint")],
     )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("label", "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        verified.select(
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= EMB_NEAR_DUP_MIN_COS)
     )
 
