@@ -628,9 +628,10 @@ def _lsh_bands_arrow(df, planes, n_bands: int, *, keep, v_name="embedding"):
             names.append("bvals")
             yield pa.RecordBatch.from_arrays(arrays, names)
 
+    v_sql_type = dict(df.dtypes)[v_name]  # array<float> or array<double>
     schema = ", ".join(
         [f"{nm} {tp}" for nm, tp in keep]
-        + [f"{v_name} array<float>", "bvals array<bigint>"]
+        + [f"{v_name} {v_sql_type}", "bvals array<bigint>"]
     )
     return df.mapInArrow(bands, schema)
 

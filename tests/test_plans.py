@@ -578,13 +578,44 @@ def test_bloom_prune_narrow_scan_and_semi(spark, sf_small):
 
 def test_heavy_hitters_tail_never_shuffles_raw(spark, sf_small):
     # MG summaries are map-side (MapInPandas), candidates broadcast back
-    # for the exact recount: the only row-level movement of the token
-    # stream is the keyed recount of candidate tokens
+    # for the exact recount. r20: the recount is ONE keyed aggregation —
+    # non-candidate tokens collapse into a NULL group via the broadcast
+    # left-join marker (the former LeftSemi + separate global count), so
+    # map-side partial aggregation still ships <= C+2 rows per task and
+    # the tail never reaches the shuffle. The <= C+2-row result is
+    # lazily checkpointed, which truncates the FINAL plan to an
+    # ExistingRDD — so pin the pre-checkpoint recount subtree directly
+    # (same construction, minus the checkpoint) plus the final shape.
+    from ndl_core_data_pipeline_spark.io import load
+    from ndl_core_data_pipeline_spark.operators import warehouse as WH
+    from ndl_core_data_pipeline_spark.operators._util import (
+        rebalance_narrow_scan,
+    )
+
+    docs = rebalance_narrow_scan(
+        load(spark, sf_small, "documents").select("text"), spark
+    )
+    cand = docs.mapInPandas(WH._mg_candidates, "token string").distinct()
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    marked = toks.join(
+        F.broadcast(cand.withColumn("_c", F.lit(1))), "token", "left"
+    )
+    grouped = marked.groupBy(
+        F.when(F.col("_c") == 1, F.col("token")).alias("token")
+    ).agg(F.count("*").alias("cnt"))
+    pre = explain_formatted(grouped)
+    assert "MapInPandas" in pre
+    assert "BroadcastHashJoin" in pre  # candidate marker join
+    assert "SortMergeJoin" not in pre  # the token stream never shuffles
+    assert "partial_count" in pre  # tail collapsed map-side
+    # final plan: both consumers read ONE checkpointed RDD, no rescan
     plan = plan_of(spark, "agg_heavy_hitters", sf_small)
-    assert "MapInPandas" in plan
-    assert "LeftSemi" in plan
+    # formatted explain lists each node in the tree AND the detail section
+    assert plan.count("Scan ExistingRDD") == 4
+    assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
-    assert "partial_count" in plan
 
 
 def test_zorder_topk_no_global_sort(spark, sf_small):
